@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline catalog queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "total_query_seconds", "value": N, "unit": "sec",
+     "queries": {...}, "sf": "..."}
+
+Each query executes fully (noop sink — no driver collect of large results);
+a warmup run of the flagship query pays JVM/codegen startup once so per-query
+numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from openskidata_processor_spark.plans import QUERIES  # noqa: E402
+from openskidata_processor_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "a2_pricing_summary",
+    "j8_regional_revenue",
+    "w1_top_order_per_customer",
+    "a1_merged_order_status",
+    "j3_acctbal_distance_join",
+    "w_running_total",
+    "a6_daily_event_stats",
+    "sessionize_user_sessions",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "knn_cosine",
+    "ann_lsh_topk",
+    "j2_points_in_polygon",
+    "j3_geo_dwithin",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = QUERIES[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("openskidata-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: pay JVM + codegen startup once.
+    run_query(spark, "a2_pricing_summary", sf_dir)
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        timings[name] = round(run_query(spark, name, sf_dir), 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(json.dumps({
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,367 @@
+"""Geometry kernel: numpy/pure-python geometry math + Spark bindings.
+
+Design (SURVEY.md §2.8, §4.3): the container has no shapely/geos, so the
+kernel is implemented from published geometry algorithms (haversine, ray
+casting, point-segment projection) in numpy and exposed to Spark two ways:
+
+1. **Catalyst expressions** where the math is elementary (haversine distance,
+   grid-cell ids) — these stay JVM-side in whole-stage codegen and are the
+   hot path for the grid-bucketed spatial join.
+2. **Arrow-batched pandas UDFs** over GeoJSON-string columns for the
+   predicates that genuinely need per-geometry iteration (point-in-polygon
+   with holes, interior points, sampling along lines).
+
+Reference parity targets: length/centroid/contains/dwithin/along/interior
+point per ``src/transforms/GeoTransforms.ts`` and the PostGIS predicates in
+``src/clustering/database/PostgreSQLClusteringDatabase.ts:675-707``.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Any, Iterable
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, DoubleType, StringType
+
+EARTH_RADIUS_KM = 6371.0
+KM_PER_DEG_LAT = 111.32
+
+
+# ---------------------------------------------------------------------------
+# Catalyst-expression geometry (JVM-side, no UDF)
+# ---------------------------------------------------------------------------
+
+def haversine_km(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Great-circle distance in km as a pure Catalyst expression.
+
+    2R·asin(√(sin²(Δφ/2) + cosφ1·cosφ2·sin²(Δλ/2))) — written with the exact
+    same operation order as the SQL oracle so both engines agree bit-for-bit
+    modulo libm ulps.
+    """
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2.0
+    dlon = F.radians(lon2 - lon1) / 2.0
+    a = F.sin(dlat) * F.sin(dlat) + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon)
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def grid_cell(lon: Column, lat: Column, cell_deg: float) -> tuple[Column, Column]:
+    """Integer (cell_x, cell_y) ids on a fixed lon/lat grid."""
+    return (F.floor(lon / F.lit(cell_deg)).cast("long"),
+            F.floor(lat / F.lit(cell_deg)).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# numpy / pure-python kernel over GeoJSON coordinate arrays
+# ---------------------------------------------------------------------------
+
+def _coords_of(geom: dict[str, Any]) -> list:
+    return geom.get("coordinates", [])
+
+
+def iter_positions(geom: dict[str, Any]) -> Iterable[list[float]]:
+    """Yield every [lon, lat, ...] position of any GeoJSON geometry."""
+    t = geom["type"]
+    c = _coords_of(geom)
+    if t == "Point":
+        yield c
+    elif t in ("LineString", "MultiPoint"):
+        yield from c
+    elif t in ("Polygon", "MultiLineString"):
+        for ring in c:
+            yield from ring
+    elif t == "MultiPolygon":
+        for poly in c:
+            for ring in poly:
+                yield from ring
+    elif t == "GeometryCollection":
+        for g in geom.get("geometries", []):
+            yield from iter_positions(g)
+
+
+def haversine_point_km(p1: list[float], p2: list[float]) -> float:
+    dlat = math.radians(p2[1] - p1[1]) / 2.0
+    dlon = math.radians(p2[0] - p1[0]) / 2.0
+    a = (math.sin(dlat) ** 2
+         + math.cos(math.radians(p1[1])) * math.cos(math.radians(p2[1]))
+         * math.sin(dlon) ** 2)
+    return 2.0 * EARTH_RADIUS_KM * math.asin(math.sqrt(a))
+
+
+def line_length_km(coords: list[list[float]]) -> float:
+    return sum(haversine_point_km(coords[i], coords[i + 1])
+               for i in range(len(coords) - 1))
+
+
+def geometry_length_km(geom: dict[str, Any]) -> float:
+    """Geodesic length in km (LineString / MultiLineString / Polygon rings
+    contribute their perimeter like turf.length does for lines only — we
+    follow turf: only (Multi)LineString has length; others → 0)."""
+    t = geom["type"]
+    if t == "LineString":
+        return line_length_km(_coords_of(geom))
+    if t == "MultiLineString":
+        return sum(line_length_km(ls) for ls in _coords_of(geom))
+    return 0.0
+
+
+def centroid(geom: dict[str, Any]) -> list[float]:
+    """Mean of all vertices (turf.centroid semantics, used by the reference
+    for spot points / ski-area representative points)."""
+    pts = list(iter_positions(geom))
+    n = len(pts)
+    return [sum(p[0] for p in pts) / n, sum(p[1] for p in pts) / n]
+
+
+def point_in_ring(x: float, y: float, ring: list[list[float]]) -> bool:
+    """Ray casting; ``ring`` closed or open."""
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i][0], ring[i][1]
+        x2, y2 = ring[(i + 1) % n][0], ring[(i + 1) % n][1]
+        if (y1 > y) != (y2 > y):
+            xin = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+            if x < xin:
+                inside = not inside
+    return inside
+
+
+def point_in_polygon(x: float, y: float, polygon: list[list[list[float]]]) -> bool:
+    """Polygon = [outer_ring, hole1, ...]."""
+    if not polygon or not point_in_ring(x, y, polygon[0]):
+        return False
+    return not any(point_in_ring(x, y, hole) for hole in polygon[1:])
+
+
+def point_in_geom(x: float, y: float, geom: dict[str, Any]) -> bool:
+    t = geom["type"]
+    if t == "Polygon":
+        return point_in_polygon(x, y, _coords_of(geom))
+    if t == "MultiPolygon":
+        return any(point_in_polygon(x, y, poly) for poly in _coords_of(geom))
+    return False
+
+
+def _project_point_on_segment(px, py, x1, y1, x2, y2):
+    """Planar projection of (px,py) onto segment; returns (x, y, t)."""
+    dx, dy = x2 - x1, y2 - y1
+    d2 = dx * dx + dy * dy
+    if d2 == 0.0:
+        return x1, y1, 0.0
+    t = max(0.0, min(1.0, ((px - x1) * dx + (py - y1) * dy) / d2))
+    return x1 + t * dx, y1 + t * dy, t
+
+
+def nearest_point_on_line(point: list[float], coords: list[list[float]]) -> list[float]:
+    """Nearest position on a LineString, equirectangular-local approximation
+    (adequate at the sub-km scales the reference uses: 30–500 m radii)."""
+    px, py = point[0], point[1]
+    coslat = math.cos(math.radians(py)) or 1e-12
+    best, best_d = coords[0][:2], float("inf")
+    for i in range(len(coords) - 1):
+        x1, y1 = coords[i][0], coords[i][1]
+        x2, y2 = coords[i + 1][0], coords[i + 1][1]
+        nx, ny, _ = _project_point_on_segment(px * coslat, py,
+                                              x1 * coslat, y1, x2 * coslat, y2)
+        d = (nx - px * coslat) ** 2 + (ny - py) ** 2
+        if d < best_d:
+            best_d, best = d, [nx / coslat, ny]
+    return best
+
+
+def min_distance_km(g1: dict[str, Any], g2: dict[str, Any]) -> float:
+    """Minimum geodesic distance between two geometries, via vertex-to-
+    segment projection both ways (exact for point/line pairs whose nearest
+    approach is at a vertex projection; tight approximation otherwise)."""
+    if g1["type"] in ("Polygon", "MultiPolygon"):
+        for p in iter_positions(g2):
+            if point_in_geom(p[0], p[1], g1):
+                return 0.0
+    if g2["type"] in ("Polygon", "MultiPolygon"):
+        for p in iter_positions(g1):
+            if point_in_geom(p[0], p[1], g2):
+                return 0.0
+
+    def segments(g):
+        t = g["type"]
+        c = _coords_of(g)
+        if t == "LineString":
+            yield c
+        elif t in ("Polygon", "MultiLineString"):
+            yield from c
+        elif t == "MultiPolygon":
+            for poly in c:
+                yield from poly
+
+    best = float("inf")
+
+    def check(points_geom, lines_geom):
+        nonlocal best
+        lines = list(segments(lines_geom))
+        for p in iter_positions(points_geom):
+            if not lines:
+                for q in iter_positions(lines_geom):
+                    best = min(best, haversine_point_km(p, q))
+            for line in lines:
+                np_ = nearest_point_on_line(p, line)
+                best = min(best, haversine_point_km(p, np_))
+
+    check(g1, g2)
+    check(g2, g1)
+    return best
+
+
+def dwithin(g1: dict[str, Any], g2: dict[str, Any], radius_km: float) -> bool:
+    return min_distance_km(g1, g2) <= radius_km
+
+
+def interior_point(geom: dict[str, Any]) -> list[float]:
+    """Reference P11 (``GeoTransforms.ts:31-82``): centroid if inside, else
+    nearest point on the rings to the centroid."""
+    c = centroid(geom)
+    if geom["type"] not in ("Polygon", "MultiPolygon"):
+        return c
+    if point_in_geom(c[0], c[1], geom):
+        return c
+    rings: list[list[list[float]]] = []
+    if geom["type"] == "Polygon":
+        rings = list(_coords_of(geom))
+    else:
+        for poly in _coords_of(geom):
+            rings.extend(poly)
+    best, best_d = c, float("inf")
+    for ring in rings:
+        p = nearest_point_on_line(c, ring)
+        d = haversine_point_km(c, p)
+        if d < best_d:
+            best_d, best = d, p
+    return best
+
+
+def points_along_geometry(geom: dict[str, Any], interval_km: float) -> list[list[float]]:
+    """Reference P12 (``GeoTransforms.ts:136-223``): walk each line at a fixed
+    interval, always including endpoints; polygons use the outer ring; points
+    pass through; results deduped preserving order."""
+    t = geom["type"]
+    lines: list[list[list[float]]] = []
+    if t == "Point":
+        return [_coords_of(geom)[:2]]
+    if t == "MultiPoint":
+        lines = []
+        out = [p[:2] for p in _coords_of(geom)]
+        return _dedupe_points(out)
+    if t == "LineString":
+        lines = [_coords_of(geom)]
+    elif t == "MultiLineString":
+        lines = _coords_of(geom)
+    elif t == "Polygon":
+        lines = [_coords_of(geom)[0]] if _coords_of(geom) else []
+    elif t == "MultiPolygon":
+        lines = [poly[0] for poly in _coords_of(geom) if poly]
+    out: list[list[float]] = []
+    for line in lines:
+        out.extend(_sample_line(line, interval_km))
+    return _dedupe_points(out)
+
+
+def _sample_line(coords: list[list[float]], interval_km: float) -> list[list[float]]:
+    if not coords:
+        return []
+    out = [coords[0][:2]]
+    carried = 0.0
+    for i in range(len(coords) - 1):
+        p1, p2 = coords[i], coords[i + 1]
+        seg = haversine_point_km(p1, p2)
+        pos = interval_km - carried
+        while pos < seg:
+            f = pos / seg
+            out.append([p1[0] + (p2[0] - p1[0]) * f, p1[1] + (p2[1] - p1[1]) * f])
+            pos += interval_km
+        carried = (carried + seg) % interval_km if interval_km > 0 else 0.0
+    out.append(coords[-1][:2])
+    return out
+
+
+def _dedupe_points(pts: list[list[float]]) -> list[list[float]]:
+    seen: set[tuple[float, float]] = set()
+    out = []
+    for p in pts:
+        k = (round(p[0], 9), round(p[1], 9))
+        if k not in seen:
+            seen.add(k)
+            out.append([p[0], p[1]])
+    return out
+
+
+def covering_cells(geom: dict[str, Any], cell_deg: float) -> list[tuple[int, int]]:
+    """All grid cells intersecting the geometry's bbox (bbox-cover is a safe
+    over-approximation; the spatial join applies the exact predicate after
+    the cell equi-join)."""
+    pts = list(iter_positions(geom))
+    if not pts:
+        return []
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    x0, x1 = math.floor(min(xs) / cell_deg), math.floor(max(xs) / cell_deg)
+    y0, y1 = math.floor(min(ys) / cell_deg), math.floor(max(ys) / cell_deg)
+    return [(cx, cy) for cx in range(int(x0), int(x1) + 1)
+            for cy in range(int(y0), int(y1) + 1)]
+
+
+# ---------------------------------------------------------------------------
+# pandas-UDF bindings (Arrow-batched)
+# ---------------------------------------------------------------------------
+
+def make_point_in_polygon_udf(polygon: list[list[list[float]]]):
+    """Vectorized membership test of (x, y) points vs a fixed polygon."""
+
+    @F.pandas_udf(BooleanType())
+    def _udf(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series([point_in_polygon(float(a), float(b), polygon)
+                          for a, b in zip(x, y)])
+
+    return _udf
+
+
+@F.pandas_udf(DoubleType())
+def geometry_length_km_udf(geojson: pd.Series) -> pd.Series:
+    return geojson.map(lambda s: geometry_length_km(json.loads(s)))
+
+
+@F.pandas_udf(StringType())
+def centroid_udf(geojson: pd.Series) -> pd.Series:
+    return geojson.map(lambda s: json.dumps(
+        {"type": "Point", "coordinates": centroid(json.loads(s))}))
+
+
+@F.pandas_udf(StringType())
+def interior_point_udf(geojson: pd.Series) -> pd.Series:
+    return geojson.map(lambda s: json.dumps(
+        {"type": "Point", "coordinates": interior_point(json.loads(s))}))
+
+
+@F.pandas_udf(BooleanType())
+def geometry_valid_udf(geojson: pd.Series) -> pd.Series:
+    """P8 validity filter: parseable GeoJSON with enough positions for its
+    type and finite coordinates (reference ``GeoTransforms.ts:113-130``)."""
+    def ok(s):
+        try:
+            g = json.loads(s)
+            t = g.get("type")
+            pts = list(iter_positions(g))
+            if not pts or any(not all(math.isfinite(v) for v in p[:2]) for p in pts):
+                return False
+            if t == "LineString" and len(pts) < 2:
+                return False
+            if t in ("Polygon", "MultiPolygon") and len(pts) < 4:
+                return False
+            return True
+        except (ValueError, KeyError, TypeError):
+            return False
+    return geojson.map(ok)

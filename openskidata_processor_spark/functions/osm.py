@@ -1,0 +1,140 @@
+"""OSM tag-map column functions (reference P5–P7).
+
+Inputs are ``map<string,string>`` tag columns.  Everything is Catalyst
+expressions over the map — no Python in the per-feature hot path, so these
+project at scan speed over arbitrarily large OSM extracts.
+
+Reference parity:
+- lifecycle status resolution  -> src/transforms/Status.ts:9-58
+- localized name extraction    -> src/transforms/OSMTransforms.ts:37-65,111-131
+- ref priority / first value / tri-state bool / number coercion
+                               -> src/transforms/OSMTransforms.ts:3-24,67-109
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Lifecycle prefixes, in the order the reference checks them.
+LIFECYCLE_STATES = ("abandoned", "disused", "proposed", "planned", "construction")
+# Lifecycle values that the reference maps to "no feature" (unsupported).
+UNSUPPORTED_STATES = ("demolished", "removed", "razed")
+
+
+def tag(tags: Column, key: str) -> Column:
+    """Null-safe map lookup (element_at returns null on missing key even
+    under ANSI mode, unlike map[key] indexing)."""
+    return F.element_at(tags, key)
+
+
+def osm_boolean(tags: Column, key: str) -> Column:
+    """'yes'/'no'/other → true/false/null tri-state (OSMTransforms.ts:15-24)."""
+    v = tag(tags, key)
+    return (F.when(v == "yes", F.lit(True))
+             .when(v == "no", F.lit(False))
+             .otherwise(F.lit(None).cast("boolean")))
+
+
+def osm_number(tags: Column, key: str) -> Column:
+    """Lenient numeric coercion: null when not parseable (ANSI-safe)."""
+    v = tag(tags, key)
+    return F.when(v.rlike(r"^-?[0-9]+(\.[0-9]+)?$"), v.cast("double"))
+
+
+def osm_first_value(tags: Column, key: str) -> Column:
+    """';'-separated lists → first entry, trimmed (OSMTransforms.ts:67-81)."""
+    v = tag(tags, key)
+    return F.when(v.isNotNull(), F.trim(F.split(v, ";")[0]))
+
+
+def osm_ref(tags: Column) -> Column:
+    """Ref priority piste:loc_ref > piste:ref > loc_ref > ref
+    (OSMTransforms.ts:103-109)."""
+    return F.coalesce(*[tag(tags, k) for k in
+                        ("piste:loc_ref", "piste:ref", "loc_ref", "ref")])
+
+
+def osm_name(tags: Column, *prefixes: str) -> Column:
+    """Collect ``name`` plus localized ``name:*`` values for the given key
+    prefixes (sorted by key), dedupe preserving priority, join with ", "
+    (OSMTransforms.ts:37-65).  ``prefixes`` defaults to ("name",)."""
+    prefixes = prefixes or ("name",)
+    parts: list[Column] = []
+    for p in prefixes:
+        exact = tag(tags, p)
+        localized = F.map_filter(tags, lambda k, _: k.startswith(p + ":"))
+        loc_vals = F.transform(
+            F.array_sort(F.map_keys(localized)), lambda k: F.element_at(tags, k)
+        )
+        parts.append(F.concat(
+            F.when(exact.isNotNull(), F.array(exact)).otherwise(F.array().cast("array<string>")),
+            loc_vals,
+        ))
+    allv = F.array_distinct(F.filter(F.concat(*parts), lambda v: v.isNotNull() & (v != "")))
+    return F.when(F.size(allv) > 0, F.concat_ws(", ", allv))
+
+
+def status_and_value(tags: Column, key: str) -> tuple[Column, Column]:
+    """Reference ``getStatusAndValue`` (Status.ts:9-58): resolve the
+    lifecycle status of ``key`` and the effective value.
+
+    Checks, in order:
+      1. prefixed keys   ``disused:piste:type=v``      → (disused, v)
+      2. construction    ``key=construction`` + ``construction=v``
+                                                       → (construction, v)
+      3. lifecycle tag   ``key=v`` + ``disused=yes``   → (disused, v)
+      4. plain           ``key=v``                     → (operating, v)
+    Unsupported states (demolished/removed/razed prefixes) → (null, null).
+    """
+    plain = tag(tags, key)
+
+    status = F.lit(None).cast("string")
+    value = F.lit(None).cast("string")
+    # Unsupported prefixed forms first: they must not fall through to others.
+    unsupported = F.lit(False)
+    for s in UNSUPPORTED_STATES:
+        unsupported = unsupported | tag(tags, f"{s}:{key}").isNotNull()
+
+    # 1. supported lifecycle prefixes (reference order).
+    for s in LIFECYCLE_STATES:
+        pv = tag(tags, f"{s}:{key}")
+        status = F.when(status.isNotNull(), status).when(pv.isNotNull(), F.lit(s))
+        value = F.when(value.isNotNull(), value).when(pv.isNotNull(), pv)
+
+    # 2. key=construction & construction=<v>
+    construction_v = tag(tags, "construction")
+    is_construction = plain == "construction"
+    status = F.when(status.isNotNull(), status).when(
+        is_construction & construction_v.isNotNull(), F.lit("construction"))
+    value = F.when(value.isNotNull(), value).when(
+        is_construction & construction_v.isNotNull(), construction_v)
+
+    # 3. plain key with a lifecycle boolean tag (disused=yes etc.)
+    lifecycle_flag = F.lit(None).cast("string")
+    for s in LIFECYCLE_STATES:
+        lifecycle_flag = F.when(lifecycle_flag.isNotNull(), lifecycle_flag).when(
+            tag(tags, s) == "yes", F.lit(s))
+    status = F.when(status.isNotNull(), status).when(
+        plain.isNotNull() & (~is_construction) & lifecycle_flag.isNotNull(), lifecycle_flag)
+    value = F.when(value.isNotNull(), value).when(
+        plain.isNotNull() & (~is_construction) & lifecycle_flag.isNotNull(), plain)
+
+    # 4. plain operating form.
+    status = F.when(status.isNotNull(), status).when(
+        plain.isNotNull() & (~is_construction), F.lit("operating"))
+    value = F.when(value.isNotNull(), value).when(
+        plain.isNotNull() & (~is_construction), plain)
+
+    status = F.when(unsupported, F.lit(None).cast("string")).otherwise(status)
+    value = F.when(unsupported, F.lit(None).cast("string")).otherwise(value)
+    return status, value
+
+
+def websites(tags: Column) -> Column:
+    w = F.array(tag(tags, "website"), tag(tags, "contact:website"))
+    return F.filter(w, lambda v: v.isNotNull())
+
+
+def wikidata_id(tags: Column) -> Column:
+    return tag(tags, "wikidata")

@@ -1,0 +1,91 @@
+"""Text-analysis column functions for the training-data pipeline operators.
+
+All hot-path functions are pure Catalyst expressions (JVM-side, whole-stage
+codegen); no Python UDFs.  These power the dedup / language-ID / quality /
+token-counting catalog queries and are designed to stream over 100 TB of
+documents: every function is a per-row projection with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish tokenizer: letter runs, digit runs, or single non-space symbol.
+# Kept RE2/Java-regex-portable so the DuckDB oracle can mirror it exactly.
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic.  Deliberately small + deterministic (the catalog oracle mirrors
+# them literally in SQL).
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "with"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "con"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "mit"],
+}
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokenization (split on single space, drop empties)."""
+    return F.filter(F.split(col, " "), lambda w: w != "")
+
+
+def word_shingles(words_col: Column, n: int = 3) -> Column:
+    """Array of word n-grams ("shingles") joined by single spaces.
+
+    Documents shorter than ``n`` words yield an empty array (never a
+    descending ``sequence`` — important under ANSI mode).
+    """
+    make = F.transform(
+        F.sequence(F.lit(0), F.size(words_col) - n),
+        lambda i: F.concat_ws(" ", F.slice(words_col, i + 1, n)),
+    )
+    return F.when(F.size(words_col) >= n, make).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def token_count(col: Column) -> Column:
+    """BPE-ish token count via TOKEN_REGEX (JVM regexp, no UDF)."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), 0))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    stripped = F.regexp_replace(col, "[a-zA-Z0-9 ]", "")
+    return F.when(F.length(col) > 0,
+                  F.length(stripped) / F.length(col)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0, 1]: rewards moderate length and
+    low punctuation density.  Mirrors the shape of classic pretraining-data
+    quality filters (length + symbol-ratio rules)."""
+    n_tok = token_count(col).cast("double")
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    return F.round(len_score * (F.lit(1.0) - punct_ratio(col)), 6)
+
+
+def stopword_hits(words_col: Column, lang: str) -> Column:
+    """Number of distinct stopwords of ``lang`` present in the document."""
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(words_col), sw))
+
+
+def language_guess(words_col: Column) -> Column:
+    """Argmax-over-stopword-hits language guess with deterministic
+    tie-break order en > es > de > und(etermined)."""
+    en, es, de = (stopword_hits(words_col, l) for l in ("en", "es", "de"))
+    return (
+        F.when((en >= es) & (en >= de) & (en > 0), F.lit("en"))
+        .when((es >= de) & (es > 0), F.lit("es"))
+        .when(de > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def bag_fingerprint(words_col: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    word set.  Detects shuffled / re-ordered duplicates that exact-hash
+    dedup misses."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words_col))))

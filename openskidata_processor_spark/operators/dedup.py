@@ -1,0 +1,255 @@
+"""Deduplication operators for large-scale document corpora.
+
+Four families, all expressed as DataFrame plans that scale by shuffle on
+content-derived keys (no driver-side state, no collect):
+
+- **exact**      : hash-groupBy on md5(text) — one shuffle on the digest.
+- **n-gram Jaccard** : exact set similarity via shingle inverted index
+  (explode → equi-join on shingle → group pair → |∩|/|∪|).
+- **MinHash + LSH**  : 64-perm signatures as Catalyst higher-order-function
+  expressions (xxhash64 base hash + affine permutations mod a Mersenne
+  prime), banded into LSH buckets; candidate pairs verified with exact
+  Jaccard.  The permutation constants stay < 2^30 so products fit in int64
+  under ANSI mode.
+- **SimHash**    : 64-bit sign-of-weighted-sum signature, 4×16-bit band
+  blocking, verified by Hamming distance (bit_count(xor)).
+
+At 100 TB: every stage is explode/groupBy/join on high-cardinality keys;
+banding bounds the candidate pair count, and the final verify join touches
+only candidates.  Common-shingle hot keys can be frequency-capped upstream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import word_shingles, words
+
+MERSENNE_PRIME = (1 << 61) - 1
+
+
+def _perm_constants(num_perm: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    """Deterministic affine permutation constants in [1, 2^30)."""
+    a, b, state = [], [], seed
+    for _ in range(num_perm):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a.append((state >> 8) % ((1 << 30) - 1) + 1)
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b.append((state >> 8) % ((1 << 30) - 1))
+    return a, b
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical documents: (digest, n_docs, doc_ids, keep_id).
+
+    ``keep_id`` (min id) is the canonical representative, matching the usual
+    keep-first dedup policy.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_docs"),
+             F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+             F.min(id_col).alias("keep_id"))
+    )
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) inverted-index rows, distinct per document."""
+    return (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(F.array_distinct(
+                      word_shingles(words(F.col(text_col)), n))).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.8,
+                        max_doc_freq: int | None = None) -> DataFrame:
+    """Exact n-gram-set Jaccard similarity join: (id_a, id_b, jaccard).
+
+    ``max_doc_freq`` optionally drops shingles appearing in more than that
+    many documents (stop-shingle pruning — the standard guard against
+    quadratic blowup on ubiquitous shingles at corpus scale; candidates can
+    only be missed if ALL their shared shingles are ubiquitous).
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = (sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle")
+                .drop("df"))
+    a = sh.toDF("id_a", "shingle")
+    b = sh.toDF("id_b", "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.toDF("id_a", "size_a")
+    sb = sizes.toDF("id_b", "size_b")
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard",
+                    F.col("n_inter")
+                    / (F.col("size_a") + F.col("size_b") - F.col("n_inter")))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 3, num_perm: int = 64) -> DataFrame:
+    """(id, sig array<bigint>[num_perm]) MinHash signatures.
+
+    Base shingle hashes are JVM-side (xxhash64 → [0, 2^32)); the 64 affine
+    permutations + min-reduce run as one Arrow-batched numpy broadcast
+    ((num_perm × n_shingles) per doc).  A pure-Catalyst nested-lambda variant
+    exists but re-evaluates the literal permutation arrays per element
+    (~100× slower), so the vectorized UDF is the hot path by design.
+    Documents with no shingles get an all-p sentinel signature.
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    av, bv = _perm_constants(num_perm)
+    a_np = np.array(av, dtype=np.int64)[:, None]
+    b_np = np.array(bv, dtype=np.int64)[:, None]
+    sentinel = [MERSENNE_PRIME] * num_perm
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig_udf(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            if h is None or len(h) == 0:
+                out.append(sentinel)
+                continue
+            hv = np.asarray(h, dtype=np.int64)[None, :]
+            # a < 2^30, h < 2^32 ⇒ a·h + b < 2^63: exact in int64.
+            perms = (a_np * hv + b_np) % MERSENNE_PRIME
+            out.append(perms.min(axis=1).tolist())
+        return pd.Series(out)
+
+    sh = F.array_distinct(word_shingles(words(F.col(text_col)), n))
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
+    return df.select(F.col(id_col).alias("id"), sig_udf(base).alias("sig"))
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16) -> DataFrame:
+    """LSH banding: docs sharing any band hash become candidate (id_a, id_b).
+
+    rows_per_band = len(sig)/bands.  Pair generation is a self-join on
+    (band, band_hash) — at scale the bucket sizes are the cost driver, and
+    banding keeps them tiny for non-duplicate content.
+    """
+    banded = sig_df.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("sig"),
+                            b * (F.size("sig") / bands).cast("int") + 1,
+                            (F.size("sig") / bands).cast("int")),
+                    b),
+            )).alias("band", "band_hash"),
+    )
+    a = banded.toDF("id_a", "band", "band_hash")
+    b = banded.toDF("id_b", "band", "band_hash")
+    return (a.join(b, ["band", "band_hash"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+
+
+def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, num_perm: int = 64, bands: int = 16,
+                        threshold: float = 0.8) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
+
+    The scale path for Jaccard dedup: LSH prunes the quadratic pair space,
+    the exact verify join only touches candidates.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
+    cands = lsh_candidate_pairs(sigs, bands)
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
+    a = sh.toDF("id_a", "shingle")
+    b = sh.toDF("id_b", "shingle")
+    inter = (
+        a.join(cands, "id_a").join(b, ["shingle", "id_b"])
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter
+        .join(sizes.toDF("id_a", "size_a"), "id_a")
+        .join(sizes.toDF("id_b", "size_b"), "id_b")
+        .withColumn("jaccard",
+                    F.col("n_inter")
+                    / (F.col("size_a") + F.col("size_b") - F.col("n_inter")))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_from_hashes(hashes: Column, num_bits: int = 64) -> Column:
+    """Pack a SimHash from a (bound) column of feature hashes.
+
+    bit_j = sign( Σ_features (bit_j(hash) ? +1 : -1) ); packed into one
+    signed long via OR of literal powers (bitwise — no ANSI overflow).
+    Pass a *materialized column reference*, not an inline expression: the 64
+    per-bit aggregates each re-reference it.
+    """
+    # Shift amounts must be literals, so the bit loop is a Python loop that
+    # builds one (wide) expression; bit 63 is the sign bit → power -2^63.
+    # NB: closures, not default args — PySpark introspects lambda arity, so a
+    # `j=j` default would be mistaken for a third lambda parameter.
+    def bit_contrib(j: int):
+        return lambda acc, h: acc + (F.shiftrightunsigned(h, j)
+                                     .bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+
+    packed = F.lit(0).cast("long")
+    for j in range(num_bits):
+        bit_sum = F.aggregate(hashes, F.lit(0), bit_contrib(j))
+        power = F.lit(1 << j) if j < num_bits - 1 else F.lit(-(1 << j))
+        packed = packed.bitwiseOR(
+            F.when(bit_sum > 0, power).otherwise(F.lit(0).cast("long")))
+    return packed
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  max_hamming: int = 3, n: int = 3) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Features are word ``n``-gram shingles (single words are far too weak on
+    small vocabularies).  Pigeonhole blocking: with 4 blocks of 16 bits, any
+    pair at distance ≤ 3 agrees exactly on ≥ 1 block, so candidates are an
+    equi-join per block.
+    """
+    feats = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.array_distinct(word_shingles(words(F.col(text_col)), n)),
+                    lambda s: F.xxhash64(s)).alias("__hashes"))
+    sh = feats.select("id",
+                      simhash_from_hashes(F.col("__hashes")).alias("simhash"))
+    blocks = sh.select(
+        "id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("simhash"), 16 * i)
+             .bitwiseAND(F.lit(0xFFFF)) for i in range(4)
+        ])).alias("block", "block_val"),
+    )
+    a = blocks.toDF("id_a", "sim_a", "block", "block_val")
+    b = blocks.toDF("id_b", "sim_b", "block", "block_val")
+    return (
+        a.join(b, ["block", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+                 .alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,36 @@
+"""Parquet table loaders for the synthetic star schema.
+
+Mirrors the reference's per-layer file reads (``src/io/GeoJSONFiles.ts:60-108``
+in the reference keeps one file per layer per stage); here every layer/table
+is a Parquet scan so Catalyst gets column pruning + filter pushdown for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table; tolerates Parquet TIMESTAMP(NANOS) columns (which
+    Spark rejects by default) by reading nanos as long and converting to a
+    microsecond timestamp with exact integer math (`div`, not double
+    division — int64 nanos exceed double's 53-bit mantissa)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}

@@ -1,0 +1,87 @@
+"""Mimics the correctness driver: every catalog query with an oracle must
+match its DuckDB twin (row multiset, column names, values) at the smoke SF.
+
+Floats compare exactly because both sides round explicitly; dates/timestamps
+normalize to ISO strings.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+import pytest
+
+from conftest import SF_SMOKE
+from openskidata_processor_spark.plans import ORACLES, QUERIES
+
+TABLES = ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def _norm(v):
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, int):
+        return int(v)
+    return v
+
+
+def _rows_to_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(repr(_norm(r[i])) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_SMOKE}/{t}.parquet')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, oracle_con, name):
+    sdf = QUERIES[name](spark, SF_SMOKE)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = oracle_con.execute(ORACLES[name])
+    duck_cols = [d[0].lower() for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}")
+    left = _rows_to_multiset(spark_cols, spark_rows)
+    right = _rows_to_multiset(duck_cols, duck_rows)
+    assert len(left) == len(right), (
+        f"{name}: row count {len(left)} vs {len(right)}")
+    assert left == right, f"{name}: value mismatch (first diff: " + str(
+        next((a, b) for a, b in zip(left, right) if a != b)) + ")"
+
+
+def test_every_query_runs(spark):
+    """Queries without oracles still must run and return a stable schema."""
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF_SMOKE)
+        assert df.columns, name
+        df.collect()
+
+
+def test_entry_smoke(spark):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.entry(spark)
+    assert df.count() >= 0
+    assert set(mod.oracle_sql()) <= set(mod.queries())
