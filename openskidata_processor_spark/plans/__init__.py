@@ -1,4 +1,5 @@
 from .analytics import QUERIES
 from .oracles import ORACLES
+from . import coverage  # noqa: F401  (registers J1/J6/J7/J9/W2-W4/A3/A8/A9/P9/P12/O1 + multimodal)
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,515 @@
+"""Catalog coverage extension — one query per SURVEY.md §2 operator id not
+already exercised by ``plans.analytics``:
+
+J1 (explode→broadcast→collect back), J6 (array-membership join), J7
+(multi-hop explode/cache join), J9 (cache-first left join), W2 (ordered
+fallback coalesce), W3 (range-position bucketing), W4 (posexplode offsets),
+A3 (set-union/intersect agg), A8 (map-values aggregate), A9/O2/O3 (sorted
+unique roll-ups), P9 (stable content-hash id), P12 (points-along sampler),
+O1 (deterministic ordered export), plus the multimodal binary-column
+plumbing (mapInPandas decode stub).
+
+Every query registers into ``analytics.QUERIES`` via the shared decorator
+and appends its DuckDB twin to ``oracles.ORACLES``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .analytics import _avg_fixed, _sum_fixed, _t, query
+from .oracles import ORACLES
+
+# ---------------------------------------------------------------------------
+# J1 — membership join: explode member refs → broadcast join → collect back
+# (site ski-area membership, SkiAreaSiteProvider.ts:38-53)
+# ---------------------------------------------------------------------------
+
+@query("j1_membership_rollup")
+def j1_membership_rollup(spark, sf_dir):
+    """Per order: which of its lineitems reference a "site" part (small
+    broadcast dim), collected back as a sorted member list — the J1 shape:
+    explode(sources) → broadcast hash join on id → collect_list back."""
+    li = _t(spark, sf_dir, "lineitem")
+    sites = (_t(spark, sf_dir, "part")
+             .filter(F.col("p_size") >= 48)
+             .select("p_partkey", "p_brand"))
+    return (
+        li.join(F.broadcast(sites), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_members"),
+             F.concat_ws(",", F.array_sort(F.collect_list("l_linenumber")))
+              .alias("member_lines"))
+    )
+
+
+ORACLES["j1_membership_rollup"] = """
+SELECT l_orderkey, count(*) AS n_members,
+       string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber)
+         AS member_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size >= 48
+GROUP BY l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# J6 — inverse membership via array column: explode(ski_areas) → equi-join
+# (PostgreSQLClusteringDatabase.ts:758-768)
+# ---------------------------------------------------------------------------
+
+@query("j6_array_membership")
+def j6_array_membership(spark, sf_dir):
+    """Build each order's member array (distinct suppliers), then resolve
+    members back through explode + equi-join — the reference's JSONB
+    array-contains join re-expressed as explode→join."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    members = (li.groupBy("l_orderkey")
+                 .agg(F.collect_set("l_suppkey").alias("member_ids")))
+    return (
+        members.select("l_orderkey", F.explode("member_ids").alias("member_id"))
+        .join(F.broadcast(supp), F.col("member_id") == F.col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_memberships"),
+             F.countDistinct("l_orderkey").alias("n_orders"))
+    )
+
+
+ORACLES["j6_array_membership"] = """
+WITH m AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT s_nationkey, count(*) AS n_memberships,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM m JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# J9 — cache-first lookup: probe keys left-join cache, misses fall through
+# (Elevation.ts:170-196 cache ∪ remote pattern)
+# ---------------------------------------------------------------------------
+
+@query("j9_cache_lookup")
+def j9_cache_lookup(spark, sf_dir):
+    """Distinct probe keys vs a partial cache table: hit/miss accounting —
+    the cache-first join that replaces the reference's PostgresCache
+    getMany.  The miss set is exactly what a remote fetch stage would
+    receive (left-anti join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cache = (_t(spark, sf_dir, "part")
+             .filter(F.col("p_partkey") % 3 != 0)
+             .select("p_partkey", "p_retailprice"))
+    probes = li.select("l_partkey").distinct()
+    return (
+        probes.join(cache, F.col("l_partkey") == F.col("p_partkey"), "left")
+        .select(F.when(F.col("p_partkey").isNotNull(), F.lit("hit"))
+                 .otherwise(F.lit("miss")).alias("status"),
+                "p_retailprice")
+        .groupBy("status")
+        .agg(F.count("*").alias("n_keys"),
+             _sum_fixed(F.coalesce(F.col("p_retailprice"), F.lit(0.0)))
+              .alias("sum_value"))
+    )
+
+
+ORACLES["j9_cache_lookup"] = """
+WITH probes AS (SELECT DISTINCT l_partkey FROM lineitem),
+     cache AS (SELECT p_partkey, p_retailprice FROM part WHERE p_partkey % 3 != 0)
+SELECT CASE WHEN p_partkey IS NOT NULL THEN 'hit' ELSE 'miss' END AS status,
+       count(*) AS n_keys,
+       round(CAST(sum(CAST(round(coalesce(p_retailprice, 0) * 100, 0) AS BIGINT))
+                  AS BIGINT) / 100.0, 2) AS sum_value
+FROM probes LEFT JOIN cache ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# J7 — multi-hop: entity → exploded member array → keyed lookup → re-agg
+# (run → viirsPixels → snow-cover cache → history, FeatureExporter.ts:52-68)
+# ---------------------------------------------------------------------------
+
+@query("j7_multihop_rollup")
+def j7_multihop_rollup(spark, sf_dir):
+    """Order → member-part array → part lookup → per-order aggregate: the
+    explode/join/groupBy-back multi-hop of the snow-cover export join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    arrs = (li.groupBy("l_orderkey")
+              .agg(F.collect_set("l_partkey").alias("pixel_keys")))
+    per_order = (
+        arrs.select("l_orderkey", F.explode("pixel_keys").alias("pk"))
+        .join(part, F.col("pk") == F.col("p_partkey"))
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_pixels"),
+             _avg_fixed(F.col("p_retailprice"), dec=2).alias("avg_price"))
+    )
+    return (per_order.groupBy("n_pixels")
+            .agg(F.count("*").alias("n_orders"),
+                 _avg_fixed(F.col("avg_price"), scale=100, dec=2)
+                  .alias("avg_avg_price")))
+
+
+ORACLES["j7_multihop_rollup"] = """
+WITH m AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+     per_order AS (
+  SELECT l_orderkey, count(*) AS n_pixels,
+         ((2 * (CAST(sum(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT))
+             + count(*)) // (2 * count(*))) / 100.0 AS avg_price
+  FROM m JOIN part ON l_partkey = p_partkey
+  GROUP BY l_orderkey
+)
+SELECT n_pixels, count(*) AS n_orders,
+       ((2 * (CAST(sum(CAST(round(avg_price * 100, 0) AS BIGINT)) AS BIGINT))
+           + count(*)) // (2 * count(*))) / 100.0 AS avg_avg_price
+FROM per_order GROUP BY n_pixels
+"""
+
+
+# ---------------------------------------------------------------------------
+# W2 — ordered fallback: first non-null across prioritized attempts
+# (zoom-level elevation fallback, Elevation.ts:348-409)
+# ---------------------------------------------------------------------------
+
+@query("w2_fallback_coalesce")
+def w2_fallback_coalesce(spark, sf_dir):
+    """Per customer: spend in the newest window, else an older window, else
+    lifetime — coalesce over per-level aggregates with the winning level
+    recorded (the W2 first-non-null-across-ordered-attempts shape)."""
+    orders = _t(spark, sf_dir, "orders")
+    def level(pred, name):
+        return (orders.filter(pred).groupBy("o_custkey")
+                .agg(_sum_fixed(F.col("o_totalprice")).alias(name)))
+    l1 = level(F.col("o_orderdate") >= "1998-01-01", "v1")
+    l2 = level(F.col("o_orderdate") >= "1996-01-01", "v2")
+    l3 = level(F.lit(True), "v3")
+    return (
+        l3.join(l2, "o_custkey", "left").join(l1, "o_custkey", "left")
+        .select(
+            "o_custkey",
+            F.coalesce("v1", "v2", "v3").alias("spend"),
+            F.when(F.col("v1").isNotNull(), 1)
+             .when(F.col("v2").isNotNull(), 2)
+             .otherwise(3).alias("level"))
+    )
+
+
+ORACLES["w2_fallback_coalesce"] = """
+WITH sums AS (
+  SELECT o_custkey,
+    round(CAST(sum(CASE WHEN o_orderdate >= DATE '1998-01-01'
+        THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) END) AS BIGINT) / 100.0, 2) AS v1,
+    round(CAST(sum(CASE WHEN o_orderdate >= DATE '1996-01-01'
+        THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) END) AS BIGINT) / 100.0, 2) AS v2,
+    round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0, 2) AS v3
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, coalesce(v1, v2, v3) AS spend,
+       CASE WHEN v1 IS NOT NULL THEN 1 WHEN v2 IS NOT NULL THEN 2 ELSE 3 END AS level
+FROM sums
+"""
+
+
+# ---------------------------------------------------------------------------
+# W3 — position-in-range bucketing (station position inference,
+# LiftStationAssociator.ts:186-214: bottom/top 25% thresholds)
+# ---------------------------------------------------------------------------
+
+@query("w3_position_bucket")
+def w3_position_bucket(spark, sf_dir):
+    """Classify each order's price against its customer's [min, max] price
+    range: bottom/top quartile thresholds, like station-vs-lift elevation
+    classification."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    lo, hi = F.min("o_totalprice").over(w), F.max("o_totalprice").over(w)
+    pos = (F.when(F.col("o_totalprice") < lo + (hi - lo) * 0.25, "bottom")
+            .when(F.col("o_totalprice") > hi - (hi - lo) * 0.25, "top")
+            .otherwise("mid"))
+    return (orders.select(pos.alias("position"))
+            .groupBy("position").agg(F.count("*").alias("n_orders")))
+
+
+ORACLES["w3_position_bucket"] = """
+WITH r AS (
+  SELECT o_totalprice,
+         min(o_totalprice) OVER (PARTITION BY o_custkey) AS lo,
+         max(o_totalprice) OVER (PARTITION BY o_custkey) AS hi
+  FROM orders
+)
+SELECT CASE WHEN o_totalprice < lo + (hi - lo) * 0.25 THEN 'bottom'
+            WHEN o_totalprice > hi - (hi - lo) * 0.25 THEN 'top'
+            ELSE 'mid' END AS position,
+       count(*) AS n_orders
+FROM r GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# W4 — posexplode offset assignment (parallel line offsets,
+# MapboxGLFormatter.ts:104-121: offset = idx - (n-1)/2)
+# ---------------------------------------------------------------------------
+
+@query("w4_posexplode_offsets")
+def w4_posexplode_offsets(spark, sf_dir):
+    """Per order: sorted distinct return flags → positional render offsets
+    offset = idx - (n-1)/2, aggregated by (flag, offset)."""
+    li = _t(spark, sf_dir, "lineitem")
+    flags = (li.groupBy("l_orderkey")
+               .agg(F.array_sort(F.collect_set("l_returnflag")).alias("flags")))
+    return (
+        flags.select("l_orderkey", F.posexplode("flags").alias("idx", "flag"),
+                     F.size("flags").alias("n"))
+        .select("flag", (F.col("idx") - (F.col("n") - 1) / 2.0).alias("offset"))
+        .groupBy("flag", "offset")
+        .agg(F.count("*").alias("n_uses"))
+    )
+
+
+ORACLES["w4_posexplode_offsets"] = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem),
+     p AS (
+  SELECT l_returnflag AS flag,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_returnflag) - 1 AS idx,
+         count(*) OVER (PARTITION BY l_orderkey) AS n
+  FROM d
+)
+SELECT flag, idx - (n - 1) / 2.0 AS "offset", count(*) AS n_uses
+FROM p GROUP BY flag, "offset"
+"""
+
+
+# ---------------------------------------------------------------------------
+# A3 — set-union / intersect aggregation (ski-area activity derivation,
+# SkiAreaClusteringService.ts:1302-1317)
+# ---------------------------------------------------------------------------
+
+@query("a3_set_aggregation")
+def a3_set_aggregation(spark, sf_dir):
+    """Per nation: sorted-unique member segments intersected with an allowed
+    set — array_distinct/array_intersect over collected members."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    allowed = F.array(F.lit("BUILDING"), F.lit("MACHINERY"))
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.concat_ws(";", F.array_sort(
+                F.array_intersect(F.collect_set("c_mktsegment"), allowed)))
+              .alias("activities"),
+             F.countDistinct("c_mktsegment").alias("n_segments"))
+    )
+
+
+ORACLES["a3_set_aggregation"] = """
+SELECT n_name,
+       coalesce(string_agg(DISTINCT CASE WHEN c_mktsegment IN ('BUILDING','MACHINERY')
+                           THEN c_mktsegment END, ';' ORDER BY
+                           CASE WHEN c_mktsegment IN ('BUILDING','MACHINERY')
+                           THEN c_mktsegment END), '') AS activities,
+       count(DISTINCT c_mktsegment) AS n_segments
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# A8 — aggregate over map values (lift counts from statistics byType,
+# CSVFormatter.ts:379-408)
+# ---------------------------------------------------------------------------
+
+@query("a8_map_values_aggregate")
+def a8_map_values_aggregate(spark, sf_dir):
+    """Per customer: status→count map (the statistics struct analog), then
+    scalar roll-ups computed *from the map* via aggregate(map_values) and
+    element_at — not by re-scanning the fact table."""
+    orders = _t(spark, sf_dir, "orders")
+    per_status = (orders.groupBy("o_custkey", "o_orderstatus")
+                  .agg(F.count("*").alias("n")))
+    maps = (per_status.groupBy("o_custkey")
+            .agg(F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("o_orderstatus", "n"))))
+                .alias("by_status")))
+    total = F.aggregate(F.map_values("by_status"), F.lit(0).cast("long"),
+                        lambda acc, x: acc + x)
+    return maps.select(
+        "o_custkey", total.alias("n_total"),
+        F.coalesce(F.element_at("by_status", "F"), F.lit(0).cast("long"))
+         .alias("n_finished"))
+
+
+ORACLES["a8_map_values_aggregate"] = """
+SELECT o_custkey, count(*) AS n_total,
+       CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_finished
+FROM orders GROUP BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# A9/O2/O3 — sorted unique roll-ups (place lists, CSVFormatter.ts:338-368)
+# ---------------------------------------------------------------------------
+
+@query("a9_sorted_rollup")
+def a9_sorted_rollup(spark, sf_dir):
+    """Per region: sorted-unique ';'-joined nation names (the CSV place
+    roll-up: array_sort(array_distinct(...)) → concat_ws)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.concat_ws(";", F.array_sort(F.collect_set("n_name")))
+              .alias("nations"),
+             F.count("*").alias("n_nations"))
+    )
+
+
+ORACLES["a9_sorted_rollup"] = """
+SELECT r_name, string_agg(DISTINCT n_name, ';' ORDER BY n_name) AS nations,
+       count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# P9 — stable content-hash feature id (FeatureBuilder.ts:4-21)
+# ---------------------------------------------------------------------------
+
+@query("p9_content_hash_id")
+def p9_content_hash_id(spark, sf_dir):
+    """Deterministic content-hash ids over a canonical serialization:
+    id = sha256('part|' || key || '|' || name) — the engine's replacement
+    for the reference's objectHash, byte-stable across engines."""
+    part = _t(spark, sf_dir, "part")
+    canon = F.concat_ws("|", F.lit("part"), F.col("p_partkey"), F.col("p_name"))
+    return (
+        part.select("p_brand", F.sha2(canon, 256).alias("id"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"),
+             F.countDistinct("id").alias("n_unique_ids"),
+             F.min("id").alias("min_id"))
+    )
+
+
+ORACLES["p9_content_hash_id"] = """
+SELECT p_brand, count(*) AS n_parts,
+       count(DISTINCT id) AS n_unique_ids, min(id) AS min_id
+FROM (SELECT p_brand,
+             sha256('part' || '|' || CAST(p_partkey AS VARCHAR) || '|' || p_name) AS id
+      FROM part)
+GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# P12 — points-along-geometry sampler (GeoTransforms.ts:136-223)
+# ---------------------------------------------------------------------------
+
+@query("p12_points_along")
+def p12_points_along(spark, sf_dir):
+    """Sample 5 evenly spaced points (endpoints included) along a synthetic
+    segment per supplier — sequence→transform→explode, the 1→N sampling
+    UDTF shape that feeds the geocoder."""
+    supp = _t(spark, sf_dir, "supplier")
+    seg = supp.select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 13) % 100).cast("double").alias("x1"),
+        ((F.col("s_suppkey") * 29) % 100).cast("double").alias("y1"),
+        ((F.col("s_suppkey") * 53) % 100).cast("double").alias("x2"),
+        ((F.col("s_suppkey") * 71) % 100).cast("double").alias("y2"))
+    pts = seg.select(
+        "s_suppkey",
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("k"),
+        "x1", "y1", "x2", "y2")
+    return pts.select(
+        "s_suppkey", "k",
+        (F.col("x1") + (F.col("x2") - F.col("x1")) * F.col("k") * 0.25).alias("px"),
+        (F.col("y1") + (F.col("y2") - F.col("y1")) * F.col("k") * 0.25).alias("py"))
+
+
+ORACLES["p12_points_along"] = """
+SELECT s_suppkey, k,
+       x1 + (x2 - x1) * k * 0.25 AS px,
+       y1 + (y2 - y1) * k * 0.25 AS py
+FROM (SELECT s_suppkey,
+             CAST((s_suppkey * 13) % 100 AS DOUBLE) AS x1,
+             CAST((s_suppkey * 29) % 100 AS DOUBLE) AS y1,
+             CAST((s_suppkey * 53) % 100 AS DOUBLE) AS x2,
+             CAST((s_suppkey * 71) % 100 AS DOUBLE) AS y2
+      FROM supplier),
+     (SELECT unnest(generate_series(0, 4)) AS k)
+"""
+
+
+# ---------------------------------------------------------------------------
+# O1 — deterministic ordered export (ORDER BY key before sinks)
+# ---------------------------------------------------------------------------
+
+@query("o1_ordered_export")
+def o1_ordered_export(spark, sf_dir):
+    """Top-100 orders by price with a total order — the deterministic
+    export-ordering contract every reference sink relies on."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(100)
+            .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")))
+
+
+ORACLES["o1_ordered_export"] = """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal — binary column + mapInPandas decode stub (training-data
+# pipeline: image/audio as opaque bytes with typed metadata)
+# ---------------------------------------------------------------------------
+
+@query("multimodal_decode_stats")
+def multimodal_decode_stats(spark, sf_dir):
+    """Opaque-binary multimodal plumbing: documents' text re-encoded as a
+    ``binary`` payload column, "decoded" by an Arrow-batched mapInPandas
+    stub that emits typed metadata (bytes, width, height).  The decode is a
+    deterministic fake (real image libs aren't in this container) but the
+    Spark-side schema, batching, and partitioning are the real pipeline."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents")
+    blobs = docs.select("doc_id", "source",
+                        F.encode("text", "UTF-8").alias("payload"))
+
+    schema = ("doc_id long, source string, n_bytes long, "
+              "width int, height int")
+
+    def decode_stub(batches):
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                "n_bytes": n,
+                # Deterministic fake decode: real impl would parse headers.
+                "width": (n % 64 + 1).astype("int32"),
+                "height": (n // 64 % 64 + 1).astype("int32"),
+            })
+
+    decoded = blobs.mapInPandas(decode_stub, schema)
+    return (decoded.groupBy("source")
+            .agg(F.count("*").alias("n_assets"),
+                 F.sum("n_bytes").alias("total_bytes"),
+                 F.sum("width").alias("sum_width"),
+                 F.sum("height").alias("sum_height")))
+
+
+ORACLES["multimodal_decode_stats"] = """
+SELECT source, count(*) AS n_assets,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(sum(octet_length(encode(text)) % 64 + 1) AS BIGINT) AS sum_width,
+       CAST(sum(octet_length(encode(text)) // 64 % 64 + 1) AS BIGINT) AS sum_height
+FROM documents GROUP BY source
+"""
