@@ -55,24 +55,42 @@ def osm_ref(tags: Column) -> Column:
                         ("piste:loc_ref", "piste:ref", "loc_ref", "ref")])
 
 
-def osm_name(tags: Column, *prefixes: str) -> Column:
-    """Collect ``name`` plus localized ``name:*`` values for the given key
-    prefixes (sorted by key), dedupe preserving priority, join with ", "
-    (OSMTransforms.ts:37-65).  ``prefixes`` defaults to ("name",)."""
-    prefixes = prefixes or ("name",)
-    parts: list[Column] = []
-    for p in prefixes:
-        exact = tag(tags, p)
-        localized = F.map_filter(tags, lambda k, _: k.startswith(p + ":"))
-        loc_vals = F.transform(
-            F.array_sort(F.map_keys(localized)), lambda k: F.element_at(tags, k)
-        )
-        parts.append(F.concat(
-            F.when(exact.isNotNull(), F.array(exact)).otherwise(F.array().cast("array<string>")),
-            loc_vals,
-        ))
-    allv = F.array_distinct(F.filter(F.concat(*parts), lambda v: v.isNotNull() & (v != "")))
-    return F.when(F.size(allv) > 0, F.concat_ws(", ", allv))
+def _name_values(tags: Column, root: str) -> Column:
+    """Values of ``root`` and ``root:*`` keys, in sorted-key order
+    (``root`` itself sorts before any ``root:x``)."""
+    keys = F.array_sort(F.filter(
+        F.map_keys(tags),
+        lambda k: (k == root) | k.startswith(root + ":")))
+    return F.transform(keys, lambda k: F.element_at(tags, k))
+
+
+def osm_name(tags: Column, root: str, fallback_root: str | None = None,
+             ref: Column | None = None) -> Column:
+    """Reference ``getOSMName`` (OSMTransforms.ts:37-66,111-131): collect
+    ``root``/``root:*`` values sorted by key (falling back to
+    ``fallback_root`` ONLY when the primary yields no keys), dedupe
+    preserving order, join with ", ", then strip a leading "{ref} - "-style
+    prefix when ``ref`` is given."""
+    primary = _name_values(tags, root)
+    vals = primary
+    if fallback_root is not None:
+        vals = F.when(F.size(primary) > 0, primary).otherwise(
+            _name_values(tags, fallback_root))
+    joined = F.concat_ws(", ", F.array_distinct(vals))
+    name = F.when(joined != "", joined)
+    if ref is not None:
+        # "11 - Peak", "11-Peak", "11- Peak", "11 -Peak", "11 Peak" → "Peak"
+        pattern = F.concat(F.lit("^"), regexp_quote(ref),
+                           F.lit(r"(\s*-?\s+|-\s*)"))
+        name = F.when(
+            ref.isNotNull() & name.isNotNull(),
+            F.regexp_replace(name, pattern, "")).otherwise(name)
+    return name
+
+
+def regexp_quote(col: Column) -> Column:
+    """Escape regex metacharacters in a column value."""
+    return F.regexp_replace(col, r"([\\.\[\]\{\}\(\)\*\+\?\^\$\|])", r"\\$1")
 
 
 def status_and_value(tags: Column, key: str) -> tuple[Column, Column]:
