@@ -1,0 +1,80 @@
+"""Iterative DataFrame graph operators: connected components via label
+propagation.
+
+The engine needs connected components twice (SURVEY.md §2.9/§2.10): run
+chain-merging (segments sharing endpoints) and ski-area transitive spatial
+closure (objects within 500 m).  Both graphs have small-diameter components
+(a run chain, one resort), so plain min-label propagation converges in a
+handful of rounds.
+
+Scale design:
+- vertices are hashed to ``xxhash64`` longs so every shuffle moves 8-byte
+  keys instead of strings; the string labels are recovered with two joins
+  at the end (component = min vertex id, a deterministic canonical label);
+- each iteration is one shuffle (edge join + min aggregation);
+- convergence is detected with a single scalar action per iteration: the
+  label sum strictly decreases iff any label changed (labels only move
+  down), so no join-and-compare pass is needed;
+- ``localCheckpoint`` every few iterations truncates lineage so plans stay
+  bounded; AQE handles skewed hub vertices.
+
+This is the simple variant of the large-star/small-star algorithm —
+appropriate because component diameters here are tiny (≤ ~20 hops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         max_iterations: int = 50,
+                         checkpoint_interval: int = 3) -> DataFrame:
+    """Connected components of an undirected graph.
+
+    ``edges``: DataFrame with ``src``/``dst`` columns (isolated vertices may
+    be passed as self-loops).  Returns ``(vertex, component)`` where
+    ``component`` is the minimum vertex id in the component.
+
+    Replaces the reference's recursive per-seed ``visitObject`` walk
+    (SkiAreaClusteringService.ts:705-779) with whole-frontier iteration:
+    every vertex propagates in parallel each round.
+    """
+    e = edges.select(F.col(src).cast("string").alias("sa"),
+                     F.col(dst).cast("string").alias("sb"))
+    ids = e.select(F.xxhash64("sa").alias("a"), F.xxhash64("sb").alias("b"))
+    vocab = (e.select(F.xxhash64("sa").alias("vid"), F.col("sa").alias("vertex"))
+             .unionByName(e.select(F.xxhash64("sb").alias("vid"),
+                                   F.col("sb").alias("vertex")))
+             .distinct())
+
+    sym = (ids.unionByName(ids.select(F.col("b").alias("a"),
+                                      F.col("a").alias("b")))
+           .distinct()
+           .localCheckpoint(eager=True))
+    labels = (sym.select(F.col("a").alias("v")).distinct()
+              .withColumn("c", F.col("v"))
+              .localCheckpoint(eager=True))
+
+    prev_sum = None
+    for i in range(max_iterations):
+        nbr = (sym.join(labels, sym["b"] == labels["v"])
+               .groupBy("a").agg(F.min("c").alias("nc")))
+        new_labels = (
+            labels.join(nbr, labels["v"] == nbr["a"], "left")
+            .select(labels["v"], F.least(labels["c"], F.col("nc")).alias("c")))
+        if (i + 1) % checkpoint_interval == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        cur_sum = new_labels.agg(
+            F.sum(F.col("c").cast("decimal(38,0)"))).first()[0]
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    # Recover string labels; canonical component = min vertex string.
+    resolved = (labels.join(vocab, labels["v"] == vocab["vid"])
+                .select(F.col("vertex"), F.col("c")))
+    canon = (resolved.groupBy("c").agg(F.min("vertex").alias("component")))
+    return resolved.join(canon, "c").select("vertex", "component")

@@ -513,3 +513,50 @@ SELECT source, count(*) AS n_assets,
        CAST(sum(octet_length(encode(text)) // 64 % 64 + 1) AS BIGINT) AS sum_height
 FROM documents GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# §2.9/§2.10 — connected components (the clustering/chain-merge primitive),
+# oracle-checked against a recursive-CTE transitive closure
+# ---------------------------------------------------------------------------
+
+@query("cc_components")
+def cc_components(spark, sf_dir):
+    """Connected components over a deterministic supplier graph (edges:
+    same nation, key distance ≤ 3) using the engine's label-propagation
+    operator — the distributed replacement for the reference's recursive
+    visitObject expansion.  Vertex ids are zero-padded so the canonical
+    min-label agrees with the SQL oracle's numeric ordering."""
+    from ..operators.graph import connected_components
+
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.lpad(F.col("s_suppkey").cast("string"), 5, "0").alias("sk"),
+        "s_suppkey", "s_nationkey")
+    a = supp.toDF("ska", "ka", "na")
+    b = supp.toDF("skb", "kb", "nb")
+    edges = (a.join(b, (F.col("na") == F.col("nb"))
+                    & (F.abs(F.col("ka") - F.col("kb")) <= 3))
+             .select(F.col("ska").alias("src"), F.col("skb").alias("dst")))
+    comps = connected_components(edges)
+    return (comps.groupBy("component")
+            .agg(F.count("*").alias("n_nodes"),
+                 F.max("vertex").alias("max_vertex")))
+
+
+ORACLES["cc_components"] = """
+WITH RECURSIVE e AS (
+  SELECT lpad(CAST(a.s_suppkey AS VARCHAR), 5, '0') AS sa,
+         lpad(CAST(b.s_suppkey AS VARCHAR), 5, '0') AS sb
+  FROM supplier a JOIN supplier b
+    ON a.s_nationkey = b.s_nationkey
+   AND abs(a.s_suppkey - b.s_suppkey) <= 3
+), reach(va, vb) AS (
+  SELECT sa, sb FROM e
+  UNION
+  SELECT r.va, e.sb FROM reach r JOIN e ON r.vb = e.sa
+), comp AS (
+  SELECT va AS vertex, min(vb) AS component FROM reach GROUP BY va
+)
+SELECT component, count(*) AS n_nodes, max(vertex) AS max_vertex
+FROM comp GROUP BY component
+"""

@@ -17,5 +17,6 @@ SF_T2 = os.environ.get("SPARK_GRAFT_SF_T2", "/root/testdata/sf0.01")
 def spark():
     s = get_spark("openskidata-tests", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"),
                   shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()

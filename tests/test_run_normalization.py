@@ -1,0 +1,186 @@
+"""Run-topology normalization tests — PySpark ports of the semantic cases in
+the reference's MergeOverlappingRuns / CombineRunSegments / PointGraph /
+RunJoining unit suites.
+
+All scenarios live at disjoint coordinates in ONE input DataFrame and are
+normalized together in a single pipeline invocation (module fixture) — the
+per-scenario assertions then select their slice by name.  This mirrors how
+the operator actually runs (everything in one topology) and keeps the suite
+fast."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from openskidata_processor_spark.pipeline import formatters as fmt
+from openskidata_processor_spark.pipeline.run_normalization import normalize_runs
+from test_formatters import raw
+
+
+def line(*pts):
+    return json.dumps({"type": "LineString",
+                       "coordinates": [list(p) for p in pts]})
+
+
+def pts(lon):
+    return (lon, 47.1), (lon, 47.2), (lon, 47.3)
+
+
+POLY = json.dumps({"type": "Polygon", "coordinates": [
+    [[30.0, 47.0], [30.1, 47.0], [30.1, 47.1], [30.0, 47.0]]]})
+
+# Scenario layout: each scenario at its own longitude band.
+S = {name: pts(float(lon)) for lon, name in enumerate(
+    ["overlap", "difficulty", "opposing", "lit", "loop", "separate",
+     "dh_chain", "head_head", "degen", "junction", "partial"], start=1)}
+
+
+def scenario_rows():
+    o1, o2, _ = S["overlap"]
+    d1, d2, _ = S["difficulty"]
+    x1, x2, _ = S["opposing"]
+    l1, l2, _ = S["lit"]
+    p1, p2, p3 = S["loop"]
+    q1, q2, q3 = S["separate"]
+    c1, c2, c3 = S["dh_chain"]
+    h1, h2, h3 = S["head_head"]
+    g1, g2, g3 = S["degen"]
+    y1, y2, y3 = S["junction"]
+    t1, t2, t3 = S["partial"]
+    y4 = (y2[0] + 0.5, y2[1])
+    return [
+        # overlap: identical geometry, names join; sources union
+        ({"piste:type": "downhill", "name": "A"}, line(o1, o2)),
+        ({"piste:type": "downhill", "name": "B"}, line(o1, o2)),
+        # difficulty: easiest wins on the shared arc
+        ({"piste:type": "downhill", "name": "S2",
+          "piste:difficulty": "advanced"}, line(d1, d2)),
+        ({"piste:type": "downhill", "name": "S2",
+          "piste:difficulty": "easy"}, line(d1, d2)),
+        # opposing oneway → bidirectional (MergeOverlappingRuns.ts:128-157)
+        ({"piste:type": "downhill", "name": "S3",
+          "piste:oneway": "yes"}, line(x1, x2)),
+        ({"piste:type": "downhill", "name": "S3",
+          "piste:oneway": "yes"}, line(x2, x1)),
+        # tristate: lit true wins
+        ({"piste:type": "nordic", "name": "S4", "piste:lit": "yes"},
+         line(l1, l2)),
+        ({"piste:type": "nordic", "name": "S4"}, line(l1, l2)),
+        # loop: consecutive equal-property segments combine
+        ({"piste:type": "nordic", "name": "Loop"}, line(p1, p2)),
+        ({"piste:type": "nordic", "name": "Loop"}, line(p2, p3)),
+        # separate: differing names must NOT chain
+        ({"piste:type": "nordic", "name": "C"}, line(q1, q2)),
+        ({"piste:type": "nordic", "name": "D"}, line(q2, q3)),
+        # dh_chain: oneway head-to-tail chain combines in travel order
+        ({"piste:type": "downhill", "name": "DH"}, line(c1, c2)),
+        ({"piste:type": "downhill", "name": "DH"}, line(c2, c3)),
+        # head_head: oneway runs both ENDING at the middle stay separate
+        ({"piste:type": "downhill", "name": "HH"}, line(h1, h2)),
+        ({"piste:type": "downhill", "name": "HH"}, line(h3, h2)),
+        # degen: zero-length line dropped (CombineRunSegments.ts:14-16)
+        ({"piste:type": "nordic", "name": "Degen"}, line(g1, g1)),
+        ({"piste:type": "nordic", "name": "Degen"}, line(g2, g3)),
+        # junction: Y-split → ambiguous continuation, nothing merges
+        ({"piste:type": "nordic", "name": "Y"}, line(y1, y2)),
+        ({"piste:type": "nordic", "name": "Y"}, line(y2, y3)),
+        ({"piste:type": "nordic", "name": "Y"}, line(y2, y4)),
+        # partial: re-traced half dedupes, chain re-combines
+        ({"piste:type": "nordic", "name": "T"}, line(t1, t2, t3)),
+        ({"piste:type": "nordic", "name": "T"}, line(t2, t3)),
+        # polygon passes through untouched
+        ({"piste:type": "downhill", "name": "Poly"}, POLY),
+    ]
+
+
+@pytest.fixture(scope="module")
+def normalized(spark):
+    runs = fmt.format_runs(raw(spark, scenario_rows()))
+    before = {r.id for r in runs.select("id").collect()}
+    rows = normalize_runs(runs).collect()
+    return rows, before
+
+
+def by_name(rows, name):
+    return [r for r in rows if r.name == name]
+
+
+class TestMergeOverlappingRuns:
+    def test_identical_overlapping_runs_merge(self, normalized):
+        rows, _ = normalized
+        out = by_name(rows, "A, B")
+        assert len(out) == 1
+        assert len(out[0].sources) == 2
+
+    def test_easiest_difficulty_wins(self, normalized):
+        rows, _ = normalized
+        out = by_name(rows, "S2")
+        assert len(out) == 1
+        assert out[0].difficulty == "easy"
+
+    def test_opposing_oneway_becomes_bidirectional(self, normalized):
+        rows, _ = normalized
+        out = by_name(rows, "S3")
+        assert len(out) == 1
+        assert out[0].oneway is False
+
+    def test_tristate_true_wins(self, normalized):
+        rows, _ = normalized
+        out = by_name(rows, "S4")
+        assert len(out) == 1
+        assert out[0].lit is True
+
+
+class TestCombineRunSegments:
+    def test_consecutive_equal_segments_combine(self, normalized):
+        rows, _ = normalized
+        out = by_name(rows, "Loop")
+        assert len(out) == 1
+        assert len(json.loads(out[0].geometry)["coordinates"]) == 3
+
+    def test_different_properties_stay_separate(self, normalized):
+        rows, _ = normalized
+        assert len(by_name(rows, "C")) == 1
+        assert len(by_name(rows, "D")) == 1
+
+    def test_oneway_chain_respects_direction(self, normalized):
+        rows, _ = normalized
+        out = by_name(rows, "DH")
+        assert len(out) == 1
+        coords = json.loads(out[0].geometry)["coordinates"]
+        c1, _, c3 = S["dh_chain"]
+        assert [round(v, 4) for v in coords[0][:2]] == list(c1)
+        assert [round(v, 4) for v in coords[-1][:2]] == list(c3)
+        assert out[0].oneway is True
+
+    def test_opposing_oneway_segments_do_not_chain(self, normalized):
+        rows, _ = normalized
+        assert len(by_name(rows, "HH")) == 2
+
+    def test_degenerate_segments_dropped(self, normalized):
+        rows, _ = normalized
+        assert len(by_name(rows, "Degen")) == 1
+
+    def test_three_way_junction_blocks_chaining(self, normalized):
+        rows, _ = normalized
+        assert len(by_name(rows, "Y")) == 3
+
+    def test_partial_overlap_same_properties(self, normalized):
+        rows, _ = normalized
+        out = by_name(rows, "T")
+        assert len(out) == 1
+        assert len(json.loads(out[0].geometry)["coordinates"]) == 3
+
+    def test_ids_rehashed_after_normalization(self, normalized):
+        rows, before = normalized
+        merged = by_name(rows, "Loop")[0]
+        assert merged.id not in before
+        assert len(merged.id) == 32
+
+    def test_polygon_runs_pass_through(self, normalized):
+        rows, _ = normalized
+        out = by_name(rows, "Poly")
+        assert len(out) == 1
+        assert json.loads(out[0].geometry)["type"] == "Polygon"
