@@ -365,3 +365,85 @@ def geometry_valid_udf(geojson: pd.Series) -> pd.Series:
         except (ValueError, KeyError, TypeError):
             return False
     return geojson.map(ok)
+
+
+def covered_by(geom: dict[str, Any], polygon: dict[str, Any]) -> bool:
+    """Approximate ST_CoveredBy(geom, polygon): every position of ``geom``
+    lies inside the (Multi)Polygon.  Vertex containment is the standard
+    post-filter after a grid-cell candidate join (edge-crossing-only
+    overlaps are not claimed — matches how piste geometries relate to
+    ski-area polygons in practice)."""
+    pts = list(iter_positions(geom))
+    if not pts:
+        return False
+    return all(point_in_geom(p[0], p[1], polygon) for p in pts)
+
+
+def geometry_collection(geoms: list[dict[str, Any]]) -> dict[str, Any]:
+    """Member-geometry union as a GeometryCollection (the engine's stand-in
+    for ST_Union as a derived ski-area geometry: distance/centroid
+    computations iterate positions, so dissolving is unnecessary)."""
+    return {"type": "GeometryCollection", "geometries": geoms}
+
+
+def representative_point(geoms: list[dict[str, Any]]) -> list[float]:
+    """A5 ski-area representative point (SkiAreaClusteringService.ts:
+    1273-1300): centroid of the member collection; when the centroid is
+    > 0.1 km from every member vertex, move it onto the line toward the
+    nearest vertex, stopping 0.1 km short of it."""
+    coll = geometry_collection(geoms)
+    c = centroid(coll)
+    pts = list(iter_positions(coll))
+    if not pts:
+        return c
+    nearest = min(pts, key=lambda p: haversine_point_km(c, p))
+    d = haversine_point_km(c, nearest)
+    if d <= 0.1:
+        return c
+    f = 1 - 0.1 / d  # fraction of the way from centroid toward the vertex
+    return [c[0] + (nearest[0] - c[0]) * f, c[1] + (nearest[1] - c[1]) * f]
+
+
+from pyspark.sql.types import StructField, StructType  # noqa: E402
+
+_ELEV_STATS_TYPE = StructType([
+    StructField("elevation_change", DoubleType()),
+    StructField("min_elevation", DoubleType()),
+    StructField("max_elevation", DoubleType()),
+])
+
+
+@F.pandas_udf(_ELEV_STATS_TYPE)
+def elevation_stats_udf(geojson: pd.Series) -> pd.DataFrame:
+    """Per-feature elevation stats from 3D LineStrings
+    (SkiAreaStatistics.ts:94-108); nulls when the geometry has no
+    elevation data."""
+    import numpy as np
+
+    rows = []
+    for s in geojson:
+        g = json.loads(s)
+        if g.get("type") != "LineString" or not g["coordinates"] \
+                or len(g["coordinates"][0]) < 3:
+            rows.append((None, None, None))
+            continue
+        zs = [c[2] for c in g["coordinates"]]
+        rows.append((zs[-1] - zs[0], min(zs), max(zs)))
+    return pd.DataFrame(rows, columns=["elevation_change", "min_elevation",
+                                       "max_elevation"])
+
+
+@F.pandas_udf(StringType())
+def geometry_collection_udf(geoms: pd.Series) -> pd.Series:
+    """array<geojson string> → canonical GeometryCollection string."""
+    return geoms.map(lambda arr: json.dumps(
+        geometry_collection([json.loads(g) for g in arr]),
+        separators=(",", ":"), sort_keys=True))
+
+
+@F.pandas_udf(StringType())
+def representative_point_udf(geoms: pd.Series) -> pd.Series:
+    """array<geojson string> → Point at the A5 representative position."""
+    return geoms.map(lambda arr: json.dumps(
+        {"coordinates": representative_point([json.loads(g) for g in arr]),
+         "type": "Point"}, separators=(",", ":"), sort_keys=True))

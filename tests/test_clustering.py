@@ -1,0 +1,172 @@
+"""Clustering behavior tests — the core scenarios of the reference's
+ClusterSkiAreas.integration.test.ts, run as ONE clustering invocation over
+scenarios placed at disjoint longitudes (how the operator actually runs)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from openskidata_processor_spark.pipeline import formatters as fmt
+from openskidata_processor_spark.pipeline.clustering import cluster_ski_areas
+from test_formatters import raw
+
+
+def line(lon, lat0, lat1, lon2=None):
+    return json.dumps({"type": "LineString", "coordinates": [
+        [lon, lat0], [lon if lon2 is None else lon2, lat1]]})
+
+
+def polygon(lon0, lat0, lon1, lat1):
+    return json.dumps({"type": "Polygon", "coordinates": [[
+        [lon0, lat0], [lon1, lat0], [lon1, lat1], [lon0, lat1], [lon0, lat0]]]})
+
+
+def point(lon, lat):
+    return json.dumps({"type": "Point", "coordinates": [lon, lat]})
+
+
+# 0.001° lat ≈ 111 m.  Scenario bands at distinct integer longitudes.
+RUN_ROWS = [
+    # G1 (lon 10): downhill run + t-bar 100 m away → generated downhill area
+    ({"piste:type": "downhill", "name": "G1 run"}, line(10.0, 47.0, 47.002)),
+    # G2 (lon 12): lone downhill run, no lift → nothing generated
+    ({"piste:type": "downhill", "name": "G2 run"}, line(12.0, 47.0, 47.002)),
+    # G3 (lon 14): lone nordic run → generated nordic area (no lift needed)
+    ({"piste:type": "nordic", "name": "G3 run"}, line(14.0, 47.0, 47.002)),
+    # P1 (lon 16): run inside an OSM landuse polygon
+    ({"piste:type": "downhill", "piste:difficulty": "easy",
+      "name": "P1 run"}, line(16.005, 47.005, 47.007)),
+    # M1 (lon 20): run inside an OSM polygon; skimap point nearby
+    ({"piste:type": "downhill", "name": "M1 run"}, line(20.005, 47.005, 47.007)),
+    # T1 (lon 22): run inside polygon + run 200 m outside → transitive claim
+    ({"piste:type": "downhill", "name": "T1 in"}, line(22.009, 47.005, 47.009)),
+    ({"piste:type": "downhill", "name": "T1 out"}, line(22.009, 47.011, 47.013)),
+]
+
+LIFT_ROWS = [
+    ({"aerialway": "t-bar", "name": "G1 lift"}, line(10.001, 47.0, 47.002)),
+    ({"aerialway": "t-bar", "name": "P1 lift"}, line(16.006, 47.005, 47.007)),
+    # S1 (lon 24): two lifts; station is 10 m from the first
+    ({"aerialway": "chair_lift", "name": "S1 near"}, line(24.0, 47.0, 47.002)),
+    ({"aerialway": "chair_lift", "name": "S1 far"}, line(24.003, 47.0, 47.002)),
+]
+
+SPOT_ROWS = [
+    ({"aerialway": "station", "name": "S1 station"},
+     point(24.0001, 47.001)),
+]
+
+SKI_AREA_ROWS = [
+    ({"landuse": "winter_sports", "name": "P1 resort"},
+     polygon(16.0, 47.0, 16.01, 47.01)),
+    ({"landuse": "winter_sports", "name": "Empty resort"},
+     polygon(18.0, 47.0, 18.01, 47.01)),
+    ({"landuse": "winter_sports", "name": "M1 resort"},
+     polygon(20.0, 47.0, 20.01, 47.01)),
+    ({"landuse": "winter_sports", "name": "T1 resort"},
+     polygon(22.0, 47.0, 22.01, 47.01)),
+]
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    runs = fmt.format_runs(raw(spark, RUN_ROWS))
+    lifts = fmt.format_lifts(raw(spark, LIFT_ROWS))
+    spots = fmt.format_spots(raw(spark, SPOT_ROWS))
+    skimap = spark.createDataFrame(
+        [("sm1", "M1 skimap", "operating", ["downhill"], 1, None,
+          point(20.005, 47.006))],
+        "id string, name string, status string, activities array<string>,"
+        " scalerank int, official_website string, geometry string")
+    osm_areas = fmt.format_ski_areas_osm(raw(spark, SKI_AREA_ROWS))
+    ski_areas = osm_areas.unionByName(fmt.format_ski_areas_skimap(skimap))
+    out = cluster_ski_areas(ski_areas, runs, lifts, spots)
+    return {k: v.collect() for k, v in out.items()}
+
+
+def sa_by_name(rows, name):
+    return [r for r in rows if r.name == name]
+
+
+def layer_by_name(rows, name):
+    return next(r for r in rows if r.name == name)
+
+
+class TestGeneration:
+    def test_run_with_lift_generates_downhill_area(self, clustered):
+        runs = clustered["runs"]
+        r = layer_by_name(runs, "G1 run")
+        assert len(r.ski_areas) == 1
+        gen = [s for s in clustered["ski_areas"]
+               if s.id == r.ski_areas[0]][0]
+        assert gen.activities == ["downhill"]
+        assert gen.status == "operating"
+        assert gen.name is None
+        lift = layer_by_name(clustered["lifts"], "G1 lift")
+        assert lift.ski_areas == r.ski_areas
+
+    def test_lone_downhill_run_generates_nothing(self, clustered):
+        r = layer_by_name(clustered["runs"], "G2 run")
+        assert r.ski_areas == []
+
+    def test_lone_nordic_run_generates_nordic_area(self, clustered):
+        r = layer_by_name(clustered["runs"], "G3 run")
+        assert len(r.ski_areas) == 1
+        gen = [s for s in clustered["ski_areas"] if s.id == r.ski_areas[0]][0]
+        assert gen.activities == ["nordic"]
+
+    def test_generated_ids_deterministic(self, clustered):
+        gen_ids = [s.id for s in clustered["ski_areas"]
+                   if s.id.startswith("gen_")]
+        assert len(gen_ids) == len(set(gen_ids)) >= 2
+
+
+class TestPolygonAssignment:
+    def test_contained_objects_assigned(self, clustered):
+        sa = sa_by_name(clustered["ski_areas"], "P1 resort")[0]
+        run = layer_by_name(clustered["runs"], "P1 run")
+        lift = layer_by_name(clustered["lifts"], "P1 lift")
+        assert sa.id in run.ski_areas
+        assert sa.id in lift.ski_areas
+        assert sa.activities == ["downhill"]
+
+    def test_empty_polygon_removed(self, clustered):
+        assert sa_by_name(clustered["ski_areas"], "Empty resort") == []
+
+    def test_statistics_computed(self, clustered):
+        sa = sa_by_name(clustered["ski_areas"], "P1 resort")[0]
+        stats = sa.statistics
+        by_act = stats["runs"]["by_activity"]
+        assert "downhill" in by_act
+        easy = by_act["downhill"]["easy"]
+        assert easy["count"] == 1
+        assert easy["length_in_km"] > 0.1
+        assert stats["lifts"]["by_type"]["t-bar"]["count"] == 1
+
+
+class TestTransitiveExpansion:
+    def test_nearby_run_claimed_transitively(self, clustered):
+        sa = sa_by_name(clustered["ski_areas"], "T1 resort")[0]
+        inside = layer_by_name(clustered["runs"], "T1 in")
+        outside = layer_by_name(clustered["runs"], "T1 out")
+        assert sa.id in inside.ski_areas
+        assert sa.id in outside.ski_areas
+
+
+class TestSkimapMerge:
+    def test_skimap_merged_into_osm_area(self, clustered):
+        assert sa_by_name(clustered["ski_areas"], "M1 skimap") == []
+        sa = sa_by_name(clustered["ski_areas"], "M1 resort")[0]
+        assert {s["type"] for s in sa.sources} == {"openstreetmap",
+                                                   "skimap.org"}
+
+
+class TestStationAssociation:
+    def test_station_associates_to_nearest_lift(self, clustered):
+        near = layer_by_name(clustered["lifts"], "S1 near")
+        station = [o for o in clustered["objects"]
+                   if o.spot_type == "lift_station"][0]
+        assert station.associated_lift_id == near.id
