@@ -447,3 +447,53 @@ def representative_point_udf(geoms: pd.Series) -> pd.Series:
     return geoms.map(lambda arr: json.dumps(
         {"coordinates": representative_point([json.loads(g) for g in arr]),
          "type": "Point"}, separators=(",", ":"), sort_keys=True))
+
+
+_ELEV_METRICS_TYPE = StructType([
+    StructField("inclined_length_m", DoubleType()),
+    StructField("ascent_m", DoubleType()),
+    StructField("descent_m", DoubleType()),
+    StructField("average_pitch", DoubleType()),
+    StructField("max_pitch", DoubleType()),
+    StructField("min_elevation_m", DoubleType()),
+    StructField("max_elevation_m", DoubleType()),
+])
+
+
+@F.pandas_udf(_ELEV_METRICS_TYPE)
+def elevation_metrics_udf(geojson: pd.Series) -> pd.DataFrame:
+    """Elevation-derived CSV metrics over 3D LineStrings (the published
+    openskidata-format getRunElevationData/getLiftElevationData measures
+    used by CSVFormatter.ts:172-293): inclined (slope) length, total
+    ascent/descent, average/max pitch (rise over horizontal run), min/max
+    elevation.  2D geometries yield nulls."""
+    rows = []
+    for s in geojson:
+        g = json.loads(s)
+        if g.get("type") != "LineString" or not g["coordinates"] \
+                or len(g["coordinates"][0]) < 3:
+            rows.append((None,) * 7)
+            continue
+        cs = g["coordinates"]
+        inclined = ascent = descent = 0.0
+        max_pitch = 0.0
+        horiz_total = 0.0
+        for a, b in zip(cs, cs[1:]):
+            horiz = haversine_point_km(a, b) * 1000.0
+            dz = b[2] - a[2]
+            inclined += math.sqrt(horiz * horiz + dz * dz)
+            horiz_total += horiz
+            if dz > 0:
+                ascent += dz
+            else:
+                descent += -dz
+            if horiz > 0:
+                max_pitch = max(max_pitch, abs(dz) / horiz)
+        zs = [c[2] for c in cs]
+        net = abs(zs[-1] - zs[0])
+        avg_pitch = net / horiz_total if horiz_total > 0 else None
+        rows.append((inclined, ascent, descent, avg_pitch, max_pitch,
+                     min(zs), max(zs)))
+    return pd.DataFrame(rows, columns=[
+        "inclined_length_m", "ascent_m", "descent_m", "average_pitch",
+        "max_pitch", "min_elevation_m", "max_elevation_m"])

@@ -1,0 +1,357 @@
+"""Enrichment joins (SURVEY.md M4): elevation, geocoding, snow cover.
+
+Each external-service lookup in the reference becomes a cache-table join:
+
+- **Elevation** (J9/W2, src/transforms/Elevation.ts): every coordinate →
+  geohash-10 key → left join against the elevation cache; zoom-level
+  fallback is a coalesce across per-source joins (W2); enriched geometry
+  gets a third coordinate rounded to 0.1 m (Elevation.ts:497-499).
+  Terrain-tile math (Web-Mercator tile/pixel, Terrain-RGB decode) is pure
+  column arithmetic — no UDF.
+- **Geocoding** (J10/P12, src/transforms/Geocoder.ts): geometries sample
+  points every 1 km (P12), points → geohash-6 keys → cache join → Place
+  structs deduped by (country, region, locality) and sorted (O2).
+- **Snow cover** (J7/A6, src/utils/snowCoverHistory.ts): features →
+  exploded VIIRS pixel keys (sinusoidal projection column math) → cache
+  join → weekly [snow, cloud_persistence] arrays → dated samples
+  (week start minus cloud persistence, :22-43) → same-day dedupe by min
+  cloud (:111-118) → per (feature, year, day) mean snow + % valid pixels
+  (:230-249) → sorted per-year day arrays.
+
+All cache tables are plain keyed DataFrames (Parquet/Delta at rest); a TTL
+policy is `filter(timestamp > now - ttl)` before the join
+(PostgresCache.ts:120-124).  Remote fetching for cache misses is
+out-of-engine (the reference's Python subprocess); the miss set IS the
+left-anti join these functions expose.
+
+At 100 TB: every join here is an equi-join on a short hash key after a
+dropDuplicates on the key (the reference's DataLoader dedupe,
+Elevation.ts:65-78) — broadcast when the cache is small, shuffle-hash
+otherwise; nothing is iterative.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from ..functions import geometry as geo
+
+# -- geohash ----------------------------------------------------------------
+
+_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lon: float, lat: float, precision: int) -> str:
+    """Standard geohash (public algorithm): interleaved lon/lat bisection,
+    base32 alphabet."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    out = []
+    bit = 0
+    ch = 0
+    even = True
+    while len(out) < precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lon_lo = mid
+            else:
+                ch <<= 1
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                lat_lo = mid
+            else:
+                ch <<= 1
+                lat_hi = mid
+        even = not even
+        bit += 1
+        if bit == 5:
+            out.append(_BASE32[ch])
+            bit = 0
+            ch = 0
+    return "".join(out)
+
+
+def geohash_udf(precision: int):
+    @F.pandas_udf(StringType())
+    def _udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series([geohash_encode(a, b, precision)
+                          for a, b in zip(lon, lat)])
+    return _udf
+
+
+# -- Web-Mercator terrain tiles (pure column math) --------------------------
+
+def mercator_tile(lon: Column, lat: Column, zoom: int,
+                  tile_px: int = 256) -> dict[str, Column]:
+    """lon/lat → tile x/y + in-tile pixel at ``zoom``
+    (TileCoordinates.ts:30-126) — floor/log/tan exist in Spark SQL, so the
+    whole mapping stays in whole-stage codegen."""
+    n = float(2 ** zoom)
+    xf = (lon + 180.0) / 360.0 * n
+    lat_rad = F.radians(lat)
+    yf = (1.0 - F.log(F.tan(lat_rad) + 1.0 / F.cos(lat_rad)) / math.pi) / 2.0 * n
+    return {
+        "tile_x": F.floor(xf).cast("int"),
+        "tile_y": F.floor(yf).cast("int"),
+        "pixel_x": F.floor((xf - F.floor(xf)) * tile_px).cast("int"),
+        "pixel_y": F.floor((yf - F.floor(yf)) * tile_px).cast("int"),
+    }
+
+
+def decode_terrain_rgb(r: Column, g: Column, b: Column) -> Column:
+    """Mapbox Terrain-RGB: -10000 + (r·65536 + g·256 + b)·0.1
+    (ElevationDecoder.ts:7-61)."""
+    return F.lit(-10000.0) + (r * 65536 + g * 256 + b) * F.lit(0.1)
+
+
+def decode_terrarium(r: Column, g: Column, b: Column) -> Column:
+    """Terrarium encoding: r·256 + g + b/256 − 32768."""
+    return r * 256 + g + b / F.lit(256.0) - F.lit(32768.0)
+
+
+# -- elevation join (J9/W2) -------------------------------------------------
+
+def add_elevation(features: DataFrame, *caches: DataFrame,
+                  geohash_precision: int = 10,
+                  id_col: str = "id",
+                  geometry_col: str = "geometry") -> DataFrame:
+    """3D-enrich feature geometries from elevation cache table(s).
+
+    ``caches``: one or more DataFrames (key string, elevation double) in
+    fallback priority order — the W2 first-non-null across ordered sources
+    (Elevation.ts:348-409) is a coalesce across the per-cache joins.
+    Coordinates missing from every cache keep 2D (null elevation skipped).
+    """
+    coords = features.select(
+        F.col(id_col).alias("__fid"),
+        F.posexplode(F.from_json(
+            F.get_json_object(geometry_col, "$.coordinates"),
+            "array<array<double>>")).alias("__pos", "__pt"))
+    # Polygon-style nesting yields nulls above; those features pass through.
+    pts = coords.filter(F.col("__pt").isNotNull()).select(
+        "__fid", "__pos",
+        F.col("__pt")[0].alias("__lon"), F.col("__pt")[1].alias("__lat"))
+    keyed = pts.withColumn(
+        "__key", geohash_udf(geohash_precision)(F.col("__lon"), F.col("__lat")))
+
+    looked = keyed
+    fallbacks = []
+    for i, cache in enumerate(caches):
+        c = cache.toDF("__key", f"__elev_{i}") \
+                 .dropDuplicates(["__key"])
+        looked = looked.join(c, "__key", "left")
+        fallbacks.append(F.col(f"__elev_{i}"))
+    elev = F.round(F.coalesce(*fallbacks), 1) if fallbacks else F.lit(None)
+    looked = looked.withColumn("__elev", elev)
+
+    rebuilt = (looked.groupBy("__fid")
+               .agg(F.sort_array(F.collect_list(F.struct(
+                   F.col("__pos"), F.col("__lon"), F.col("__lat"),
+                   F.col("__elev")))).alias("__pts")))
+
+    @F.pandas_udf(StringType())
+    def rebuild(pts_col: pd.Series) -> pd.Series:
+        out = []
+        for arr in pts_col:
+            coords_list = []
+            for p in arr:
+                lon, lat, el = p["__lon"], p["__lat"], p["__elev"]
+                coords_list.append(
+                    [lon, lat] if el is None or pd.isna(el)
+                    else [lon, lat, float(el)])
+            out.append(json.dumps(
+                {"coordinates": coords_list, "type": "LineString"},
+                separators=(",", ":"), sort_keys=True))
+        return pd.Series(out)
+
+    is_line = F.get_json_object(geometry_col, "$.type") == "LineString"
+    return (features.join(rebuilt, features[id_col] == rebuilt["__fid"], "left")
+            .withColumn(geometry_col,
+                        F.when(is_line & F.col("__pts").isNotNull(),
+                               rebuild(F.col("__pts")))
+                         .otherwise(F.col(geometry_col)))
+            .drop("__fid", "__pts"))
+
+
+def elevation_cache_misses(features: DataFrame, cache: DataFrame,
+                           geohash_precision: int = 10,
+                           geometry_col: str = "geometry") -> DataFrame:
+    """The keys a remote fetch stage must resolve: distinct coordinate
+    geohashes left-anti-joined against the cache (the incremental-batch
+    pattern of SURVEY.md §2.11)."""
+    pts = features.select(F.explode(F.from_json(
+        F.get_json_object(geometry_col, "$.coordinates"),
+        "array<array<double>>")).alias("__pt")) \
+        .filter(F.col("__pt").isNotNull())
+    keys = pts.select(geohash_udf(geohash_precision)(
+        F.col("__pt")[0], F.col("__pt")[1]).alias("key")).distinct()
+    return keys.join(cache.select(F.col(cache.columns[0]).alias("key")),
+                     "key", "left_anti")
+
+
+# -- geocoding join (J10/P12) ----------------------------------------------
+
+def add_places(features: DataFrame, geocode_cache: DataFrame,
+               sample_interval_km: float = 1.0,
+               geohash_precision: int = 6,
+               id_col: str = "id",
+               geometry_col: str = "geometry") -> DataFrame:
+    """Attach ``places`` from a geocode cache.
+
+    ``geocode_cache``: (key geohash-6, place struct<iso3166_1, iso3166_2,
+    country, region, locality>).  Sampling walks each geometry at 1 km
+    steps always keeping endpoints (GeoTransforms.ts:136-223)."""
+    @F.pandas_udf(ArrayType(StringType()))
+    def sample(gj: pd.Series) -> pd.Series:
+        return gj.map(lambda s: [
+            geohash_encode(p[0], p[1], geohash_precision)
+            for p in geo.points_along_geometry(json.loads(s),
+                                               sample_interval_km)])
+
+    keys = (features.select(F.col(id_col).alias("__fid"),
+                            F.explode(sample(F.col(geometry_col)))
+                            .alias("key"))
+            .dropDuplicates(["__fid", "key"]))
+    cache = geocode_cache.toDF("key", "place").dropDuplicates(["key"])
+    placed = (keys.join(cache, "key")
+              .groupBy("__fid")
+              # uniquePlaces key = (country, region, locality)
+              # (PlaceUtils.ts:51-69); sort = locality, region, country (O2)
+              .agg(F.array_sort(F.array_distinct(F.collect_list("place")))
+                   .alias("__places")))
+    return (features.join(placed, features[id_col] == placed["__fid"], "left")
+            .withColumn("places", F.coalesce(
+                F.col("__places"),
+                F.array().cast(placed.schema["__places"].dataType)))
+            .drop("__fid", "__places"))
+
+
+# -- VIIRS pixels + snow cover (J7/A6) --------------------------------------
+
+TILE_SIZE_M = 1111950.519667
+PIXELS_PER_TILE = 3000
+SPHERE_RADIUS_M = 6371007.181
+GLOBAL_HALF_WIDTH = 20015109.354
+GLOBAL_HALF_HEIGHT = 10007554.677
+PIXEL_SIZE_M = TILE_SIZE_M / PIXELS_PER_TILE
+
+
+def viirs_pixel(lon: Column, lat: Column) -> Column:
+    """[hTile, vTile, col, row] for a point — sinusoidal projection
+    (x = R·λ·cos(φ), y = R·φ) + standard grid floor math
+    (VIIRSPixelExtractor.ts:30-110), all as Catalyst expressions."""
+    x = F.lit(SPHERE_RADIUS_M) * F.radians(lon) * F.cos(F.radians(lat))
+    y = F.lit(SPHERE_RADIUS_M) * F.radians(lat)
+    h = F.greatest(F.lit(0), F.least(F.lit(35), F.floor(
+        (x + GLOBAL_HALF_WIDTH) / TILE_SIZE_M))).cast("int")
+    v = F.greatest(F.lit(0), F.least(F.lit(17), F.floor(
+        (GLOBAL_HALF_HEIGHT - y) / TILE_SIZE_M))).cast("int")
+    tile_left = h.cast("double") * TILE_SIZE_M - GLOBAL_HALF_WIDTH
+    tile_top = GLOBAL_HALF_HEIGHT - v.cast("double") * TILE_SIZE_M
+    col = F.greatest(F.lit(0), F.least(F.lit(PIXELS_PER_TILE - 1), F.floor(
+        (x - tile_left) / PIXEL_SIZE_M))).cast("int")
+    row = F.greatest(F.lit(0), F.least(F.lit(PIXELS_PER_TILE - 1), F.floor(
+        (tile_top - y) / PIXEL_SIZE_M))).cast("int")
+    return F.array(h, v, col, row)
+
+
+def geometry_viirs_pixels(geometry_col: Column) -> Column:
+    """Distinct pixels covering a geometry's positions (the vertex subset
+    of the reference's rasterization — the centroid fallback guarantees a
+    non-empty set, VIIRSPixelExtractor.ts:258-338)."""
+    @F.pandas_udf(ArrayType(ArrayType(StringType())))
+    def _pixels(gj: pd.Series) -> pd.Series:
+        def compute(s):
+            g = json.loads(s)
+            out = set()
+            for p in geo.iter_positions(g):
+                lon_r, lat_r = math.radians(p[0]), math.radians(p[1])
+                x = SPHERE_RADIUS_M * lon_r * math.cos(lat_r)
+                y = SPHERE_RADIUS_M * lat_r
+                h = max(0, min(35, math.floor((x + GLOBAL_HALF_WIDTH)
+                                              / TILE_SIZE_M)))
+                v = max(0, min(17, math.floor((GLOBAL_HALF_HEIGHT - y)
+                                              / TILE_SIZE_M)))
+                tile_left = h * TILE_SIZE_M - GLOBAL_HALF_WIDTH
+                tile_top = GLOBAL_HALF_HEIGHT - v * TILE_SIZE_M
+                c = max(0, min(PIXELS_PER_TILE - 1,
+                               math.floor((x - tile_left) / PIXEL_SIZE_M)))
+                r = max(0, min(PIXELS_PER_TILE - 1,
+                               math.floor((tile_top - y) / PIXEL_SIZE_M)))
+                out.add((h, v, c, r))
+            return [[str(a) for a in t] for t in sorted(out)]
+        return gj.map(compute)
+    return _pixels(geometry_col)
+
+
+def snow_cover_history(features: DataFrame, snow_cache: DataFrame,
+                       id_col: str = "id",
+                       geometry_col: str = "geometry") -> DataFrame:
+    """(feature id, snow_cover_history) — the A6 aggregation.
+
+    ``snow_cache``: long table (pixel_key string "h:v:col:row", year int,
+    week int 1-based, snow int, cloud int).  Steps follow
+    snowCoverHistory.ts: date = start_of_week(year, week) − cloud days;
+    invalid snow (>100) dropped; same pixel+day dedupe keeps min cloud;
+    across pixels: round-half-up mean + % valid pixels; sorted output.
+    """
+    pix = features.select(
+        F.col(id_col).alias("__fid"),
+        F.explode(geometry_viirs_pixels(F.col(geometry_col))).alias("__p"))
+    pix = pix.select(
+        "__fid", F.concat_ws(":", F.col("__p")).alias("pixel_key"))
+    n_pixels = pix.groupBy("__fid").agg(
+        F.countDistinct("pixel_key").alias("__n_pixels"))
+
+    samples = (
+        pix.join(snow_cache, "pixel_key")
+        .filter((F.col("snow") >= 0) & (F.col("snow") <= 100)
+                & (F.col("cloud") >= 0) & (F.col("cloud") <= 365)
+                & (F.col("week") >= 1) & (F.col("week") <= 53))
+        .withColumn("__date", F.date_sub(
+            F.date_add(F.make_date("year", F.lit(1), F.lit(1)),
+                       (F.col("week") - 1) * 7), F.col("cloud")))
+        .withColumn("actual_year", F.year("__date"))
+        .withColumn("day", F.dayofyear("__date"))
+    )
+    # per pixel+day: keep min-cloud sample (:111-118)
+    per_pixel_day = (
+        samples.groupBy("__fid", "pixel_key", "actual_year", "day")
+        .agg(F.min(F.struct("cloud", "snow")).alias("__best"))
+        .select("__fid", "pixel_key", "actual_year", "day",
+                F.col("__best.snow").alias("snow")))
+    per_day = (
+        per_pixel_day.groupBy("__fid", "actual_year", "day")
+        .agg(F.count("*").alias("__n_valid"),
+             F.sum("snow").alias("__snow_sum"))
+        .join(n_pixels, "__fid")
+        .select(
+            "__fid", "actual_year", "day",
+            # round-half-up integer means, mirroring Math.round
+            ((F.col("__snow_sum") * 2 + F.col("__n_valid"))
+             .cast("long") / (F.col("__n_valid") * 2)).cast("int")
+            .alias("avg_snow"),
+            ((F.col("__n_valid") * 200 + F.col("__n_pixels"))
+             .cast("long") / (F.col("__n_pixels") * 2)).cast("int")
+            .alias("valid_pct")))
+    per_year = (
+        per_day.groupBy("__fid", "actual_year")
+        .agg(F.sort_array(F.collect_list(F.struct(
+            "day", "avg_snow", "valid_pct"))).alias("days")))
+    return (per_year.groupBy("__fid")
+            .agg(F.sort_array(F.collect_list(F.struct(
+                F.col("actual_year").alias("year"), F.col("days"))))
+                .alias("snow_cover_history"))
+            .withColumnRenamed("__fid", id_col))

@@ -1,0 +1,254 @@
+"""K2 — CSV sink with the reference's four fixed schemas
+(src/transforms/CSVFormatter.ts:125-140 headers, :172-293 derived columns).
+
+All derived columns are Catalyst expressions except the elevation metrics
+(3D-geometry pandas UDF); place roll-ups are
+``array_sort(array_distinct(transform(places, ...)))`` joined with ';'
+(P13/A9, CSVFormatter.ts:338-355); escaping is Spark's CSV writer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.geometry import centroid_udf, elevation_metrics_udf
+
+# Exact reference headers (CSVFormatter.ts:125-140).
+RUN_HEADERS = ("name,ref,countries,regions,localities,ski_area_names,"
+               "difficulty,color,oneway,lit,gladed,patrolled,grooming,uses,"
+               "inclined_length_m,descent_m,ascent_m,average_pitch_%,"
+               "max_pitch_%,min_elevation_m,max_elevation_m,"
+               "difficulty_convention,wikidata_id,websites,openskimap,id,"
+               "geometry,lat,lng,ski_area_ids,sources,description").split(",")
+LIFT_HEADERS = ("name,ref,ref_fr_cairn,lift_type,status,access,countries,"
+                "regions,localities,ski_area_names,oneway,duration_sec,"
+                "capacity,occupancy,detachable,bubble,heating,"
+                "inclined_length_m,vertical_m,speed_m_per_s,"
+                "vertical_speed_m_per_s,min_elevation_m,max_elevation_m,"
+                "overall_pitch_%,wikidata_id,websites,openskimap,id,geometry,"
+                "lat,lng,ski_area_ids,sources,description").split(",")
+SKI_AREA_HEADERS = ("name,countries,regions,localities,status,has_downhill,"
+                    "has_nordic,downhill_distance_km,nordic_distance_km,"
+                    "vertical_m,min_elevation_m,max_elevation_m,lift_count,"
+                    "surface_lifts_count,run_convention,wikidata_id,websites,"
+                    "openskimap,id,geometry,lat,lng,sources").split(",")
+SPOT_HEADERS = ("id,spot_type,longitude,latitude,sources,ski_areas,countries,"
+                "regions,localities,dismount,name,position,entry,"
+                "exit").split(",")
+
+# Run color by (convention, difficulty) — the published openskidata-format
+# color conventions (green/blue/red/black/orange, grey when unknown).
+_COLOR = {
+    "europe": {"novice": "green", "easy": "blue", "intermediate": "red",
+               "advanced": "black", "expert": "black",
+               "freeride": "orange", "extreme": "orange"},
+    "north_america": {"novice": "green", "easy": "green",
+                      "intermediate": "blue", "advanced": "black",
+                      "expert": "black", "freeride": "orange",
+                      "extreme": "orange"},
+    "japan": {"novice": "green", "easy": "green", "intermediate": "red",
+              "advanced": "black", "expert": "black",
+              "freeride": "orange", "extreme": "orange"},
+}
+
+SURFACE_LIFT_TYPES = ("t-bar", "j-bar", "platter", "rope_tow", "drag_lift",
+                      "magic_carpet")
+
+
+def run_color(convention: Column, difficulty: Column) -> Column:
+    expr = F.lit("grey")
+    for conv, table in _COLOR.items():
+        for diff, color in table.items():
+            expr = F.when((convention == conv) & (difficulty == diff),
+                          F.lit(color)).otherwise(expr)
+    return expr
+
+
+def _place_rollup(places: Column, field: str) -> Column:
+    vals = F.filter(F.transform(places, lambda p: p[field]),
+                    lambda v: v.isNotNull())
+    return F.concat_ws(";", F.array_sort(F.array_distinct(vals)))
+
+
+def _common(df: DataFrame):
+    center = F.from_json(
+        F.get_json_object(centroid_udf("geometry"), "$.coordinates"),
+        "array<double>")
+    has_places = "places" in df.columns
+    places = F.col("places") if has_places else F.array().cast(
+        "array<struct<country:string,region:string,locality:string>>")
+    return {
+        "countries": _place_rollup(places, "country"),
+        "regions": _place_rollup(places, "region"),
+        "localities": _place_rollup(places, "locality"),
+        "openskimap": F.concat(F.lit("https://openskimap.org/?obj="),
+                               F.col("id")),
+        "geometry": F.get_json_object("geometry", "$.type"),
+        "lat": F.format_number(center[1], 6),
+        "lng": F.format_number(center[0], 6),
+        "websites": F.concat_ws(";", F.array_sort("websites"))
+            if "websites" in df.columns else F.lit(""),
+        "sources": F.concat_ws(";", F.array_sort(F.transform(
+            "sources", lambda s: F.concat_ws(":", s["type"], s["id"])))),
+    }
+
+
+def run_csv(runs: DataFrame) -> DataFrame:
+    """Run layer → the 31-column reference CSV schema."""
+    c = _common(runs)
+    m = elevation_metrics_udf("geometry")
+    df = runs.withColumn("__m", m)
+    pct = lambda col: F.round(col * 100, 1)  # noqa: E731
+    return df.select(
+        F.col("name"), F.col("ref"),
+        c["countries"].alias("countries"), c["regions"].alias("regions"),
+        c["localities"].alias("localities"),
+        F.lit("").alias("ski_area_names"),
+        F.col("difficulty"),
+        run_color(F.col("difficulty_convention"), F.col("difficulty"))
+            .alias("color"),
+        F.col("oneway"), F.col("lit"), F.col("gladed"), F.col("patrolled"),
+        F.col("grooming"),
+        F.concat_ws(";", "uses").alias("uses"),
+        F.round("__m.inclined_length_m", 1).alias("inclined_length_m"),
+        F.round("__m.descent_m", 1).alias("descent_m"),
+        F.round("__m.ascent_m", 1).alias("ascent_m"),
+        pct(F.col("__m.average_pitch")).alias("average_pitch_%"),
+        pct(F.col("__m.max_pitch")).alias("max_pitch_%"),
+        F.round("__m.min_elevation_m", 1).alias("min_elevation_m"),
+        F.round("__m.max_elevation_m", 1).alias("max_elevation_m"),
+        F.col("difficulty_convention"), F.col("wikidata_id"),
+        c["websites"].alias("websites"), c["openskimap"].alias("openskimap"),
+        F.col("id"), c["geometry"].alias("geometry"),
+        c["lat"].alias("lat"), c["lng"].alias("lng"),
+        F.concat_ws(";", F.array_sort("ski_areas")).alias("ski_area_ids"),
+        c["sources"].alias("sources"), F.col("description"),
+    )
+
+
+def lift_csv(lifts: DataFrame) -> DataFrame:
+    c = _common(lifts)
+    df = lifts.withColumn("__m", elevation_metrics_udf("geometry"))
+    vertical = F.col("__m.max_elevation_m") - F.col("__m.min_elevation_m")
+    speed = F.when(F.col("duration") > 0,
+                   F.round(F.col("__m.inclined_length_m") / F.col("duration"), 2))
+    vspeed = F.when(F.col("duration") > 0, F.round(vertical / F.col("duration"), 2))
+    pitch = F.when(F.col("__m.inclined_length_m") > 0,
+                   F.round(vertical / F.col("__m.inclined_length_m") * 100, 1))
+    return df.select(
+        F.col("name"), F.col("ref"),
+        F.col("ref_fr_cairn"), F.col("lift_type"), F.col("status"),
+        F.col("access"),
+        c["countries"].alias("countries"), c["regions"].alias("regions"),
+        c["localities"].alias("localities"),
+        F.lit("").alias("ski_area_names"),
+        F.col("oneway"), F.col("duration").alias("duration_sec"),
+        F.col("capacity"), F.col("occupancy"), F.col("detachable"),
+        F.col("bubble"), F.col("heating"),
+        F.round("__m.inclined_length_m", 1).alias("inclined_length_m"),
+        F.round(vertical, 1).alias("vertical_m"),
+        speed.alias("speed_m_per_s"),
+        vspeed.alias("vertical_speed_m_per_s"),
+        F.round("__m.min_elevation_m", 1).alias("min_elevation_m"),
+        F.round("__m.max_elevation_m", 1).alias("max_elevation_m"),
+        pitch.alias("overall_pitch_%"),
+        F.col("wikidata_id"), c["websites"].alias("websites"),
+        c["openskimap"].alias("openskimap"), F.col("id"),
+        c["geometry"].alias("geometry"),
+        c["lat"].alias("lat"), c["lng"].alias("lng"),
+        F.concat_ws(";", F.array_sort("ski_areas")).alias("ski_area_ids"),
+        c["sources"].alias("sources"), F.col("description"),
+    )
+
+
+def ski_area_csv(ski_areas: DataFrame) -> DataFrame:
+    """Ski-area CSV: activity flags + distances/lift counts from the A2
+    statistics struct (A8 — aggregate over the map values, no re-scan of
+    the fact layers; CSVFormatter.ts:379-408)."""
+    c = _common(ski_areas)
+    stats = F.col("statistics")
+
+    def act_distance(act: str) -> Column:
+        by_diff = F.element_at(stats["runs"]["by_activity"], act)
+        total = F.aggregate(
+            F.map_values(F.coalesce(
+                by_diff, F.map_from_arrays(
+                    F.array().cast("array<string>"),
+                    F.array().cast(
+                        "array<struct<count:bigint,length_in_km:double,"
+                        "snowmaking_length_in_km:double,"
+                        "snowfarming_length_in_km:double,"
+                        "combined_elevation_change:double,"
+                        "min_elevation:double,max_elevation:double>>")))),
+            F.lit(0.0), lambda acc, x: acc + x["length_in_km"])
+        return F.round(total, 2)
+
+    lift_counts = F.map_values(F.coalesce(
+        stats["lifts"]["by_type"],
+        F.map_from_arrays(
+            F.array().cast("array<string>"),
+            F.array().cast("array<struct<count:bigint,length_in_km:double,"
+                           "combined_elevation_change:double,"
+                           "min_elevation:double,max_elevation:double>>"))))
+    lift_entries = F.map_entries(F.coalesce(
+        stats["lifts"]["by_type"],
+        F.map_from_arrays(
+            F.array().cast("array<string>"),
+            F.array().cast("array<struct<count:bigint,length_in_km:double,"
+                           "combined_elevation_change:double,"
+                           "min_elevation:double,max_elevation:double>>"))))
+    n_lifts = F.aggregate(lift_counts, F.lit(0).cast("long"),
+                          lambda acc, x: acc + x["count"])
+    n_surface = F.aggregate(
+        lift_entries, F.lit(0).cast("long"),
+        lambda acc, e: acc + F.when(
+            e["key"].isin(*SURFACE_LIFT_TYPES), e["value"]["count"])
+            .otherwise(F.lit(0).cast("long")))
+    vertical = stats["max_elevation"] - stats["min_elevation"]
+
+    return ski_areas.select(
+        F.col("name"),
+        c["countries"].alias("countries"), c["regions"].alias("regions"),
+        c["localities"].alias("localities"),
+        F.col("status"),
+        F.array_contains("activities", "downhill").alias("has_downhill"),
+        F.array_contains("activities", "nordic").alias("has_nordic"),
+        act_distance("downhill").alias("downhill_distance_km"),
+        act_distance("nordic").alias("nordic_distance_km"),
+        F.round(vertical, 1).alias("vertical_m"),
+        F.round(stats["min_elevation"], 1).alias("min_elevation_m"),
+        F.round(stats["max_elevation"], 1).alias("max_elevation_m"),
+        n_lifts.alias("lift_count"),
+        n_surface.alias("surface_lifts_count"),
+        F.col("run_convention"), F.col("wikidata_id"),
+        c["websites"].alias("websites"), c["openskimap"].alias("openskimap"),
+        F.col("id"), c["geometry"].alias("geometry"),
+        c["lat"].alias("lat"), c["lng"].alias("lng"),
+        c["sources"].alias("sources"),
+    )
+
+
+def spot_csv(spots: DataFrame) -> DataFrame:
+    c = _common(spots)
+    center = F.from_json(
+        F.get_json_object("geometry", "$.coordinates"), "array<double>")
+    return spots.select(
+        F.col("id"), F.col("spot_type"),
+        F.format_number(center[0], 6).alias("longitude"),
+        F.format_number(center[1], 6).alias("latitude"),
+        c["sources"].alias("sources"),
+        F.concat_ws(";", F.array_sort("ski_areas")).alias("ski_areas"),
+        c["countries"].alias("countries"), c["regions"].alias("regions"),
+        c["localities"].alias("localities"),
+        F.col("dismount"), F.col("name"), F.col("position"),
+        F.col("entry"), F.col("exit"),
+    )
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """Spark CSV writer (RFC escaping built in, O1 id-order when single)."""
+    out = df
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").option("header", True).csv(path)

@@ -1,0 +1,106 @@
+"""Enrichment tests: elevation cache join, geohash, terrain math,
+geocoding places, VIIRS pixels, snow-cover history aggregation."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from openskidata_processor_spark.pipeline import enrichment as en
+
+
+def test_geohash_known_value():
+    # canonical example from the public geohash spec
+    assert en.geohash_encode(-5.6, 42.6, 5) == "ezs42"
+    assert en.geohash_encode(13.361389, 38.115556, 7) == "sqc8b49"
+
+
+def test_mercator_tile_and_decode(spark):
+    df = spark.range(1).select(F.lit(11.39).alias("lon"),
+                               F.lit(47.27).alias("lat"))
+    t = en.mercator_tile(F.col("lon"), F.col("lat"), 14)
+    row = df.select(t["tile_x"].alias("x"), t["tile_y"].alias("y")).first()
+    # zoom-14 tile containing Innsbruck: x=8710, y=5744 (public slippy math)
+    assert (row.x, row.y) == (8710, 5744)
+    d = spark.range(1).select(
+        en.decode_terrain_rgb(F.lit(1), F.lit(134), F.lit(160)).alias("e"),
+        en.decode_terrarium(F.lit(130), F.lit(70), F.lit(0)).alias("t")).first()
+    assert abs(d.e - (-10000 + (65536 + 134 * 256 + 160) * 0.1)) < 1e-6
+    assert abs(d.t - (130 * 256 + 70 - 32768)) < 1e-6
+
+
+def test_add_elevation_with_fallback(spark):
+    line = json.dumps({"type": "LineString",
+                       "coordinates": [[11.1, 47.1], [11.2, 47.2]]})
+    feats = spark.createDataFrame([("f1", line)], "id string, geometry string")
+    k1 = en.geohash_encode(11.1, 47.1, 10)
+    k2 = en.geohash_encode(11.2, 47.2, 10)
+    primary = spark.createDataFrame([(k1, 1000.04)], "key string, elev double")
+    fallback = spark.createDataFrame([(k1, 555.0), (k2, 2000.06)],
+                                     "key string, elev double")
+    out = en.add_elevation(feats, primary, fallback).collect()[0]
+    coords = json.loads(out.geometry)["coordinates"]
+    assert coords[0] == [11.1, 47.1, 1000.0]  # primary wins, rounded 0.1
+    assert coords[1] == [11.2, 47.2, 2000.1]  # W2 fallback fills the miss
+
+
+def test_elevation_cache_misses(spark):
+    line = json.dumps({"type": "LineString",
+                       "coordinates": [[11.1, 47.1], [11.2, 47.2]]})
+    feats = spark.createDataFrame([("f1", line)], "id string, geometry string")
+    k1 = en.geohash_encode(11.1, 47.1, 10)
+    cache = spark.createDataFrame([(k1, 1.0)], "key string, elev double")
+    misses = [r.key for r in en.elevation_cache_misses(feats, cache).collect()]
+    assert misses == [en.geohash_encode(11.2, 47.2, 10)]
+
+
+def test_add_places(spark):
+    line = json.dumps({"type": "LineString",
+                       "coordinates": [[11.1, 47.1], [11.2, 47.2]]})
+    feats = spark.createDataFrame([("f1", line)], "id string, geometry string")
+    key = en.geohash_encode(11.1, 47.1, 6)
+    cache = spark.createDataFrame(
+        [(key, ("AT", "AT-7", "Austria", "Tyrol", "Innsbruck"))],
+        "key string, place struct<iso3166_1:string, iso3166_2:string,"
+        " country:string, region:string, locality:string>")
+    out = en.add_places(feats, cache).collect()[0]
+    assert out.places[0]["country"] == "Austria"
+
+
+def test_viirs_pixel_alps(spark):
+    df = spark.range(1).select(
+        en.viirs_pixel(F.lit(11.0), F.lit(47.0)).alias("p"))
+    h, v, c, r = df.first().p
+    # Alps: MODIS/VIIRS tile h18 v04 (public sinusoidal grid)
+    assert (h, v) == (18, 4)
+    assert 0 <= c < 3000 and 0 <= r < 3000
+
+
+def test_snow_cover_history(spark):
+    pt = json.dumps({"type": "Point", "coordinates": [11.0, 47.0]})
+    feats = spark.createDataFrame([("f1", pt)], "id string, geometry string")
+    # pixel key must match the engine's own pixel math
+    p = spark.range(1).select(
+        en.viirs_pixel(F.lit(11.0), F.lit(47.0)).alias("p")).first().p
+    key = ":".join(str(v) for v in p)
+    cache = spark.createDataFrame(
+        [
+            (key, 2023, 1, 80, 0),     # week 1, no cloud → Jan 1 (day 1)
+            (key, 2023, 1, 60, 0),     # duplicate same day, same cloud
+            (key, 2023, 2, 50, 1),     # week 2 − 1 day cloud → day 7
+            (key, 2023, 2, 90, 3),     # week 2 − 3 days → day 5
+            (key, 2023, 1, 301, 0),    # invalid snow code → dropped
+            (key, 2022, 53, 40, 10),   # cloud pushes into 2022 (day 355)
+        ],
+        "pixel_key string, year int, week int, snow int, cloud int")
+    out = en.snow_cover_history(feats, cache).collect()[0]
+    hist = {y["year"]: [(d["day"], d["avg_snow"], d["valid_pct"])
+                        for d in y["days"]]
+            for y in out.snow_cover_history}
+    assert set(hist.keys()) == {2022, 2023}
+    days_2023 = dict((d, (s, v)) for d, s, v in hist[2023])
+    assert set(days_2023) == {1, 5, 7}
+    assert days_2023[5] == (90, 100)
+    assert days_2023[7] == (50, 100)

@@ -1,0 +1,125 @@
+"""Sink tests: GeoJSON FeatureCollection, CSV schemas, GeoPackage-lite."""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+
+import pytest
+
+from openskidata_processor_spark.pipeline import formatters as fmt
+from openskidata_processor_spark.sinks import csv as csvsink
+from openskidata_processor_spark.sinks import geojson, geopackage
+from test_formatters import raw
+
+LINE3D = json.dumps({"type": "LineString",
+                     "coordinates": [[11.1, 47.1, 2000.0],
+                                     [11.2, 47.2, 1700.0]]})
+
+
+@pytest.fixture(scope="module")
+def runs(spark):
+    return fmt.format_runs(raw(spark, [
+        ({"piste:type": "downhill", "piste:difficulty": "easy",
+          "name": "Blue, with \"quotes\""}, LINE3D),
+        ({"piste:type": "nordic"}, LINE3D),
+    ]))
+
+
+class TestGeoJSON:
+    def test_feature_collection_roundtrip(self, spark, runs, tmp_path):
+        path = str(tmp_path / "runs.geojson")
+        geojson.write_feature_collection(runs, path)
+        fc = json.load(open(path))
+        assert fc["type"] == "FeatureCollection"
+        assert len(fc["features"]) == 2
+        f = fc["features"][0]
+        assert f["type"] == "Feature"
+        assert f["geometry"]["type"] == "LineString"
+        assert "uses" in f["properties"]
+        # id-ordered output (O1)
+        ids = [x["properties"]["id"] for x in fc["features"]]
+        assert ids == sorted(ids)
+
+    def test_jsonl_shards(self, spark, runs, tmp_path):
+        path = str(tmp_path / "runs_jsonl")
+        geojson.write_feature_jsonl(runs, path)
+        df = spark.read.text(path)
+        assert df.count() == 2
+        assert json.loads(df.first().value)["type"] == "Feature"
+
+
+class TestCSV:
+    def test_run_csv_schema_and_metrics(self, runs):
+        out = csvsink.run_csv(runs)
+        assert out.columns == csvsink.RUN_HEADERS
+        rows = {r.difficulty: r for r in out.collect()}
+        easy = rows["easy"]
+        assert easy.color == "blue"  # europe/easy
+        assert easy.descent_m == 300.0
+        assert easy.ascent_m == 0.0
+        assert easy.inclined_length_m > 13000  # ~13.7 km slope length
+        assert easy.min_elevation_m == 1700.0
+        assert easy.openskimap.startswith("https://openskimap.org/?obj=")
+
+    def test_lift_csv_schema(self, spark):
+        lifts = fmt.format_lifts(raw(spark, [
+            ({"aerialway": "chair_lift", "aerialway:duration": "5"},
+             LINE3D)]))
+        out = csvsink.lift_csv(lifts)
+        assert out.columns == csvsink.LIFT_HEADERS
+        r = out.collect()[0]
+        assert r.duration_sec == 300
+        assert r.vertical_m == 300.0
+        assert r.speed_m_per_s > 40  # 13.7 km in 300 s
+
+    def test_spot_csv_schema(self, spark):
+        spots = fmt.format_spots(raw(spark, [
+            ({"piste:dismount": "yes"}, LINE3D)]))
+        out = csvsink.spot_csv(spots)
+        assert out.columns == csvsink.SPOT_HEADERS
+        assert out.collect()[0].dismount == "yes"
+
+    def test_csv_escaping_via_spark_writer(self, spark, runs, tmp_path):
+        path = str(tmp_path / "runs_csv")
+        csvsink.write_csv(csvsink.run_csv(runs), path, single_file=True)
+        df = spark.read.option("header", True).csv(path)
+        names = {r.name for r in df.select("name").collect()}
+        assert 'Blue, with "quotes"' in names
+
+
+class TestGeoPackage:
+    def test_write_and_read_back(self, spark, runs, tmp_path):
+        path = str(tmp_path / "out.gpkg")
+        geopackage.write_geopackage({"runs": runs}, path)
+        con = sqlite3.connect(path)
+        tables = {r[0] for r in con.execute(
+            "SELECT table_name FROM gpkg_contents")}
+        assert tables == {"runs"}
+        n, = con.execute("SELECT count(*) FROM runs").fetchone()
+        assert n == 2
+        blob, = con.execute("SELECT geom FROM runs LIMIT 1").fetchone()
+        assert blob[:2] == b"GP"          # gpkg magic
+        assert blob[8] == 1               # little-endian wkb
+        assert int.from_bytes(blob[9:13], "little") == 2  # LineString
+
+    def test_ski_area_centroid_export(self, spark, tmp_path):
+        poly = json.dumps({"type": "Polygon", "coordinates": [
+            [[11.0, 47.0], [11.1, 47.0], [11.1, 47.1], [11.0, 47.0]]]})
+        areas = fmt.format_ski_areas_osm(raw(spark, [
+            ({"landuse": "winter_sports", "name": "R"}, poly)]))
+        path = str(tmp_path / "sa.gpkg")
+        geopackage.write_geopackage({"ski_areas": areas}, path)
+        con = sqlite3.connect(path)
+        blob, = con.execute("SELECT geom FROM ski_areas").fetchone()
+        assert int.from_bytes(blob[9:13], "little") == 1  # Point
+
+    def test_merge_ignores_duplicates(self, spark, runs, tmp_path):
+        p1, p2 = str(tmp_path / "a.gpkg"), str(tmp_path / "b.gpkg")
+        geopackage.write_geopackage({"runs": runs}, p1)
+        geopackage.write_geopackage({"runs": runs}, p2)
+        out = str(tmp_path / "merged.gpkg")
+        geopackage.merge_geopackages([p1, p2], out)
+        con = sqlite3.connect(out)
+        n, = con.execute("SELECT count(*) FROM runs").fetchone()
+        assert n == 4  # INSERT OR IGNORE keeps by rowid; no constraint dupes
