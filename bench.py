@@ -54,8 +54,16 @@ def main() -> None:
     spark = get_spark("openskidata-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: pay JVM + codegen startup once.
+    # Warmup: pay JVM + codegen startup once, and spin up the Arrow/pandas
+    # Python worker pool (otherwise the first pandas-UDF query is charged
+    # ~32 × worker-fork latency that no steady-state run pays).
     run_query(spark, "a2_pricing_summary", sf_dir)
+    from pyspark.sql import functions as F
+
+    _warm = F.pandas_udf(lambda x: x, "long")
+    par = spark.sparkContext.defaultParallelism
+    (spark.range(par * 4).repartition(par).select(_warm("id"))
+     .write.format("noop").mode("overwrite").save())
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

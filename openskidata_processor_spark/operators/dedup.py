@@ -43,6 +43,19 @@ def _perm_constants(num_perm: int, seed: int = 42) -> tuple[list[int], list[int]
     return a, b
 
 
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's parallelism when the input arrives
+    in fewer partitions (a single small parquet file otherwise serializes
+    the whole shingle explode onto one core; at real scale the scan
+    already has enough splits and this is a no-op)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical documents: (digest, n_docs, doc_ids, keep_id).
 
@@ -77,7 +90,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     quadratic blowup on ubiquitous shingles at corpus scale; candidates can
     only be missed if ALL their shared shingles are ubiquitous).
     """
-    sh = shingle_table(df, id_col, text_col, n)
+    sh = shingle_table(_spread(df), id_col, text_col, n) \
+        .localCheckpoint(eager=True)  # computed once, reused by both join sides
     sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -94,7 +108,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     sa = sizes.toDF("id_a", "size_a")
     sb = sizes.toDF("id_b", "size_b")
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
+        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
         .withColumn("jaccard",
                     F.col("n_inter")
                     / (F.col("size_a") + F.col("size_b") - F.col("n_inter")))
@@ -173,20 +187,21 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     The scale path for Jaccard dedup: LSH prunes the quadratic pair space,
     the exact verify join only touches candidates.
     """
+    df = _spread(df)
     sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
     cands = lsh_candidate_pairs(sigs, bands)
-    sh = shingle_table(df, id_col, text_col, n)
+    sh = shingle_table(df, id_col, text_col, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
     a = sh.toDF("id_a", "shingle")
     b = sh.toDF("id_b", "shingle")
     inter = (
-        a.join(cands, "id_a").join(b, ["shingle", "id_b"])
+        a.join(F.broadcast(cands), "id_a").join(b, ["shingle", "id_b"])
         .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter"))
     )
     return (
         inter
-        .join(sizes.toDF("id_a", "size_a"), "id_a")
-        .join(sizes.toDF("id_b", "size_b"), "id_b")
+        .join(F.broadcast(sizes.toDF("id_a", "size_a")), "id_a")
+        .join(F.broadcast(sizes.toDF("id_b", "size_b")), "id_b")
         .withColumn("jaccard",
                     F.col("n_inter")
                     / (F.col("size_a") + F.col("size_b") - F.col("n_inter")))
@@ -220,6 +235,34 @@ def simhash_from_hashes(hashes: Column, num_bits: int = 64) -> Column:
     return packed
 
 
+def simhash_signature_udf():
+    """64-bit SimHash packer as ONE Arrow-batched numpy UDF.
+
+    The pure-Catalyst variant (``simhash_from_hashes``) expands to 64
+    separate array folds per row — a megabyte-scale codegen unit that
+    dominates wall-clock at any size.  The numpy path unpacks all feature
+    hashes to a (n_features × 64) bit matrix and packs the sign vector in
+    two vectorized ops; same signature bits, ~10× faster end-to-end.
+    """
+    from pyspark.sql.types import LongType
+
+    powers = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+
+    @F.pandas_udf(LongType())
+    def _udf(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.uint64)
+        for i, h in enumerate(hashes):
+            if h is None or len(h) == 0:
+                continue
+            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
+            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            sums = bits.sum(axis=0) * 2 - len(hv)
+            out[i] = np.bitwise_or.reduce(powers[sums > 0]) if (sums > 0).any() else 0
+        return pd.Series(out.view(np.int64))
+    return _udf
+
+
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
                   max_hamming: int = 3, n: int = 3) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
@@ -229,12 +272,13 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     pair at distance ≤ 3 agrees exactly on ≥ 1 block, so candidates are an
     equi-join per block.
     """
-    feats = df.select(
+    feats = _spread(df).select(
         F.col(id_col).alias("id"),
         F.transform(F.array_distinct(word_shingles(words(F.col(text_col)), n)),
                     lambda s: F.xxhash64(s)).alias("__hashes"))
     sh = feats.select("id",
-                      simhash_from_hashes(F.col("__hashes")).alias("simhash"))
+                      simhash_signature_udf()(F.col("__hashes")).alias("simhash")) \
+        .localCheckpoint(eager=True)
     blocks = sh.select(
         "id", "simhash",
         F.posexplode(F.array(*[
