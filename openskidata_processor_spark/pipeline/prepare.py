@@ -1,0 +1,157 @@
+"""The end-to-end pipeline driver — the engine's equivalent of the
+reference's ``prepare()`` (src/PrepareGeoJSON.ts:95-270) plus the
+clustering phase, as one Spark job graph with parquet checkpoints at the
+reference's file boundaries (§3.2 dataflow):
+
+    bronze OSM elements ──S3──▶ raw features per layer
+    runs:   P1 format ▶ J1 site join ▶ §2.10 normalize ▶ [J9 elevation]
+    lifts:  P2 format ▶ J1 site join ▶ [J9]
+    spots:  P4 format ▶ J1 site join ▶ [J9]
+    areas:  P3 format ×3 inputs, unioned
+    §2.9 clustering ▶ statistics ▶ sinks (GeoJSON / Mapbox / CSV / GPKG)
+
+Enrichment (elevation/geocode/snow cover) is optional exactly like the
+reference (PrepareGeoJSON.ts:42-44): pass cache DataFrames to enable.
+
+Tile generation (K4) stays an out-of-engine tippecanoe subprocess fed by
+the GeoJSON sinks, as in the reference (TilesGenerator.ts:16-96); see
+``tiles_command`` for the invocation this engine's outputs expect.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.osm import assemble_osm_features, site_relations
+from . import formatters as fmt
+from .clustering import cluster_ski_areas
+from .enrichment import add_elevation
+from .run_normalization import normalize_runs
+
+
+def prepare(spark: SparkSession,
+            runs_raw: DataFrame,
+            lifts_raw: DataFrame,
+            ski_areas_raw: DataFrame,
+            sites: DataFrame,
+            skimap_areas: DataFrame,
+            spots_raw: DataFrame,
+            elevation_caches: list[DataFrame] | None = None,
+            checkpoint_dir: str | None = None) -> dict[str, DataFrame]:
+    """Phases 2–3: format, normalize, cluster.  Returns the output layers.
+
+    ``*_raw`` inputs are bronze rows (osm_type, osm_id, tags, geometry) —
+    either read from parquet or produced by ``assemble_osm_features``.
+    """
+    def checkpoint(df: DataFrame, name: str) -> DataFrame:
+        if checkpoint_dir:
+            path = os.path.join(checkpoint_dir, name)
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        return df.localCheckpoint(eager=True)
+
+    site_areas = fmt.format_ski_areas_sites(sites)
+    runs = fmt.attach_site_ski_areas(fmt.format_runs(runs_raw), sites,
+                                     site_areas)
+    runs = checkpoint(normalize_runs(runs), "intermediate_runs")
+    lifts = checkpoint(
+        fmt.attach_site_ski_areas(fmt.format_lifts(lifts_raw), sites,
+                                  site_areas),
+        "intermediate_lifts")
+    spots = checkpoint(
+        fmt.attach_site_ski_areas(fmt.format_spots(spots_raw), sites,
+                                  site_areas),
+        "intermediate_spots")
+    ski_areas = checkpoint(
+        fmt.format_ski_areas(ski_areas_raw, sites, skimap_areas),
+        "intermediate_ski_areas")
+
+    if elevation_caches:
+        runs = checkpoint(add_elevation(runs, *elevation_caches),
+                          "runs_elevation")
+        lifts = checkpoint(add_elevation(lifts, *elevation_caches),
+                           "lifts_elevation")
+
+    out = cluster_ski_areas(ski_areas, runs, lifts, spots)
+    return {k: checkpoint(v, f"output_{k}") for k, v in out.items()}
+
+
+def prepare_from_elements(spark: SparkSession, elements: DataFrame,
+                          skimap_areas: DataFrame,
+                          **kwargs) -> dict[str, DataFrame]:
+    """Full S3→outputs path from raw OSM elements (one Overpass dump)."""
+    feats = assemble_osm_features(elements).localCheckpoint(eager=True)
+    from pyspark.sql import functions as F
+
+    tags = F.col("tags")
+    runs_raw = feats.filter(F.element_at(tags, "piste:type").isNotNull()
+                            | F.map_contains_key(tags, "piste:abandoned"))
+    lifts_raw = feats.filter(F.element_at(tags, "aerialway").isNotNull()
+                             | F.element_at(tags, "railway").isNotNull())
+    areas_raw = feats.filter(
+        F.element_at(tags, "landuse") == "winter_sports")
+    spots_raw = feats.filter(
+        F.element_at(tags, "piste:dismount").isNotNull()
+        | (F.element_at(tags, "aerialway") == "station")
+        | (F.element_at(tags, "amenity") == "avalanche_transceiver")
+        | (F.element_at(tags, "man_made") == "piste:halfpipe"))
+    return prepare(spark, runs_raw, lifts_raw, areas_raw,
+                   site_relations(elements), skimap_areas, spots_raw,
+                   **kwargs)
+
+
+def write_outputs(layers: dict[str, DataFrame], out_dir: str,
+                  geopackage: bool = True) -> None:
+    """Phase 4 (K1/K2/K3 + P10): all sink formats from the clustered
+    layers."""
+    from ..sinks import csv as csvsink
+    from ..sinks import geojson as geojson_sink
+    from ..sinks.geopackage import write_geopackage
+    from .mapbox import mapbox_lifts, mapbox_runs, mapbox_ski_areas
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name in ("runs", "lifts", "spots", "ski_areas"):
+        geojson_sink.write_feature_collection(
+            layers[name], os.path.join(out_dir, f"{name}.geojson"))
+
+    csvsink.write_csv(csvsink.run_csv(layers["runs"]),
+                      os.path.join(out_dir, "csv", "runs"), True)
+    csvsink.write_csv(csvsink.lift_csv(layers["lifts"]),
+                      os.path.join(out_dir, "csv", "lifts"), True)
+    csvsink.write_csv(csvsink.spot_csv(layers["spots"]),
+                      os.path.join(out_dir, "csv", "spots"), True)
+    if "statistics" in layers["ski_areas"].columns:
+        csvsink.write_csv(csvsink.ski_area_csv(layers["ski_areas"]),
+                          os.path.join(out_dir, "csv", "ski_areas"), True)
+
+    for name, projector in (("runs", mapbox_runs), ("lifts", mapbox_lifts),
+                            ("ski_areas", mapbox_ski_areas)):
+        geojson_sink.write_feature_collection(
+            projector(layers[name]),
+            os.path.join(out_dir, f"mapboxgl_{name}.geojson"))
+
+    if geopackage:
+        write_geopackage(
+            {n: layers[n] for n in ("runs", "lifts", "spots", "ski_areas")},
+            os.path.join(out_dir, "openskidata.gpkg"))
+
+
+def tiles_command(out_dir: str) -> list[list[str]]:
+    """K4: the tippecanoe/tile-join invocations the reference runs
+    (TilesGenerator.ts:16-96) over this engine's mapboxgl outputs — kept
+    out-of-engine exactly like the reference (subprocess sink).  Zoom
+    ranges: lifts z5–15, runs z9–15, ski areas z0–15."""
+    return [
+        ["tippecanoe", "-o", f"{out_dir}/lifts.mbtiles", "-Z", "5", "-z",
+         "15", "-l", "lifts", f"{out_dir}/mapboxgl_lifts.geojson"],
+        ["tippecanoe", "-o", f"{out_dir}/runs.mbtiles", "-Z", "9", "-z",
+         "15", "-l", "runs", f"{out_dir}/mapboxgl_runs.geojson"],
+        ["tippecanoe", "-o", f"{out_dir}/ski_areas.mbtiles", "-Z", "0",
+         "-z", "15", "-l", "skiareas",
+         f"{out_dir}/mapboxgl_ski_areas.geojson"],
+        ["tile-join", "-o", f"{out_dir}/openskimap.mbtiles",
+         f"{out_dir}/lifts.mbtiles", f"{out_dir}/runs.mbtiles",
+         f"{out_dir}/ski_areas.mbtiles"],
+    ]

@@ -1,0 +1,98 @@
+"""OSM element assembly (S3/J11) tests."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from openskidata_processor_spark.sources.osm import (assemble_osm_features,
+                                                     site_relations)
+
+SCHEMA = ("type string, id long, lat double, lon double, nodes array<long>, "
+          "members array<struct<type:string, ref:long, role:string>>, "
+          "tags map<string,string>")
+
+
+def node(i, lon, lat, tags=None):
+    return ("node", i, lat, lon, None, None, tags or {})
+
+
+def way(i, refs, tags):
+    return ("way", i, None, None, refs, None, tags)
+
+
+def rel(i, members, tags):
+    return ("relation", i, None, None, None, members, tags)
+
+
+@pytest.fixture(scope="module")
+def assembled(spark):
+    elements = spark.createDataFrame([
+        node(1, 11.0, 47.0), node(2, 11.1, 47.0), node(3, 11.1, 47.1),
+        node(4, 11.0, 47.1),
+        node(10, 11.05, 47.05, {"aerialway": "station"}),
+        # open way → LineString
+        way(100, [1, 2, 3], {"piste:type": "nordic"}),
+        # closed way + landuse → Polygon
+        way(101, [1, 2, 3, 4, 1], {"landuse": "winter_sports"}),
+        # closed way, downhill piste → Polygon (included_values rule)
+        way(102, [1, 2, 3, 1], {"piste:type": "downhill"}),
+        # closed way, non-area tag → stays LineString
+        way(103, [1, 2, 3, 1], {"piste:type": "nordic"}),
+        # multipolygon relation from two open ways forming a ring
+        way(104, [1, 2, 3], {}),
+        way(105, [3, 4, 1], {}),
+        rel(200, [{"type": "way", "ref": 104, "role": "outer"},
+                  {"type": "way", "ref": 105, "role": "outer"}],
+            {"type": "multipolygon", "landuse": "winter_sports"}),
+        rel(201, [{"type": "way", "ref": 100, "role": ""},
+                  {"type": "node", "ref": 10, "role": ""}],
+            {"site": "piste", "name": "Site"}),
+    ], SCHEMA)
+    feats = {(r.osm_type, r.osm_id): r
+             for r in assemble_osm_features(elements).collect()}
+    sites = site_relations(elements).collect()
+    return feats, sites
+
+
+def test_tagged_node_becomes_point(assembled):
+    feats, _ = assembled
+    g = json.loads(feats[("node", 10)].geometry)
+    assert g == {"coordinates": [11.05, 47.05], "type": "Point"}
+    assert ("node", 1) not in feats  # untagged nodes are not features
+
+
+def test_open_way_linestring(assembled):
+    feats, _ = assembled
+    g = json.loads(feats[("way", 100)].geometry)
+    assert g["type"] == "LineString"
+    assert g["coordinates"] == [[11.0, 47.0], [11.1, 47.0], [11.1, 47.1]]
+
+
+def test_closed_area_way_polygon(assembled):
+    feats, _ = assembled
+    assert json.loads(feats[("way", 101)].geometry)["type"] == "Polygon"
+    assert json.loads(feats[("way", 102)].geometry)["type"] == "Polygon"
+
+
+def test_closed_non_area_way_stays_line(assembled):
+    feats, _ = assembled
+    assert json.loads(feats[("way", 103)].geometry)["type"] == "LineString"
+
+
+def test_multipolygon_relation_ring_stitching(assembled):
+    feats, _ = assembled
+    g = json.loads(feats[("relation", 200)].geometry)
+    assert g["type"] == "Polygon"
+    ring = g["coordinates"][0]
+    assert ring[0] == ring[-1]
+    assert len(ring) == 5
+
+
+def test_site_relations_shape(assembled):
+    _, sites = assembled
+    assert len(sites) == 1
+    s = sites[0]
+    assert s.site_id == 201
+    assert [m.ref for m in s.members] == [100, 10]

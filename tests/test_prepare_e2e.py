@@ -1,0 +1,105 @@
+"""End-to-end pipeline test (tier 2 — the PrepareGeoJSON.int.test.ts
+shape): raw OSM elements → assembled features → formatted, normalized,
+clustered layers → every sink format, asserted on structure and content."""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+
+import pytest
+
+from openskidata_processor_spark.pipeline.prepare import (
+    prepare_from_elements, write_outputs)
+
+SCHEMA = ("type string, id long, lat double, lon double, nodes array<long>, "
+          "members array<struct<type:string, ref:long, role:string>>, "
+          "tags map<string,string>")
+
+
+def node(i, lon, lat, tags=None):
+    return ("node", i, lat, lon, None, None, tags or {})
+
+
+def way(i, refs, tags):
+    return ("way", i, None, None, refs, None, tags)
+
+
+@pytest.fixture(scope="module")
+def outputs(spark, tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("outputs"))
+    # a small resort: polygon ski area, a downhill run + chair lift inside,
+    # a lift station, plus a detached nordic loop far away
+    elements = spark.createDataFrame([
+        node(1, 11.0, 47.0), node(2, 11.01, 47.0), node(3, 11.01, 47.01),
+        node(4, 11.0, 47.01),
+        node(5, 11.002, 47.002), node(6, 11.004, 47.006),
+        node(7, 11.003, 47.002), node(8, 11.005, 47.006),
+        node(9, 11.003, 47.0021, {"aerialway": "station",
+                                  "aerialway:station": "bottom"}),
+        node(20, 13.0, 46.0), node(21, 13.003, 46.0),
+        way(100, [1, 2, 3, 4, 1], {"landuse": "winter_sports",
+                                   "name": "Test Resort"}),
+        way(101, [5, 6], {"piste:type": "downhill",
+                          "piste:difficulty": "easy", "name": "Home Run"}),
+        way(102, [7, 8], {"aerialway": "chair_lift", "name": "Quad"}),
+        way(103, [20, 21], {"piste:type": "nordic", "name": "Loipe"}),
+    ], SCHEMA)
+    skimap = spark.createDataFrame(
+        [], "id string, name string, status string, activities array<string>,"
+        " scalerank int, official_website string, geometry string")
+    layers = prepare_from_elements(spark, elements, skimap)
+    write_outputs(layers, out_dir)
+    return layers, out_dir
+
+
+def test_layers_clustered(outputs):
+    layers, _ = outputs
+    runs = {r.name: r for r in layers["runs"].collect()}
+    sas = layers["ski_areas"].collect()
+    resort = next(s for s in sas if s.name == "Test Resort")
+    assert resort.id in runs["Home Run"].ski_areas
+    assert resort.activities == ["downhill"]
+    # detached nordic run generated its own area
+    gen = [s for s in sas if s.name is None]
+    assert len(gen) == 1 and gen[0].activities == ["nordic"]
+
+
+def test_statistics_on_resort(outputs):
+    layers, _ = outputs
+    resort = next(s for s in layers["ski_areas"].collect()
+                  if s.name == "Test Resort")
+    assert resort.statistics["runs"]["by_activity"]["downhill"]["easy"]["count"] == 1
+    assert resort.statistics["lifts"]["by_type"]["chair_lift"]["count"] == 1
+
+
+def test_geojson_outputs(outputs):
+    _, out_dir = outputs
+    fc = json.load(open(f"{out_dir}/runs.geojson"))
+    assert {f["properties"]["name"] for f in fc["features"]} == \
+        {"Home Run", "Loipe"}
+    mb = json.load(open(f"{out_dir}/mapboxgl_ski_areas.geojson"))
+    # polygon resort renders as an interior point
+    geoms = {f["geometry"]["type"] for f in mb["features"]}
+    assert "Polygon" not in geoms
+
+
+def test_csv_outputs(outputs, spark):
+    _, out_dir = outputs
+    df = spark.read.option("header", True).csv(f"{out_dir}/csv/runs")
+    rows = {r.name: r for r in df.collect()}
+    assert rows["Home Run"].color == "blue"  # europe convention, easy
+    sa = spark.read.option("header", True).csv(f"{out_dir}/csv/ski_areas")
+    resort = next(r for r in sa.collect() if r.name == "Test Resort")
+    assert resort.lift_count == "1"
+    assert resort.has_downhill == "true"
+
+
+def test_geopackage_output(outputs):
+    _, out_dir = outputs
+    con = sqlite3.connect(f"{out_dir}/openskidata.gpkg")
+    tables = {r[0] for r in con.execute(
+        "SELECT table_name FROM gpkg_contents")}
+    assert tables == {"runs", "lifts", "spots", "ski_areas"}
+    n, = con.execute("SELECT count(*) FROM runs").fetchone()
+    assert n == 2
