@@ -560,3 +560,76 @@ WITH RECURSIVE e AS (
 SELECT component, count(*) AS n_nodes, max(vertex) AS max_vertex
 FROM comp GROUP BY component
 """
+
+
+# ---------------------------------------------------------------------------
+# Text quality scoring (training-data pipeline: length/punctuation filters)
+# ---------------------------------------------------------------------------
+
+@query("quality_docs")
+def quality_docs(spark, sf_dir):
+    """Pretraining-quality heuristic per document (token-length score ×
+    punctuation-density penalty), aggregated per source — the classic
+    quality-filter stage of a corpus pipeline, all in whole-stage codegen."""
+    from ..functions import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = T.token_count(F.col("text")).cast("double")
+    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    stripped = F.regexp_replace("text", "[a-zA-Z0-9 ]", "")
+    punct = F.when(F.length("text") > 0,
+                   F.length(stripped) / F.length("text")).otherwise(0.0)
+    # integer fixed-point: scale to 1e6 and floor, same on both engines
+    score = F.floor(len_score * (F.lit(1.0) - punct) * 1_000_000).cast("long")
+    return (docs.select("source", score.alias("q"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("q").alias("sum_quality_e6"),
+                 F.min("q").alias("min_quality_e6"),
+                 F.max("q").alias("max_quality_e6")))
+
+
+ORACLES["quality_docs"] = """
+WITH q AS (
+  SELECT source,
+         CAST(floor(
+           least(CAST(len(regexp_extract_all(text,
+                 '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS DOUBLE) / 64.0, 1.0)
+           * (1.0 - CASE WHEN len(text) > 0
+              THEN CAST(len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                   / len(text) ELSE 0.0 END)
+           * 1000000) AS BIGINT) AS q
+  FROM documents)
+SELECT source, count(*) AS n_docs, sum(q) AS sum_quality_e6,
+       min(q) AS min_quality_e6, max(q) AS max_quality_e6
+FROM q GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.11/§2.12 — custom stateful streaming operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+@query("stream_stateful_sessions")
+def stream_stateful_sessions(spark, sf_dir):
+    """Gap sessionization as a REAL stateful streaming query
+    (applyInPandasWithState over a file stream, drained with availableNow) —
+    the incremental twin of ``sessionize_user_sessions``; the same SQL
+    oracle verifies the final state."""
+    from ..streaming.events import stateful_user_sessions
+    return stateful_user_sessions(spark, sf_dir)
+
+
+ORACLES["stream_stateful_sessions"] = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM flagged GROUP BY user_id
+"""

@@ -51,3 +51,58 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str,
          .start())
     q.awaitTermination()
     return spark.table(name)
+
+
+def stateful_user_sessions(spark: SparkSession, sf_dir: str,
+                           gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming operator: per-user gap sessionization via
+    ``applyInPandasWithState`` (the SURVEY.md §2.12 extension point for
+    operators Spark's built-ins can't express incrementally).
+
+    Each user's state carries (n_sessions, last_event_ts); a new event
+    opens a session when the gap exceeds ``gap_minutes``.  Drained with
+    availableNow so the batch oracle (lag + cumulative window) can verify
+    the final counts.  Output: (user_id, n_sessions, n_events).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    if isinstance(schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        n_sessions, last_us, n_events = (
+            state.get if state.exists else (0, None, 0))
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for ts in rows["ts"]:
+            us = int(ts.value // 1000)  # pandas ns → µs
+            if last_us is None or us - last_us > gap_us:
+                n_sessions += 1
+            last_us = us
+        n_events += len(rows)
+        state.update((n_sessions, last_us, n_events))
+        yield pd.DataFrame({"user_id": [key[0]],
+                            "n_sessions": [n_sessions],
+                            "n_events": [n_events]})
+
+    out = (stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_sessions long, n_events long",
+        stateStructType="n_sessions long, last_us long, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+
+    name = f"stateful_sessions_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
