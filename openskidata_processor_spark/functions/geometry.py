@@ -497,3 +497,80 @@ def elevation_metrics_udf(geojson: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[
         "inclined_length_m", "ascent_m", "descent_m", "average_pitch",
         "max_pitch", "min_elevation_m", "max_elevation_m"])
+
+
+def evenly_spaced_points(coords: list[list[float]],
+                         n_segments: int) -> list[list[float]]:
+    """``n_segments + 1`` points evenly spaced by geodesic arc length along
+    a LineString (endpoints included) — the resampling behind the published
+    openskidata-format elevation-profile extraction (25 m target)."""
+    if len(coords) < 2 or n_segments < 1:
+        return [c[:2] for c in coords]
+    seg_len = [haversine_point_km(coords[i], coords[i + 1])
+               for i in range(len(coords) - 1)]
+    total = sum(seg_len)
+    if total == 0:
+        return [coords[0][:2]] * (n_segments + 1)
+    step = total / n_segments
+    out = [coords[0][:2]]
+    seg_i, seg_used = 0, 0.0
+    for k in range(1, n_segments):
+        target = step * k
+        while seg_i < len(seg_len) - 1 and seg_used + seg_len[seg_i] < target:
+            seg_used += seg_len[seg_i]
+            seg_i += 1
+        local = (target - seg_used) / seg_len[seg_i] if seg_len[seg_i] else 0.0
+        a, b = coords[seg_i], coords[seg_i + 1]
+        out.append([a[0] + (b[0] - a[0]) * local,
+                    a[1] + (b[1] - a[1]) * local])
+    out.append(coords[-1][:2])
+    return out
+
+
+def bearing_deg(p1: list[float], p2: list[float]) -> float:
+    """Initial great-circle bearing from p1 to p2, degrees [0, 360)."""
+    lam1, phi1 = math.radians(p1[0]), math.radians(p1[1])
+    lam2, phi2 = math.radians(p2[0]), math.radians(p2[1])
+    dlam = lam2 - lam1
+    y = math.sin(dlam) * math.cos(phi2)
+    x = (math.cos(phi1) * math.sin(phi2)
+         - math.sin(phi1) * math.cos(phi2) * math.cos(dlam))
+    return (math.degrees(math.atan2(y, x)) + 360.0) % 360.0
+
+
+_VIEWPORT_TYPE = StructType([
+    StructField("center_lon", DoubleType()),
+    StructField("center_lat", DoubleType()),
+    StructField("diagonal_km", DoubleType()),
+    StructField("bearing", DoubleType()),
+])
+
+
+@F.pandas_udf(_VIEWPORT_TYPE)
+def viewport_hint_udf(geojson: pd.Series) -> pd.DataFrame:
+    """Viewport hint per feature (the role of openskidata-format's
+    computeViewportHint, recomputed after every geometry change): bbox
+    center + diagonal for zoom fitting, and — when the geometry is 3D —
+    the downhill bearing (highest→lowest vertex), null for 2D geometries
+    (the client's graceful top-down fallback, Elevation.ts:136-139)."""
+    rows = []
+    for s in geojson:
+        g = json.loads(s)
+        pts = list(iter_positions(g))
+        if not pts:
+            rows.append((None, None, None, None))
+            continue
+        xs, ys = [p[0] for p in pts], [p[1] for p in pts]
+        lo, hi = [min(xs), min(ys)], [max(xs), max(ys)]
+        center = [(lo[0] + hi[0]) / 2, (lo[1] + hi[1]) / 2]
+        diag = haversine_point_km(lo, hi)
+        bearing = None
+        zpts = [p for p in pts if len(p) >= 3]
+        if len(zpts) >= 2:
+            top = max(zpts, key=lambda p: p[2])
+            bottom = min(zpts, key=lambda p: p[2])
+            if top[2] > bottom[2]:
+                bearing = bearing_deg(top, bottom)
+        rows.append((center[0], center[1], diag, bearing))
+    return pd.DataFrame(rows, columns=["center_lon", "center_lat",
+                                       "diagonal_km", "bearing"])

@@ -355,3 +355,80 @@ def snow_cover_history(features: DataFrame, snow_cache: DataFrame,
                 F.col("actual_year").alias("year"), F.col("days"))))
                 .alias("snow_cover_history"))
             .withColumnRenamed("__fid", id_col))
+
+
+# -- elevation profile (Elevation.ts:110-131; resampler from the published
+# -- openskidata-format package, 25 m target resolution) ---------------------
+
+def add_elevation_profile(runs: DataFrame, *caches: DataFrame,
+                          target_resolution_m: float = 25.0,
+                          geohash_precision: int = 10,
+                          id_col: str = "id",
+                          geometry_col: str = "geometry") -> DataFrame:
+    """Attach ``elevation_profile`` struct<heights array<double>,
+    resolution double, target_resolution int> to LineString runs.
+
+    The line resamples to ceil(length / 25 m) even segments; each sampled
+    point joins the elevation cache(s) by geohash-10 with the W2 fallback
+    coalesce.  Runs whose samples all miss the cache get a null profile
+    (reference behavior when the elevation server fails)."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    sample_type = StructType([
+        StructField("pts", ArrayType(ArrayType(DoubleType()))),
+        StructField("resolution", DoubleType()),
+    ])
+
+    @F.pandas_udf(sample_type)
+    def sample(gj: pd.Series) -> pd.DataFrame:
+        rows = []
+        for s in gj:
+            g = json.loads(s)
+            if g.get("type") != "LineString" or len(g["coordinates"]) < 2:
+                rows.append((None, None))
+                continue
+            coords = g["coordinates"]
+            total_m = geo.line_length_km(coords) * 1000.0
+            if total_m == 0:
+                rows.append((None, None))
+                continue
+            n = max(1, math.ceil(total_m / target_resolution_m))
+            rows.append((geo.evenly_spaced_points(coords, n), total_m / n))
+        return pd.DataFrame(rows, columns=["pts", "resolution"])
+
+    sampled = runs.select(
+        F.col(id_col).alias("__fid"), sample(F.col(geometry_col)).alias("s"))
+    pts = (sampled.filter(F.col("s.pts").isNotNull())
+           .select("__fid", F.col("s.resolution").alias("__res"),
+                   F.posexplode("s.pts").alias("__pos", "__pt"))
+           .withColumn("__key", geohash_udf(geohash_precision)(
+               F.col("__pt")[0], F.col("__pt")[1])))
+
+    looked = pts
+    fallbacks = []
+    for i, cache in enumerate(caches):
+        c = cache.toDF("__key", f"__e{i}").dropDuplicates(["__key"])
+        looked = looked.join(c, "__key", "left")
+        fallbacks.append(F.col(f"__e{i}"))
+    elev = F.round(F.coalesce(*fallbacks), 1) if fallbacks else F.lit(None)
+
+    profiles = (
+        looked.withColumn("__elev", elev)
+        .groupBy("__fid")
+        .agg(F.first("__res").alias("resolution"),
+             F.transform(
+                 F.array_sort(F.collect_list(F.struct("__pos", "__elev"))),
+                 lambda s: s["__elev"]).alias("heights"))
+        # all-null heights → no profile (null marker via size of non-nulls)
+        .withColumn("__n_known", F.size(F.filter(
+            "heights", lambda h: h.isNotNull())))
+    )
+    return (runs.join(profiles, runs[id_col] == profiles["__fid"], "left")
+            .withColumn(
+                "elevation_profile",
+                F.when(F.col("__n_known") > 0, F.struct(
+                    F.col("heights"),
+                    F.round("resolution", 4).alias("resolution"),
+                    F.lit(int(target_resolution_m))
+                     .alias("target_resolution"))))
+            .drop("__fid", "heights", "resolution", "__n_known"))

@@ -104,3 +104,38 @@ def test_snow_cover_history(spark):
     assert set(days_2023) == {1, 5, 7}
     assert days_2023[5] == (90, 100)
     assert days_2023[7] == (50, 100)
+
+
+def test_elevation_profile(spark):
+    # ~2.2 km line → 89 segments at 25 m target → 90 sampled heights
+    line = json.dumps({"type": "LineString",
+                       "coordinates": [[11.0, 47.0], [11.0, 47.02]]})
+    feats = spark.createDataFrame([("r1", line)], "id string, geometry string")
+    # cache covering every sampled geohash on the meridian segment
+    keys = {en.geohash_encode(11.0, 47.0 + i * 0.0001, 10): 1000.0 + i
+            for i in range(205)}
+    cache = spark.createDataFrame(list(keys.items()), "key string, e double")
+    out = en.add_elevation_profile(feats, cache).collect()[0]
+    prof = out.elevation_profile
+    assert prof is not None
+    assert prof["target_resolution"] == 25
+    assert 24.0 <= prof["resolution"] <= 25.0
+    n = len(prof["heights"])
+    assert n == 90  # ceil(2225m / 25) + 1
+    assert prof["heights"][0] == 1000.0
+
+
+def test_viewport_hint(spark):
+    from openskidata_processor_spark.functions.geometry import viewport_hint_udf
+    from pyspark.sql import functions as F
+    line3d = json.dumps({"type": "LineString",
+                         "coordinates": [[11.0, 47.0, 2000.0],
+                                         [11.0, 47.01, 1500.0]]})
+    line2d = json.dumps({"type": "LineString",
+                         "coordinates": [[11.0, 47.0], [11.0, 47.01]]})
+    df = spark.createDataFrame([(line3d,), (line2d,)], "geometry string")
+    rows = df.select(viewport_hint_udf("geometry").alias("v")).collect()
+    v3, v2 = rows[0].v, rows[1].v
+    assert abs(v3["center_lat"] - 47.005) < 1e-9
+    assert abs(v3["bearing"] - 0.0) < 1.0  # downhill due north
+    assert v2["bearing"] is None           # 2D → graceful fallback
