@@ -53,9 +53,9 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                                       F.col("a").alias("b")))
            .distinct()
            .localCheckpoint(eager=True))
+    # labels derive from the (already materialized) sym — no extra job
     labels = (sym.select(F.col("a").alias("v")).distinct()
-              .withColumn("c", F.col("v"))
-              .localCheckpoint(eager=True))
+              .withColumn("c", F.col("v")))
 
     prev_sum = None
     for i in range(max_iterations):

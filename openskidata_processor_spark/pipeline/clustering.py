@@ -290,34 +290,51 @@ def _transitive_claim(sas: DataFrame, objs: DataFrame, source: str) -> DataFrame
                  .otherwise(F.col("geometry")))
              .drop("said", "__mg"))
 
-    out = []
-    for act in ALL_ACTIVITIES:
+    # One CC over the union of the per-activity graphs: vertices are
+    # "activity|id" so downhill and nordic chains never mix (the
+    # activity-narrowing of visitObject's traversal), yet a single label
+    # propagation covers both — half the iterative jobs.
+    def act_nodes(act):
         act_seeds = seeds.filter(
             F.array_contains("activities", act) | (F.size("activities") == 0))
         act_objs = unassigned.filter(F.array_contains("activities", act))
-        nodes = (_slim(act_seeds, "l").select("lid", "lgeom")
-                 .unionByName(_slim(act_objs, "l").select("lid", "lgeom")))
-        right = nodes.select(F.col("lid").alias("rid"),
-                             F.col("lgeom").alias("rgeom"))
-        prs = dwithin_pairs(nodes, right, MAX_DISTANCE_KM) \
-            .select(F.col("lid").alias("src"), F.col("rid").alias("dst"))
-        comps = connected_components(prs)
-        seed_ids = act_seeds.select(F.col("id").alias("vertex"),
-                                    F.lit(True).alias("is_seed"))
-        labeled = comps.join(seed_ids, "vertex", "left")
-        # component → claiming seed (min seed id, deterministic)
-        claims = (labeled.filter(F.col("is_seed"))
-                  .groupBy("component")
-                  .agg(F.min("vertex").alias("ski_area_id")))
-        obj_ids = act_objs.select(F.col("id").alias("vertex"))
-        out.append(
-            labeled.join(obj_ids, "vertex")
+        return (_slim(act_seeds, "l").select("lid", "lgeom")
+                .unionByName(_slim(act_objs, "l").select("lid", "lgeom"))
+                .withColumn("__act", F.lit(act)))
+
+    nodes = act_nodes(ALL_ACTIVITIES[0])
+    for act in ALL_ACTIVITIES[1:]:
+        nodes = nodes.unionByName(act_nodes(act))
+    # distance pairs computed once on distinct geometries, then re-keyed
+    # per activity (both endpoints must carry the same activity).
+    geoms = nodes.select("lid", "lgeom").distinct()
+    right = geoms.select(F.col("lid").alias("rid"),
+                         F.col("lgeom").alias("rgeom"))
+    prs = dwithin_pairs(geoms, right, MAX_DISTANCE_KM) \
+        .select(F.col("lid").alias("a"), F.col("rid").alias("b"))
+    tagged_a = nodes.select(F.col("lid").alias("a"), F.col("__act").alias("act_a"))
+    tagged_b = nodes.select(F.col("lid").alias("b"), F.col("__act").alias("act_b"))
+    edges = (prs.join(tagged_a, "a").join(tagged_b, "b")
+             .filter(F.col("act_a") == F.col("act_b"))
+             .select(F.concat_ws("|", "act_a", "a").alias("src"),
+                     F.concat_ws("|", "act_b", "b").alias("dst")))
+    comps = connected_components(edges)
+    comps = comps.select(
+        F.split_part(F.col("vertex"), F.lit("|"), F.lit(2)).alias("vid"),
+        "component")
+
+    seed_ids = seeds.select(F.col("id").alias("vid"),
+                            F.lit(True).alias("is_seed"))
+    labeled = comps.join(seed_ids, "vid", "left")
+    # component → claiming seed (min seed id, deterministic)
+    claims = (labeled.filter(F.col("is_seed"))
+              .groupBy("component")
+              .agg(F.min("vid").alias("ski_area_id")))
+    obj_ids = unassigned.select(F.col("id").alias("vid"))
+    return (labeled.join(obj_ids, "vid")
             .join(claims, "component")
-            .select(F.col("vertex").alias("object_id"), "ski_area_id"))
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionByName(o)
-    return res.distinct()
+            .select(F.col("vid").alias("object_id"), "ski_area_id")
+            .distinct())
 
 
 # ---------------------------------------------------------------------------
