@@ -44,6 +44,16 @@ RUN_ROWS = [
     # T1 (lon 22): run inside polygon + run 200 m outside → transitive claim
     ({"piste:type": "downhill", "name": "T1 in"}, line(22.009, 47.005, 47.009)),
     ({"piste:type": "downhill", "name": "T1 out"}, line(22.009, 47.011, 47.013)),
+    # R1 (lon 26, way id 8): run in BOTH a site relation and an OSM polygon
+    # → the polygon is removed (site-majority rule, :654-700)
+    ({"piste:type": "downhill", "name": "R1 run"}, line(26.005, 47.005, 47.007)),
+    # A1 (lon 28): downhill run+lift with a nordic run 200 m away →
+    # per-activity clustering keeps them in separate generated areas
+    ({"piste:type": "downhill", "name": "A1 dh"}, line(28.0, 47.0, 47.002)),
+    ({"piste:type": "nordic", "name": "A1 nordic"}, line(28.0, 47.004, 47.006)),
+    # SK1 (lon 30): unassigned run+lift near a Skimap.org point area →
+    # claimed by pass-5 transitive expansion (no generated area)
+    ({"piste:type": "downhill", "name": "SK1 run"}, line(30.0, 47.002, 47.004)),
 ]
 
 LIFT_ROWS = [
@@ -52,6 +62,8 @@ LIFT_ROWS = [
     # S1 (lon 24): two lifts; station is 10 m from the first
     ({"aerialway": "chair_lift", "name": "S1 near"}, line(24.0, 47.0, 47.002)),
     ({"aerialway": "chair_lift", "name": "S1 far"}, line(24.003, 47.0, 47.002)),
+    ({"aerialway": "t-bar", "name": "A1 lift"}, line(28.001, 47.0, 47.002)),
+    ({"aerialway": "t-bar", "name": "SK1 lift"}, line(30.001, 47.002, 47.004)),
 ]
 
 SPOT_ROWS = [
@@ -68,21 +80,36 @@ SKI_AREA_ROWS = [
      polygon(20.0, 47.0, 20.01, 47.01)),
     ({"landuse": "winter_sports", "name": "T1 resort"},
      polygon(22.0, 47.0, 22.01, 47.01)),
+    ({"landuse": "winter_sports", "name": "R1 overlap resort"},
+     polygon(26.0, 47.0, 26.01, 47.01)),
 ]
 
 
 @pytest.fixture(scope="module")
 def clustered(spark):
-    runs = fmt.format_runs(raw(spark, RUN_ROWS))
-    lifts = fmt.format_lifts(raw(spark, LIFT_ROWS))
-    spots = fmt.format_spots(raw(spark, SPOT_ROWS))
+    # site=piste relation whose member is the R1 run (way id 8)
+    sites = spark.createDataFrame(
+        [(900, {"site": "piste", "name": "R1 site"},
+          [{"type": "way", "ref": 8, "role": ""}])],
+        "site_id long, tags map<string,string>, "
+        "members array<struct<type:string, ref:long, role:string>>")
+    site_areas = fmt.format_ski_areas_sites(sites)
+    runs = fmt.attach_site_ski_areas(
+        fmt.format_runs(raw(spark, RUN_ROWS)), sites, site_areas)
+    lifts = fmt.attach_site_ski_areas(
+        fmt.format_lifts(raw(spark, LIFT_ROWS)), sites, site_areas)
+    spots = fmt.attach_site_ski_areas(
+        fmt.format_spots(raw(spark, SPOT_ROWS)), sites, site_areas)
     skimap = spark.createDataFrame(
         [("sm1", "M1 skimap", "operating", ["downhill"], 1, None,
-          point(20.005, 47.006))],
+          point(20.005, 47.006)),
+         ("sm2", "SK1 skimap", "operating", ["downhill"], 1, None,
+          point(30.0005, 47.003))],
         "id string, name string, status string, activities array<string>,"
         " scalerank int, official_website string, geometry string")
     osm_areas = fmt.format_ski_areas_osm(raw(spark, SKI_AREA_ROWS))
-    ski_areas = osm_areas.unionByName(fmt.format_ski_areas_skimap(skimap))
+    ski_areas = (osm_areas.unionByName(fmt.format_ski_areas_skimap(skimap))
+                 .unionByName(site_areas))
     out = cluster_ski_areas(ski_areas, runs, lifts, spots)
     return {k: v.collect() for k, v in out.items()}
 
@@ -170,3 +197,34 @@ class TestStationAssociation:
         station = [o for o in clustered["objects"]
                    if o.spot_type == "lift_station"][0]
         assert station.associated_lift_id == near.id
+
+
+class TestSiteMajorityRemoval:
+    def test_polygon_with_site_majority_removed(self, clustered):
+        # R1 run is a site member; its length is 100% of the polygon's
+        # member length → the polygon ski area is removed (:654-700)
+        assert sa_by_name(clustered["ski_areas"], "R1 overlap resort") == []
+        run = layer_by_name(clustered["runs"], "R1 run")
+        site = sa_by_name(clustered["ski_areas"], "R1 site")[0]
+        assert site.id in run.ski_areas
+
+
+class TestActivitySeparation:
+    def test_nordic_and_downhill_cluster_separately(self, clustered):
+        dh = layer_by_name(clustered["runs"], "A1 dh")
+        nordic = layer_by_name(clustered["runs"], "A1 nordic")
+        assert len(dh.ski_areas) == 1 and len(nordic.ski_areas) == 1
+        assert dh.ski_areas[0] != nordic.ski_areas[0]
+        by_id = {s.id: s for s in clustered["ski_areas"]}
+        assert by_id[dh.ski_areas[0]].activities == ["downhill"]
+        assert by_id[nordic.ski_areas[0]].activities == ["nordic"]
+
+
+class TestSkimapTransitive:
+    def test_unassigned_objects_claimed_by_skimap_area(self, clustered):
+        run = layer_by_name(clustered["runs"], "SK1 run")
+        lift = layer_by_name(clustered["lifts"], "SK1 lift")
+        sk = sa_by_name(clustered["ski_areas"], "SK1 skimap")[0]
+        assert run.ski_areas == [sk.id]
+        assert lift.ski_areas == [sk.id]
+        assert sk.activities == ["downhill"]
