@@ -65,8 +65,25 @@ def run_color(convention: Column, difficulty: Column) -> Column:
     return expr
 
 
-def _place_rollup(places: Column, field: str) -> Column:
-    vals = F.filter(F.transform(places, lambda p: p[field]),
+def _place_rollup(df: DataFrame, field: str) -> Column:
+    """Sorted-unique ';'-joined place names (CSVFormatter.ts:338-355).
+
+    Supports both place shapes: the engine's flat
+    ``{country, region, locality}`` and the reference Geocoder's nested
+    ``{iso3166_1Alpha2, iso3166_2, localized: {en: {country, region,
+    locality}}}`` (Geocoder.ts:45-55) — chosen by schema inspection, so
+    the projection stays a static Catalyst expression."""
+    if "places" not in df.columns:
+        return F.lit("")
+    from pyspark.sql.types import ArrayType, StructType
+
+    elem = df.schema["places"].dataType
+    nested = (isinstance(elem, ArrayType)
+              and isinstance(elem.elementType, StructType)
+              and "localized" in elem.elementType.fieldNames())
+    getter = ((lambda p: p["localized"]["en"][field]) if nested
+              else (lambda p: p[field]))
+    vals = F.filter(F.transform(F.col("places"), getter),
                     lambda v: v.isNotNull())
     return F.concat_ws(";", F.array_sort(F.array_distinct(vals)))
 
@@ -75,13 +92,10 @@ def _common(df: DataFrame):
     center = F.from_json(
         F.get_json_object(centroid_udf("geometry"), "$.coordinates"),
         "array<double>")
-    has_places = "places" in df.columns
-    places = F.col("places") if has_places else F.array().cast(
-        "array<struct<country:string,region:string,locality:string>>")
     return {
-        "countries": _place_rollup(places, "country"),
-        "regions": _place_rollup(places, "region"),
-        "localities": _place_rollup(places, "locality"),
+        "countries": _place_rollup(df, "country"),
+        "regions": _place_rollup(df, "region"),
+        "localities": _place_rollup(df, "locality"),
         "openskimap": F.concat(F.lit("https://openskimap.org/?obj="),
                                F.col("id")),
         "geometry": F.get_json_object("geometry", "$.type"),

@@ -123,3 +123,30 @@ class TestGeoPackage:
         con = sqlite3.connect(out)
         n, = con.execute("SELECT count(*) FROM runs").fetchone()
         assert n == 4  # INSERT OR IGNORE keeps by rowid; no constraint dupes
+
+
+class TestPlaceRollups:
+    def test_nested_reference_place_shape(self, spark):
+        # the reference Geocoder's nested Place struct (Geocoder.ts:45-55)
+        line = json.dumps({"type": "LineString",
+                           "coordinates": [[11.1, 47.1], [11.2, 47.2]]})
+        runs = spark.createDataFrame(
+            [("r1", "Run", None, None, "easy", "europe", None, None, None,
+              None, None, ["downhill"], [], "operating",
+              [("openstreetmap", "way/1")], [], None, None, line,
+              [(("AT", "AT-7", (("Austria", "Tyrol", "Innsbruck"),)))])],
+            "id string, name string, ref string, description string,"
+            " difficulty string, difficulty_convention string,"
+            " oneway boolean, gladed boolean, patrolled boolean,"
+            " grooming string, lit boolean, uses array<string>,"
+            " ski_areas array<string>, status string,"
+            " sources array<struct<type:string,id:string>>,"
+            " websites array<string>, wikidata_id string, snowmaking boolean,"
+            " geometry string,"
+            " places array<struct<iso3166_1Alpha2:string, iso3166_2:string,"
+            "   localized:struct<en:struct<country:string, region:string,"
+            "   locality:string>>>>")
+        out = csvsink.run_csv(runs).collect()[0]
+        assert out.countries == "Austria"
+        assert out.regions == "Tyrol"
+        assert out.localities == "Innsbruck"
