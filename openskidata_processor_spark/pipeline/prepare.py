@@ -116,9 +116,10 @@ def write_outputs(layers: dict[str, DataFrame], out_dir: str,
         geojson_sink.write_feature_collection(
             layers[name], os.path.join(out_dir, f"{name}.geojson"))
 
-    csvsink.write_csv(csvsink.run_csv(layers["runs"]),
+    sa = layers["ski_areas"]
+    csvsink.write_csv(csvsink.run_csv(layers["runs"], sa),
                       os.path.join(out_dir, "csv", "runs"), True)
-    csvsink.write_csv(csvsink.lift_csv(layers["lifts"]),
+    csvsink.write_csv(csvsink.lift_csv(layers["lifts"], sa),
                       os.path.join(out_dir, "csv", "lifts"), True)
     csvsink.write_csv(csvsink.spot_csv(layers["spots"]),
                       os.path.join(out_dir, "csv", "spots"), True)

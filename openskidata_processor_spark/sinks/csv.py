@@ -56,6 +56,29 @@ SURFACE_LIFT_TYPES = ("t-bar", "j-bar", "platter", "rope_tow", "drag_lift",
                       "magic_carpet")
 
 
+
+
+def _with_ski_area_names(df: DataFrame,
+                         ski_areas: DataFrame | None) -> DataFrame:
+    """J8 export join (FeatureExporter.ts:148-161): resolve the feature's
+    ski-area ids to names, sorted-unique ';'-joined.  Without a ski-area
+    table the column stays empty (the reference pre-clustering shape)."""
+    if ski_areas is None or "ski_areas" not in df.columns:
+        return df.withColumn("__sa_names", F.lit(""))
+    names = ski_areas.select(F.col("id").alias("__said"),
+                             F.col("name").alias("__sname"))
+    resolved = (df.select(F.col("id").alias("__fid"),
+                          F.explode("ski_areas").alias("__said"))
+                .join(F.broadcast(names), "__said")
+                .filter(F.col("__sname").isNotNull())
+                .groupBy("__fid")
+                .agg(F.concat_ws(";", F.array_sort(
+                    F.collect_set("__sname"))).alias("__names")))
+    return (df.join(resolved, df["id"] == resolved["__fid"], "left")
+            .withColumn("__sa_names", F.coalesce("__names", F.lit("")))
+            .drop("__fid", "__names"))
+
+
 def run_color(convention: Column, difficulty: Column) -> Column:
     expr = F.lit("grey")
     for conv, table in _COLOR.items():
@@ -108,8 +131,11 @@ def _common(df: DataFrame):
     }
 
 
-def run_csv(runs: DataFrame) -> DataFrame:
-    """Run layer → the 31-column reference CSV schema."""
+def run_csv(runs: DataFrame,
+            ski_areas: DataFrame | None = None) -> DataFrame:
+    """Run layer → the 31-column reference CSV schema.  Pass the clustered
+    ``ski_areas`` layer to resolve ski_area_names (J8)."""
+    runs = _with_ski_area_names(runs, ski_areas)
     c = _common(runs)
     m = elevation_metrics_udf("geometry")
     df = runs.withColumn("__m", m)
@@ -118,7 +144,7 @@ def run_csv(runs: DataFrame) -> DataFrame:
         F.col("name"), F.col("ref"),
         c["countries"].alias("countries"), c["regions"].alias("regions"),
         c["localities"].alias("localities"),
-        F.lit("").alias("ski_area_names"),
+        F.col("__sa_names").alias("ski_area_names"),
         F.col("difficulty"),
         run_color(F.col("difficulty_convention"), F.col("difficulty"))
             .alias("color"),
@@ -141,7 +167,9 @@ def run_csv(runs: DataFrame) -> DataFrame:
     )
 
 
-def lift_csv(lifts: DataFrame) -> DataFrame:
+def lift_csv(lifts: DataFrame,
+             ski_areas: DataFrame | None = None) -> DataFrame:
+    lifts = _with_ski_area_names(lifts, ski_areas)
     c = _common(lifts)
     df = lifts.withColumn("__m", elevation_metrics_udf("geometry"))
     vertical = F.col("__m.max_elevation_m") - F.col("__m.min_elevation_m")
@@ -156,7 +184,7 @@ def lift_csv(lifts: DataFrame) -> DataFrame:
         F.col("access"),
         c["countries"].alias("countries"), c["regions"].alias("regions"),
         c["localities"].alias("localities"),
-        F.lit("").alias("ski_area_names"),
+        F.col("__sa_names").alias("ski_area_names"),
         F.col("oneway"), F.col("duration").alias("duration_sec"),
         F.col("capacity"), F.col("occupancy"), F.col("detachable"),
         F.col("bubble"), F.col("heating"),

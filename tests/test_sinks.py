@@ -150,3 +150,13 @@ class TestPlaceRollups:
         assert out.countries == "Austria"
         assert out.regions == "Tyrol"
         assert out.localities == "Innsbruck"
+
+    def test_ski_area_names_join(self, spark, runs):
+        areas = spark.createDataFrame(
+            [("sa1", "Alpine Resort")], "id string, name string")
+        tagged = runs.withColumn(
+            "ski_areas",
+            __import__("pyspark.sql.functions", fromlist=["F"]).array(
+                __import__("pyspark.sql.functions", fromlist=["F"]).lit("sa1")))
+        out = csvsink.run_csv(tagged, areas).collect()
+        assert all(r.ski_area_names == "Alpine Resort" for r in out)
