@@ -96,3 +96,14 @@ def test_site_relations_shape(assembled):
     s = sites[0]
     assert s.site_id == 201
     assert [m.ref for m in s.members] == [100, 10]
+
+
+def test_overpass_query_builder():
+    from openskidata_processor_spark.sources.download import overpass_query
+    q = overpass_query("runs", bbox=(46.0, 10.0, 48.0, 12.0))
+    assert '[timeout:1800]' in q
+    assert '(46.0,10.0,48.0,12.0)' in q
+    assert 'piste:type' in q
+    planet = overpass_query("ski_area_sites")
+    assert '"site"="piste"' in planet
+    assert '(' not in planet.split(';', 1)[1].split('relation')[0]
