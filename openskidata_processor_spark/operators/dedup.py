@@ -108,7 +108,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     sa = sizes.toDF("id_a", "size_a")
     sb = sizes.toDF("id_b", "size_b")
     return (
-        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        # No broadcast hints: sa/sb are one-row-per-document (corpus-sized at
+        # scale) — AQE picks broadcast when they're actually small.
+        inter.join(sa, "id_a").join(sb, "id_b")
         .withColumn("jaccard",
                     F.col("n_inter")
                     / (F.col("size_a") + F.col("size_b") - F.col("n_inter")))
@@ -195,13 +197,15 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     a = sh.toDF("id_a", "shingle")
     b = sh.toDF("id_b", "shingle")
     inter = (
-        a.join(F.broadcast(cands), "id_a").join(b, ["shingle", "id_b"])
+        a.join(cands, "id_a").join(b, ["shingle", "id_b"])
         .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter"))
     )
     return (
+        # Candidate and size tables scale with the corpus — no forced
+        # broadcast; shuffle-join on id and let AQE downgrade when small.
         inter
-        .join(F.broadcast(sizes.toDF("id_a", "size_a")), "id_a")
-        .join(F.broadcast(sizes.toDF("id_b", "size_b")), "id_b")
+        .join(sizes.toDF("id_a", "size_a"), "id_a")
+        .join(sizes.toDF("id_b", "size_b"), "id_b")
         .withColumn("jaccard",
                     F.col("n_inter")
                     / (F.col("size_a") + F.col("size_b") - F.col("n_inter")))

@@ -144,7 +144,7 @@ def prepare_objects(runs: DataFrame, lifts: DataFrame,
 # spatial candidate joins (grid cells → exact predicate)
 # ---------------------------------------------------------------------------
 
-def _cover_udf(cell_deg: float, pad_cells: int):
+def _cover_udf(cell_deg: float, pad_cells: int, radius_km: float = 0.0):
     from pyspark.sql.types import ArrayType, LongType
 
     n_x = int(math.ceil(360.0 / cell_deg))
@@ -154,9 +154,24 @@ def _cover_udf(cell_deg: float, pad_cells: int):
         out = []
         for s in gj:
             cells = geo.covering_cells(json.loads(s), cell_deg)
+            if pad_cells and cells:
+                # Longitude degrees shrink by cos(lat): a fixed x-pad sized
+                # for the equator under-covers above ~60°N/S and silently
+                # drops true pairs.  Size the x-pad from the geometry's own
+                # max |lat| (cell edge, + the y-pad the neighbor search can
+                # move), clamped near the poles where the grid degenerates.
+                max_abs_cy = max(abs(cy) for _, cy in cells)
+                lat = min((max_abs_cy + 1 + pad_cells) * cell_deg, 89.0)
+                lon_km_per_cell = (geo.KM_PER_DEG_LAT
+                                   * math.cos(math.radians(lat)) * cell_deg)
+                pad_x = max(pad_cells,
+                            int(math.ceil(radius_km / lon_km_per_cell)))
+                pad_x = min(pad_x, n_x // 2)  # full wrap cap
+            else:
+                pad_x = 0
             padded = set()
             for cx, cy in cells:
-                for dx in range(-pad_cells, pad_cells + 1):
+                for dx in range(-pad_x, pad_x + 1):
                     for dy in range(-pad_cells, pad_cells + 1):
                         padded.add(((cx + dx) % n_x) * 10_000_000 + (cy + dy))
             out.append(sorted(padded))
@@ -171,7 +186,8 @@ def _pairs(left: DataFrame, right: DataFrame, radius_km: float,
     (lid, lgeom) / (rid, rgeom)."""
     cell = max(radius_km / geo.KM_PER_DEG_LAT, 0.002)
     pad = int(math.ceil(radius_km / (geo.KM_PER_DEG_LAT * cell)))
-    lx = left.withColumn("__cell", F.explode(_cover_udf(cell, pad)("lgeom")))
+    lx = left.withColumn(
+        "__cell", F.explode(_cover_udf(cell, pad, radius_km)("lgeom")))
     rx = right.withColumn("__cell", F.explode(_cover_udf(cell, 0)("rgeom")))
     cand = lx.join(rx, "__cell").drop("__cell").dropDuplicates(["lid", "rid"])
 

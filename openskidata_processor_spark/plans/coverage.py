@@ -600,7 +600,8 @@ WITH q AS (
                    / len(text) ELSE 0.0 END)
            * 1000000) AS BIGINT) AS q
   FROM documents)
-SELECT source, count(*) AS n_docs, sum(q) AS sum_quality_e6,
+SELECT source, count(*) AS n_docs,
+       CAST(sum(q) AS BIGINT) AS sum_quality_e6,
        min(q) AS min_quality_e6, max(q) AS max_quality_e6
 FROM q GROUP BY source
 """

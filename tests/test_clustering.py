@@ -228,3 +228,27 @@ class TestSkimapTransitive:
         assert run.ski_areas == [sk.id]
         assert lift.ski_areas == [sk.id]
         assert sk.activities == ["downhill"]
+
+
+class TestHighLatitudeGrid:
+    """Regression: the grid candidate join must size its longitude pad by
+    cos(lat) — a fixed equatorial pad drops true pairs above ~61°N."""
+
+    def test_dwithin_pairs_at_high_latitude(self, spark):
+        from openskidata_processor_spark.pipeline.clustering import dwithin_pairs
+        from openskidata_processor_spark.functions import geometry as geo
+
+        cases = []
+        for i, lat in enumerate([61.0, 67.0, 70.0, 78.0]):
+            # Two points `radius*0.9` km apart in pure longitude at `lat`.
+            dlon = 0.45 / (geo.KM_PER_DEG_LAT *
+                           __import__("math").cos(__import__("math").radians(lat)))
+            cases.append((f"a{i}", point(10.0, lat), f"b{i}",
+                          point(10.0 + dlon, lat)))
+        left = spark.createDataFrame(
+            [(a, ga) for a, ga, _, _ in cases], "lid string, lgeom string")
+        right = spark.createDataFrame(
+            [(b, gb) for _, _, b, gb in cases], "rid string, rgeom string")
+        got = {(r.lid, r.rid)
+               for r in dwithin_pairs(left, right, 0.5).select("lid", "rid").collect()}
+        assert got == {(f"a{i}", f"b{i}") for i in range(4)}
