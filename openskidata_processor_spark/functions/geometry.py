@@ -84,6 +84,38 @@ def iter_positions(geom: dict[str, Any]) -> Iterable[list[float]]:
             yield from iter_positions(g)
 
 
+def with_elevations(geom: dict[str, Any],
+                    elevations: list[float | None]) -> dict[str, Any]:
+    """Rebuild ``geom`` with a third coordinate per position, consuming
+    ``elevations`` in the same depth-first order :func:`iter_positions`
+    yields (the reference's addElevations walk, Elevation.ts:447-495).
+    A ``None`` elevation keeps that position 2D; any pre-existing z is
+    dropped first, like the reference's getCoordinates."""
+    it = iter(elevations)
+
+    def leaf(p):
+        el = next(it)
+        return [p[0], p[1]] if el is None else [p[0], p[1], el]
+
+    t = geom["type"]
+    if t == "GeometryCollection":
+        return {"type": t,
+                "geometries": [with_elevations(g, it)
+                               for g in geom.get("geometries", [])]}
+    c = _coords_of(geom)
+    if t == "Point":
+        new = leaf(c)
+    elif t in ("LineString", "MultiPoint"):
+        new = [leaf(p) for p in c]
+    elif t in ("Polygon", "MultiLineString"):
+        new = [[leaf(p) for p in ring] for ring in c]
+    elif t == "MultiPolygon":
+        new = [[[leaf(p) for p in ring] for ring in poly] for poly in c]
+    else:
+        return geom
+    return {"type": t, "coordinates": new}
+
+
 def haversine_point_km(p1: list[float], p2: list[float]) -> float:
     dlat = math.radians(p2[1] - p1[1]) / 2.0
     dlon = math.radians(p2[0] - p1[0]) / 2.0
@@ -173,6 +205,42 @@ def nearest_point_on_line(point: list[float], coords: list[list[float]]) -> list
         if d < best_d:
             best_d, best = d, [nx / coslat, ny]
     return best
+
+
+def snap_point_to_line(point: list[float],
+                       geom: dict[str, Any]) -> list[float]:
+    """Closest position on a (Multi)LineString to ``point`` — the
+    reference's nearestPointOnLine station snap
+    (LiftStationAssociator.ts:158-186)."""
+    t = geom["type"]
+    lines = [geom["coordinates"]] if t == "LineString" else geom["coordinates"]
+    best, best_d = point[:2], float("inf")
+    for coords in lines:
+        cand = nearest_point_on_line(point, coords)
+        d = haversine_point_km(point, cand)
+        if d < best_d:
+            best, best_d = cand, d
+    return best
+
+
+def infer_station_position(station_elev: float | None,
+                           lift_geom: dict[str, Any]) -> str | None:
+    """bottom/mid/top from the station's elevation vs the lift's elevation
+    range — bottom/top 25% thresholds (LiftStationAssociator.ts:186-214).
+    ``None`` when the station has no (or zero, matching the reference's
+    falsy check) elevation or the lift has <2 elevated coords."""
+    if not station_elev:
+        return None
+    elevs = [p[2] for p in iter_positions(lift_geom) if len(p) >= 3]
+    if len(elevs) < 2:
+        return None
+    lo, hi = min(elevs), max(elevs)
+    rng = hi - lo
+    if station_elev <= lo + rng * 0.25:
+        return "bottom"
+    if station_elev >= hi - rng * 0.25:
+        return "top"
+    return "mid"
 
 
 def min_distance_km(g1: dict[str, Any], g2: dict[str, Any]) -> float:

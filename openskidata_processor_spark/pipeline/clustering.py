@@ -45,13 +45,14 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType, DoubleType
+from pyspark.sql.types import BooleanType, DoubleType, StringType
 
 from ..functions import geometry as geo
 from ..functions.geometry import (geometry_collection_udf,
                                   representative_point_udf,
                                   geometry_length_km_udf)
 from ..operators.graph import connected_components
+from .formatters import STATION_ARRAY_DDL
 from .statistics import ski_area_statistics
 
 MAX_DISTANCE_KM = 0.5       # SkiAreaClusteringService.ts:66
@@ -489,7 +490,7 @@ def cluster_ski_areas(ski_areas: DataFrame, runs: DataFrame,
         objs = _assign(objs, gen_assign).localCheckpoint(eager=True)
 
     # Pass 8 — lift stations ↔ lifts (J5/W1 argmin within 30 m).
-    objs = _associate_stations(objs)
+    objs, station_assoc = _associate_stations(objs)
 
     # Pass 9/10 — augment + cleanup.
     member_counts = (objs.select(F.explode("ski_areas").alias("said"))
@@ -532,11 +533,44 @@ def cluster_ski_areas(ski_areas: DataFrame, runs: DataFrame,
                             F.coalesce("__sa", F.array().cast("array<string>")))
                 .drop("__oid", "__sa"))
 
+    # Station write-back (J5/W3): spots get snapped geometry + liftId +
+    # inferred position, orphans drop; lifts get the stations[] array of
+    # station features (FeatureExporter.ts:95-114).
+    spots_out = (apply_membership(spots).join(
+        station_assoc.select(
+            "station_id",
+            F.col("lift_id").alias("__alift"),
+            F.col("snapped_geometry").alias("__snapg"),
+            F.col("inferred_position").alias("__ipos")),
+        F.col("id") == F.col("station_id"), "left")
+        .filter((F.col("spot_type") != "lift_station")
+                | F.col("station_id").isNotNull())
+        .withColumn("geometry", F.coalesce("__snapg", "geometry"))
+        .withColumn("lift_id", F.coalesce("__alift", "lift_id"))
+        .withColumn("position", F.coalesce("position", "__ipos"))
+        .drop("station_id", "__alift", "__snapg", "__ipos"))
+
+    station_structs = (
+        spots_out.filter((F.col("spot_type") == "lift_station")
+                         & F.col("lift_id").isNotNull())
+        .select(F.col("lift_id").alias("__lid"),
+                F.struct("id", "name", "position", "entry", "exit",
+                         "geometry").alias("__st")))
+    lifts_out = (apply_membership(lifts)
+                 .join(station_structs.groupBy("__lid")
+                       .agg(F.array_sort(F.collect_list("__st"))
+                            .alias("__sts")),
+                       F.col("id") == F.col("__lid"), "left")
+                 .withColumn("stations",
+                             F.coalesce("__sts",
+                                        F.array().cast(STATION_ARRAY_DDL)))
+                 .drop("__lid", "__sts"))
+
     return {
         "ski_areas": sas,
         "runs": apply_membership(runs),
-        "lifts": apply_membership(lifts),
-        "spots": apply_membership(spots),
+        "lifts": lifts_out,
+        "spots": spots_out,
         "objects": objs,
     }
 
@@ -622,10 +656,20 @@ def _generate_ski_areas(objs: DataFrame):
     return gen_sas, assigns
 
 
-def _associate_stations(objs: DataFrame) -> DataFrame:
+def _associate_stations(objs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Pass 8 (LiftStationAssociator.ts:97-153): each lift_station spot
     associates to the argmin-distance lift within 30 m (ties broken by a
-    shared ski area, then lift id)."""
+    shared ski area, then lift id).
+
+    Returns ``(objs, assoc)``:
+    - ``objs`` with stations snapped to the lift line, an
+      ``associated_lift_id`` column, and orphaned stations (no lift within
+      30 m) removed (ref :88-94).
+    - ``assoc`` = (station_id, lift_id, snapped_geometry,
+      inferred_position) for the layer write-back — position inferred from
+      the station's PRE-snap elevation vs the lift's elevation range
+      (ref :37-54, :186-214).
+    """
     stations = objs.filter(F.col("spot_type") == "lift_station")
     lifts = objs.filter(F.col("obj_type") == "lift")
     cands = dwithin_pairs(
@@ -642,6 +686,25 @@ def _associate_stations(objs: DataFrame) -> DataFrame:
         return pd.Series([geo.min_distance_km(json.loads(a), json.loads(b))
                           for a, b in zip(g1, g2)])
 
+    @F.pandas_udf(StringType())
+    def snap(sg: pd.Series, lg: pd.Series) -> pd.Series:
+        out = []
+        for a, b in zip(sg, lg):
+            pt = json.loads(a)["coordinates"]
+            snapped = geo.snap_point_to_line(pt, json.loads(b))
+            out.append(json.dumps({"coordinates": snapped, "type": "Point"},
+                                  separators=(",", ":"), sort_keys=True))
+        return pd.Series(out)
+
+    @F.pandas_udf(StringType())
+    def infer_pos(sg: pd.Series, lg: pd.Series) -> pd.Series:
+        out = []
+        for a, b in zip(sg, lg):
+            c = json.loads(a)["coordinates"]
+            elev = c[2] if len(c) >= 3 else None
+            out.append(geo.infer_station_position(elev, json.loads(b)))
+        return pd.Series(out)
+
     ranked = (cands.withColumn("distance_km", dist("lgeom", "rgeom"))
               .withColumn("shares_ski_area",
                           F.arrays_overlap("lsa", "rsa").cast("int"))
@@ -650,11 +713,23 @@ def _associate_stations(objs: DataFrame) -> DataFrame:
                   .orderBy(F.col("distance_km").asc(),
                            F.col("shares_ski_area").desc(),
                            F.col("rid").asc())))
-              .filter(F.col("__rn") == 1)
-              .select(F.col("lid").alias("station_id"),
-                      F.col("rid").alias("lift_id")))
+              .filter(F.col("__rn") == 1))
+    assoc = (ranked.select(
+        F.col("lid").alias("station_id"),
+        F.col("rid").alias("lift_id"),
+        snap("lgeom", "rgeom").alias("snapped_geometry"),
+        infer_pos("lgeom", "rgeom").alias("inferred_position"))
+        .localCheckpoint(eager=True))
 
-    return (objs.join(ranked, objs["id"] == ranked["station_id"], "left")
-            .withColumn("associated_lift_id", F.col("lift_id"))
-            .drop("station_id", "lift_id")
-            .localCheckpoint(eager=True))
+    out = (objs.join(assoc, objs["id"] == assoc["station_id"], "left")
+           # orphaned stations removed (ref :88-94)
+           .filter((F.col("spot_type").isNull())
+                   | (F.col("spot_type") != "lift_station")
+                   | F.col("station_id").isNotNull())
+           .withColumn("geometry",
+                       F.coalesce("snapped_geometry", "geometry"))
+           .withColumn("associated_lift_id", F.col("lift_id"))
+           .drop("station_id", "lift_id", "snapped_geometry",
+                 "inferred_position")
+           .localCheckpoint(eager=True))
+    return out, assoc

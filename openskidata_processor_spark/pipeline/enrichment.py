@@ -123,6 +123,33 @@ def decode_terrarium(r: Column, g: Column, b: Column) -> Column:
 
 # -- elevation join (J9/W2) -------------------------------------------------
 
+def _flat_positions_udf():
+    """(geometry json) → array<struct<lon,lat>> in iter_positions DFS order,
+    for ANY GeoJSON geometry type (Point / LineString / Polygon / Multi* /
+    GeometryCollection).  Unparseable geometries yield an empty array and
+    pass through 2D."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    t = ArrayType(StructType([StructField("lon", DoubleType()),
+                              StructField("lat", DoubleType())]))
+
+    @F.pandas_udf(t)
+    def _udf(gj: pd.Series) -> pd.Series:
+        out = []
+        for s in gj:
+            try:
+                out.append([(float(p[0]), float(p[1]))
+                            for p in geo.iter_positions(json.loads(s))])
+            except Exception:
+                out.append([])
+        return pd.Series(out)
+    return _udf
+
+
+def _flat_positions(col: Column) -> Column:
+    return _flat_positions_udf()(col)
+
+
 def add_elevation(features: DataFrame, *caches: DataFrame,
                   geohash_precision: int = 10,
                   id_col: str = "id",
@@ -133,16 +160,18 @@ def add_elevation(features: DataFrame, *caches: DataFrame,
     fallback priority order — the W2 first-non-null across ordered sources
     (Elevation.ts:348-409) is a coalesce across the per-cache joins.
     Coordinates missing from every cache keep 2D (null elevation skipped).
+
+    All geometry types are elevated — Point spots, Polygon rings,
+    LineString runs/lifts alike — in the reference's depth-first
+    coordinate order (Elevation.ts:447-495 addElevations walk).
     """
     coords = features.select(
         F.col(id_col).alias("__fid"),
-        F.posexplode(F.from_json(
-            F.get_json_object(geometry_col, "$.coordinates"),
-            "array<array<double>>")).alias("__pos", "__pt"))
-    # Polygon-style nesting yields nulls above; those features pass through.
-    pts = coords.filter(F.col("__pt").isNotNull()).select(
+        F.posexplode(_flat_positions(F.col(geometry_col)))
+         .alias("__pos", "__pt"))
+    pts = coords.select(
         "__fid", "__pos",
-        F.col("__pt")[0].alias("__lon"), F.col("__pt")[1].alias("__lat"))
+        F.col("__pt.lon").alias("__lon"), F.col("__pt.lat").alias("__lat"))
     keyed = pts.withColumn(
         "__key", geohash_udf(geohash_precision)(F.col("__lon"), F.col("__lat")))
 
@@ -158,31 +187,25 @@ def add_elevation(features: DataFrame, *caches: DataFrame,
 
     rebuilt = (looked.groupBy("__fid")
                .agg(F.sort_array(F.collect_list(F.struct(
-                   F.col("__pos"), F.col("__lon"), F.col("__lat"),
-                   F.col("__elev")))).alias("__pts")))
+                   F.col("__pos"), F.col("__elev")))).alias("__elevs")))
 
     @F.pandas_udf(StringType())
-    def rebuild(pts_col: pd.Series) -> pd.Series:
+    def rebuild(gj: pd.Series, elevs_col: pd.Series) -> pd.Series:
         out = []
-        for arr in pts_col:
-            coords_list = []
-            for p in arr:
-                lon, lat, el = p["__lon"], p["__lat"], p["__elev"]
-                coords_list.append(
-                    [lon, lat] if el is None or pd.isna(el)
-                    else [lon, lat, float(el)])
-            out.append(json.dumps(
-                {"coordinates": coords_list, "type": "LineString"},
-                separators=(",", ":"), sort_keys=True))
+        for s, arr in zip(gj, elevs_col):
+            g = json.loads(s)
+            elevs = [None if p["__elev"] is None or pd.isna(p["__elev"])
+                     else float(p["__elev"]) for p in arr]
+            out.append(json.dumps(geo.with_elevations(g, elevs),
+                                  separators=(",", ":"), sort_keys=True))
         return pd.Series(out)
 
-    is_line = F.get_json_object(geometry_col, "$.type") == "LineString"
     return (features.join(rebuilt, features[id_col] == rebuilt["__fid"], "left")
             .withColumn(geometry_col,
-                        F.when(is_line & F.col("__pts").isNotNull(),
-                               rebuild(F.col("__pts")))
+                        F.when(F.col("__elevs").isNotNull(),
+                               rebuild(F.col(geometry_col), F.col("__elevs")))
                          .otherwise(F.col(geometry_col)))
-            .drop("__fid", "__pts"))
+            .drop("__fid", "__elevs"))
 
 
 def elevation_cache_misses(features: DataFrame, cache: DataFrame,
@@ -191,12 +214,10 @@ def elevation_cache_misses(features: DataFrame, cache: DataFrame,
     """The keys a remote fetch stage must resolve: distinct coordinate
     geohashes left-anti-joined against the cache (the incremental-batch
     pattern of SURVEY.md §2.11)."""
-    pts = features.select(F.explode(F.from_json(
-        F.get_json_object(geometry_col, "$.coordinates"),
-        "array<array<double>>")).alias("__pt")) \
-        .filter(F.col("__pt").isNotNull())
+    pts = features.select(
+        F.explode(_flat_positions(F.col(geometry_col))).alias("__pt"))
     keys = pts.select(geohash_udf(geohash_precision)(
-        F.col("__pt")[0], F.col("__pt")[1]).alias("key")).distinct()
+        F.col("__pt.lon"), F.col("__pt.lat")).alias("key")).distinct()
     return keys.join(cache.select(F.col(cache.columns[0]).alias("key")),
                      "key", "left_anti")
 

@@ -60,6 +60,12 @@ def _empty_str_array() -> Column:
     return F.array().cast("array<string>")
 
 
+# Station features attached to lifts by clustering pass 8
+# (FeatureExporter.ts:95-114: geometry + spot properties per station).
+STATION_ARRAY_DDL = ("array<struct<id:string,name:string,position:string,"
+                     "entry:boolean,exit:boolean,geometry:string>>")
+
+
 def _websites(tags: Column) -> Column:
     return F.filter(F.array(osm.tag(tags, "website")), lambda v: v.isNotNull())
 
@@ -271,7 +277,7 @@ def format_lifts(df: DataFrame) -> DataFrame:
         F.when(osm.tag(tags, "tunnel").isNotNull(), F.lit(True)).alias("tunnel"),
         F.when(osm.tag(tags, "access") == "private", F.lit("private"))
          .alias("access"),
-        _empty_str_array().alias("stations"),
+        F.array().cast(STATION_ARRAY_DDL).alias("stations"),
         _empty_str_array().alias("ski_areas"),
         _osm_source(F.col("osm_type"), F.col("osm_id")).alias("sources"),
         _websites(tags).alias("websites"),

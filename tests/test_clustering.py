@@ -64,11 +64,22 @@ LIFT_ROWS = [
     ({"aerialway": "chair_lift", "name": "S1 far"}, line(24.003, 47.0, 47.002)),
     ({"aerialway": "t-bar", "name": "A1 lift"}, line(28.001, 47.0, 47.002)),
     ({"aerialway": "t-bar", "name": "SK1 lift"}, line(30.001, 47.002, 47.004)),
+    # S2 (lon 32): 3D lift 1000→2000 m for position inference
+    ({"aerialway": "chair_lift", "name": "S2 lift"}, json.dumps(
+        {"type": "LineString", "coordinates": [
+            [32.0, 47.0, 1000.0], [32.0, 47.002, 2000.0]]})),
 ]
 
 SPOT_ROWS = [
     ({"aerialway": "station", "name": "S1 station"},
      point(24.0001, 47.001)),
+    # S2: station near the top of the 3D lift (z set post-format below,
+    # standing in for the elevation-enrichment stage)
+    ({"aerialway": "station", "name": "S2 station"},
+     point(32.0001, 47.0019)),
+    # no lift within 30 m → must be removed as orphaned
+    ({"aerialway": "station", "name": "Orphan station"},
+     point(34.0, 47.0)),
 ]
 
 SKI_AREA_ROWS = [
@@ -100,6 +111,12 @@ def clustered(spark):
         fmt.format_lifts(raw(spark, LIFT_ROWS)), sites, site_areas)
     spots = fmt.attach_site_ski_areas(
         fmt.format_spots(raw(spark, SPOT_ROWS)), sites, site_areas)
+    # stand-in for add_elevation: give the S2 station a z coordinate
+    spots = spots.withColumn("geometry", F.when(
+        F.col("name") == "S2 station",
+        F.lit(json.dumps({"type": "Point",
+                          "coordinates": [32.0001, 47.0019, 1950.0]})))
+        .otherwise(F.col("geometry")))
     skimap = spark.createDataFrame(
         [("sm1", "M1 skimap", "operating", ["downhill"], 1, None,
           point(20.005, 47.006)),
@@ -194,9 +211,37 @@ class TestSkimapMerge:
 class TestStationAssociation:
     def test_station_associates_to_nearest_lift(self, clustered):
         near = layer_by_name(clustered["lifts"], "S1 near")
-        station = [o for o in clustered["objects"]
-                   if o.spot_type == "lift_station"][0]
+        station = next(o for o in clustered["objects"]
+                       if o.spot_type == "lift_station"
+                       and o.id == layer_by_name(clustered["spots"],
+                                                 "S1 station").id)
         assert station.associated_lift_id == near.id
+
+    def test_station_snapped_to_lift_with_lift_id(self, clustered):
+        near = layer_by_name(clustered["lifts"], "S1 near")
+        spot = layer_by_name(clustered["spots"], "S1 station")
+        assert spot.lift_id == near.id
+        lon, lat = json.loads(spot.geometry)["coordinates"][:2]
+        assert abs(lon - 24.0) < 1e-9 and abs(lat - 47.001) < 1e-6
+
+    def test_position_inferred_from_elevation(self, clustered):
+        # z=1950 vs lift range 1000-2000 → above the top-25% threshold
+        spot = layer_by_name(clustered["spots"], "S2 station")
+        assert spot.position == "top"
+
+    def test_lift_stations_array_populated(self, clustered):
+        near = layer_by_name(clustered["lifts"], "S1 near")
+        far = layer_by_name(clustered["lifts"], "S1 far")
+        s1 = layer_by_name(clustered["spots"], "S1 station")
+        assert [s.id for s in near.stations] == [s1.id]
+        assert far.stations == []
+        s2lift = layer_by_name(clustered["lifts"], "S2 lift")
+        assert [s.position for s in s2lift.stations] == ["top"]
+
+    def test_orphaned_station_removed(self, clustered):
+        assert all(r.name != "Orphan station" for r in clustered["spots"])
+        assert all(getattr(o, "spot_type", None) != "lift_station"
+                   or o.id != "Orphan station" for o in clustered["objects"])
 
 
 class TestSiteMajorityRemoval:

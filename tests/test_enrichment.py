@@ -56,6 +56,28 @@ def test_elevation_cache_misses(spark):
     assert misses == [en.geohash_encode(11.2, 47.2, 10)]
 
 
+def test_add_elevation_point_and_polygon(spark):
+    """J9 parity: Points and Polygon rings get 3D coords too
+    (Elevation.ts:447-495), with a pre-existing z replaced."""
+    pt = json.dumps({"type": "Point", "coordinates": [11.1, 47.1, 99.0]})
+    poly = json.dumps({"type": "Polygon", "coordinates": [[
+        [11.1, 47.1], [11.2, 47.2], [11.3, 47.1], [11.1, 47.1]]]})
+    feats = spark.createDataFrame([("p1", pt), ("g1", poly)],
+                                  "id string, geometry string")
+    cache = spark.createDataFrame(
+        [(en.geohash_encode(11.1, 47.1, 10), 1000.0),
+         (en.geohash_encode(11.2, 47.2, 10), 2000.0)],
+        "key string, elev double")
+    rows = {r.id: json.loads(r.geometry)
+            for r in en.add_elevation(feats, cache).collect()}
+    assert rows["p1"]["coordinates"] == [11.1, 47.1, 1000.0]
+    ring = rows["g1"]["coordinates"][0]
+    assert ring[0] == [11.1, 47.1, 1000.0]
+    assert ring[1] == [11.2, 47.2, 2000.0]
+    assert ring[2] == [11.3, 47.1]          # cache miss keeps 2D
+    assert ring[3] == [11.1, 47.1, 1000.0]  # closing coord elevated too
+
+
 def test_add_places(spark):
     line = json.dumps({"type": "LineString",
                        "coordinates": [[11.1, 47.1], [11.2, 47.2]]})
