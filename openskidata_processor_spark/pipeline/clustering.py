@@ -366,19 +366,19 @@ def cluster_ski_areas(ski_areas: DataFrame, runs: DataFrame,
     layers.  ``ski_areas.ski_areas``-style membership lives on the objects
     (ids of their ski areas), exactly like the reference's working table.
     """
-    objs = prepare_objects(runs, lifts, spots).localCheckpoint(eager=True)
+    objs = prepare_objects(runs, lifts, spots).localCheckpoint(eager=False)
     sas = (ski_areas.select(
         "id", "name", "sources", "activities", "status", "websites",
         "wikidata_id", "run_convention", "geometry",
         F.get_json_object("geometry", "$.type").isin("Polygon", "MultiPolygon")
             .alias("is_polygon"),
         (F.col("sources")[0]["type"]).alias("source"))
-        .localCheckpoint(eager=True))
+        .localCheckpoint(eager=False))
 
     # Pass 1 — site ski areas: geometry + activities from members.
     sas = _derive_activities(sas, objs)
     sas = _member_geometry(sas, objs, only_placeholder=True)
-    sas = sas.localCheckpoint(eager=True)
+    sas = sas.localCheckpoint(eager=False)
 
     # Pass 2 — OSM polygon ski areas claim contained objects.
     polys = sas.filter(F.col("is_polygon") & (F.col("source") == "openstreetmap"))
@@ -387,7 +387,7 @@ def cluster_ski_areas(ski_areas: DataFrame, runs: DataFrame,
         .filter(_activity_compatible("lacts", "racts")) \
         .select(F.col("lid").alias("object_id"),
                 F.col("rid").alias("ski_area_id"))
-    contained = contained.localCheckpoint(eager=True)
+    contained = contained.localCheckpoint(eager=False)
 
     # removal rules: no members, or >50% of member length in a site.
     member_lengths = (
@@ -409,19 +409,19 @@ def cluster_ski_areas(ski_areas: DataFrame, runs: DataFrame,
     empty_polys = polys.join(
         member_lengths.select("ski_area_id"),
         polys["id"] == F.col("ski_area_id"), "left_anti").select("id")
-    dropped = removed_polys.unionByName(empty_polys).localCheckpoint(eager=True)
+    dropped = removed_polys.unionByName(empty_polys).localCheckpoint(eager=False)
 
-    sas = sas.join(dropped, "id", "left_anti").localCheckpoint(eager=True)
+    sas = sas.join(dropped, "id", "left_anti").localCheckpoint(eager=False)
     contained_kept = contained.join(
         dropped, contained["ski_area_id"] == dropped["id"], "left_anti")
     objs = _assign(objs, contained_kept, mark_polygon=True)
-    sas = _derive_activities(sas, objs).localCheckpoint(eager=True)
-    objs = objs.localCheckpoint(eager=True)
+    sas = _derive_activities(sas, objs).localCheckpoint(eager=False)
+    objs = objs.localCheckpoint(eager=False)
 
     # Pass 3 — transitive expansion of OSM ski areas.
     claims = _transitive_claim(sas, objs, "openstreetmap")
-    objs = _assign(objs, claims).localCheckpoint(eager=True)
-    sas = _derive_activities(sas, objs).localCheckpoint(eager=True)
+    objs = _assign(objs, claims).localCheckpoint(eager=False)
+    sas = _derive_activities(sas, objs).localCheckpoint(eager=False)
 
     # Pass 4 — merge Skimap.org areas into nearby OSM areas (250 m to any
     # object of the OSM area, activity compatible).
@@ -440,7 +440,7 @@ def cluster_ski_areas(ski_areas: DataFrame, runs: DataFrame,
     merges = (targets.join(t_sa, "target_id")
               .filter(F.col("target_source") != "skimap.org")
               .drop("target_source")
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
 
     merged_props = (
         merges.join(skimap.select(F.col("id").alias("skimap_id"),
@@ -476,18 +476,18 @@ def cluster_ski_areas(ski_areas: DataFrame, runs: DataFrame,
            .drop("target_id", "__sm_name", "__sm_sources", "__sm_acts",
                  "__sm_sites"))
     sas = sas.join(merges.select(F.col("skimap_id").alias("id")).distinct(),
-                   "id", "left_anti").localCheckpoint(eager=True)
+                   "id", "left_anti").localCheckpoint(eager=False)
 
     # Pass 5 — transitive expansion of remaining Skimap.org ski areas.
     claims = _transitive_claim(sas, objs, "skimap.org")
-    objs = _assign(objs, claims).localCheckpoint(eager=True)
-    sas = _derive_activities(sas, objs).localCheckpoint(eager=True)
+    objs = _assign(objs, claims).localCheckpoint(eager=False)
+    sas = _derive_activities(sas, objs).localCheckpoint(eager=False)
 
     # Pass 6 — generate ski areas from still-unassigned runs.
     gen_sas, gen_assign = _generate_ski_areas(objs)
     if gen_sas is not None:
-        sas = sas.unionByName(gen_sas).localCheckpoint(eager=True)
-        objs = _assign(objs, gen_assign).localCheckpoint(eager=True)
+        sas = sas.unionByName(gen_sas).localCheckpoint(eager=False)
+        objs = _assign(objs, gen_assign).localCheckpoint(eager=False)
 
     # Pass 8 — lift stations ↔ lifts (J5/W1 argmin within 30 m).
     objs, station_assoc = _associate_stations(objs)
@@ -521,7 +521,7 @@ def cluster_ski_areas(ski_areas: DataFrame, runs: DataFrame,
             .withColumn("status", F.lit("operating")).withColumn(
                 "lift_type", F.col("lift_type")))
     sas = (sas.join(stats, sas["id"] == stats["ski_area_id"], "left")
-           .drop("ski_area_id").localCheckpoint(eager=True))
+           .drop("ski_area_id").localCheckpoint(eager=False))
 
     # write memberships back to the layers
     def apply_membership(layer: DataFrame) -> DataFrame:
@@ -593,7 +593,7 @@ def _generate_ski_areas(objs: DataFrame):
            .select(F.col("lid").alias("src"), F.col("rid").alias("dst")))
     comps = connected_components(prs)
     members = (unassigned.join(comps, unassigned["id"] == comps["vertex"])
-               .drop("vertex").localCheckpoint(eager=True))
+               .drop("vertex").localCheckpoint(eager=False))
 
     per_comp = members.groupBy("component").agg(
         F.max(F.when(F.col("is_basis_for_new_ski_area"), 1).otherwise(0))
@@ -719,7 +719,7 @@ def _associate_stations(objs: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("rid").alias("lift_id"),
         snap("lgeom", "rgeom").alias("snapped_geometry"),
         infer_pos("lgeom", "rgeom").alias("inferred_position"))
-        .localCheckpoint(eager=True))
+        .localCheckpoint(eager=False))
 
     out = (objs.join(assoc, objs["id"] == assoc["station_id"], "left")
            # orphaned stations removed (ref :88-94)
@@ -731,5 +731,5 @@ def _associate_stations(objs: DataFrame) -> tuple[DataFrame, DataFrame]:
            .withColumn("associated_lift_id", F.col("lift_id"))
            .drop("station_id", "lift_id", "snapped_geometry",
                  "inferred_position")
-           .localCheckpoint(eager=True))
+           .localCheckpoint(eager=False))
     return out, assoc

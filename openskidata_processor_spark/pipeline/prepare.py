@@ -24,6 +24,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions import osm as osm_fns
 from ..sources.osm import assemble_osm_features, site_relations
 from . import formatters as fmt
 from .clustering import cluster_ski_areas
@@ -86,12 +87,28 @@ def prepare_from_elements(spark: SparkSession, elements: DataFrame,
     from pyspark.sql import functions as F
 
     tags = F.col("tags")
-    runs_raw = feats.filter(F.element_at(tags, "piste:type").isNotNull()
+
+    def any_lifecycle(key):
+        # disused:/abandoned:/... prefixed keys route to the same layer the
+        # plain key does — status_and_value parses them downstream
+        # (Status.ts:9-58); without this, lifecycle-prefixed features never
+        # reach their formatter.
+        cond = F.element_at(tags, key).isNotNull()
+        for s in osm_fns.LIFECYCLE_STATES:
+            cond = cond | F.element_at(tags, f"{s}:{key}").isNotNull()
+        return cond
+
+    def any_lifecycle_value(key, value):
+        cond = F.element_at(tags, key) == value
+        for s in osm_fns.LIFECYCLE_STATES:
+            cond = cond | (F.element_at(tags, f"{s}:{key}") == value)
+        return cond
+
+    runs_raw = feats.filter(any_lifecycle("piste:type")
                             | F.map_contains_key(tags, "piste:abandoned"))
-    lifts_raw = feats.filter(F.element_at(tags, "aerialway").isNotNull()
-                             | F.element_at(tags, "railway").isNotNull())
-    areas_raw = feats.filter(
-        F.element_at(tags, "landuse") == "winter_sports")
+    lifts_raw = feats.filter(any_lifecycle("aerialway")
+                             | any_lifecycle("railway"))
+    areas_raw = feats.filter(any_lifecycle_value("landuse", "winter_sports"))
     spots_raw = feats.filter(
         F.element_at(tags, "piste:dismount").isNotNull()
         | (F.element_at(tags, "aerialway") == "station")

@@ -122,8 +122,9 @@ def _common(df: DataFrame):
         "openskimap": F.concat(F.lit("https://openskimap.org/?obj="),
                                F.col("id")),
         "geometry": F.get_json_object("geometry", "$.type"),
-        "lat": F.format_number(center[1], 6),
-        "lng": F.format_number(center[0], 6),
+        # toFixed(6), no thousands separators (CSVFormatter.ts:164-165)
+        "lat": F.format_string("%.6f", center[1]),
+        "lng": F.format_string("%.6f", center[0]),
         "websites": F.concat_ws(";", F.array_sort("websites"))
             if "websites" in df.columns else F.lit(""),
         "sources": F.concat_ws(";", F.array_sort(F.transform(
@@ -139,7 +140,8 @@ def run_csv(runs: DataFrame,
     c = _common(runs)
     m = elevation_metrics_udf("geometry")
     df = runs.withColumn("__m", m)
-    pct = lambda col: F.round(col * 100, 1)  # noqa: E731
+    # toFixed(2) of the percent value (CSVFormatter.ts:197-198)
+    pct = lambda col: F.format_string("%.2f", col * 100)  # noqa: E731
     return df.select(
         F.col("name"), F.col("ref"),
         c["countries"].alias("countries"), c["regions"].alias("regions"),
@@ -151,13 +153,17 @@ def run_csv(runs: DataFrame,
         F.col("oneway"), F.col("lit"), F.col("gladed"), F.col("patrolled"),
         F.col("grooming"),
         F.concat_ws(";", "uses").alias("uses"),
-        F.round("__m.inclined_length_m", 1).alias("inclined_length_m"),
-        F.round("__m.descent_m", 1).alias("descent_m"),
-        F.round("__m.ascent_m", 1).alias("ascent_m"),
+        # toFixed() integers / toFixed(2) percents (CSVFormatter.ts:194-200)
+        F.format_string("%.0f", "__m.inclined_length_m")
+            .alias("inclined_length_m"),
+        F.format_string("%.0f", "__m.descent_m").alias("descent_m"),
+        F.format_string("%.0f", "__m.ascent_m").alias("ascent_m"),
         pct(F.col("__m.average_pitch")).alias("average_pitch_%"),
         pct(F.col("__m.max_pitch")).alias("max_pitch_%"),
-        F.round("__m.min_elevation_m", 1).alias("min_elevation_m"),
-        F.round("__m.max_elevation_m", 1).alias("max_elevation_m"),
+        F.format_string("%.0f", "__m.min_elevation_m")
+            .alias("min_elevation_m"),
+        F.format_string("%.0f", "__m.max_elevation_m")
+            .alias("max_elevation_m"),
         F.col("difficulty_convention"), F.col("wikidata_id"),
         c["websites"].alias("websites"), c["openskimap"].alias("openskimap"),
         F.col("id"), c["geometry"].alias("geometry"),
@@ -173,11 +179,13 @@ def lift_csv(lifts: DataFrame,
     c = _common(lifts)
     df = lifts.withColumn("__m", elevation_metrics_udf("geometry"))
     vertical = F.col("__m.max_elevation_m") - F.col("__m.min_elevation_m")
-    speed = F.when(F.col("duration") > 0,
-                   F.round(F.col("__m.inclined_length_m") / F.col("duration"), 2))
-    vspeed = F.when(F.col("duration") > 0, F.round(vertical / F.col("duration"), 2))
-    pitch = F.when(F.col("__m.inclined_length_m") > 0,
-                   F.round(vertical / F.col("__m.inclined_length_m") * 100, 1))
+    # toFixed precisions per CSVFormatter.ts:233-239
+    speed = F.when(F.col("duration") > 0, F.format_string(
+        "%.1f", F.col("__m.inclined_length_m") / F.col("duration")))
+    vspeed = F.when(F.col("duration") > 0,
+                    F.format_string("%.2f", vertical / F.col("duration")))
+    pitch = F.when(F.col("__m.inclined_length_m") > 0, F.format_string(
+        "%.2f", vertical / F.col("__m.inclined_length_m") * 100))
     return df.select(
         F.col("name"), F.col("ref"),
         F.col("ref_fr_cairn"), F.col("lift_type"), F.col("status"),
@@ -188,12 +196,15 @@ def lift_csv(lifts: DataFrame,
         F.col("oneway"), F.col("duration").alias("duration_sec"),
         F.col("capacity"), F.col("occupancy"), F.col("detachable"),
         F.col("bubble"), F.col("heating"),
-        F.round("__m.inclined_length_m", 1).alias("inclined_length_m"),
-        F.round(vertical, 1).alias("vertical_m"),
+        F.format_string("%.0f", "__m.inclined_length_m")
+            .alias("inclined_length_m"),
+        F.format_string("%.0f", vertical).alias("vertical_m"),
         speed.alias("speed_m_per_s"),
         vspeed.alias("vertical_speed_m_per_s"),
-        F.round("__m.min_elevation_m", 1).alias("min_elevation_m"),
-        F.round("__m.max_elevation_m", 1).alias("max_elevation_m"),
+        F.format_string("%.0f", "__m.min_elevation_m")
+            .alias("min_elevation_m"),
+        F.format_string("%.0f", "__m.max_elevation_m")
+            .alias("max_elevation_m"),
         pitch.alias("overall_pitch_%"),
         F.col("wikidata_id"), c["websites"].alias("websites"),
         c["openskimap"].alias("openskimap"), F.col("id"),
@@ -224,7 +235,9 @@ def ski_area_csv(ski_areas: DataFrame) -> DataFrame:
                         "combined_elevation_change:double,"
                         "min_elevation:double,max_elevation:double>>")))),
             F.lit(0.0), lambda acc, x: acc + x["length_in_km"])
-        return F.round(total, 2)
+        # Math.round integer, empty when the activity is absent
+        # (CSVFormatter.ts:263-273)
+        return F.when(by_diff.isNotNull(), F.round(total, 0).cast("long"))
 
     lift_counts = F.map_values(F.coalesce(
         stats["lifts"]["by_type"],
@@ -258,11 +271,18 @@ def ski_area_csv(ski_areas: DataFrame) -> DataFrame:
         F.array_contains("activities", "nordic").alias("has_nordic"),
         act_distance("downhill").alias("downhill_distance_km"),
         act_distance("nordic").alias("nordic_distance_km"),
-        F.round(vertical, 1).alias("vertical_m"),
-        F.round(stats["min_elevation"], 1).alias("min_elevation_m"),
-        F.round(stats["max_elevation"], 1).alias("max_elevation_m"),
-        n_lifts.alias("lift_count"),
-        n_surface.alias("surface_lifts_count"),
+        # Math.round integers, empty on falsy elevations / zero counts
+        # (CSVFormatter.ts:274-283)
+        F.when((stats["max_elevation"] != 0) & (stats["min_elevation"] != 0),
+               F.round(vertical, 0).cast("long")).alias("vertical_m"),
+        F.when(stats["min_elevation"] != 0,
+               F.round(stats["min_elevation"], 0).cast("long"))
+            .alias("min_elevation_m"),
+        F.when(stats["max_elevation"] != 0,
+               F.round(stats["max_elevation"], 0).cast("long"))
+            .alias("max_elevation_m"),
+        F.when(n_lifts > 0, n_lifts).alias("lift_count"),
+        F.when(n_surface > 0, n_surface).alias("surface_lifts_count"),
         F.col("run_convention"), F.col("wikidata_id"),
         c["websites"].alias("websites"), c["openskimap"].alias("openskimap"),
         F.col("id"), c["geometry"].alias("geometry"),
@@ -277,8 +297,8 @@ def spot_csv(spots: DataFrame) -> DataFrame:
         F.get_json_object("geometry", "$.coordinates"), "array<double>")
     return spots.select(
         F.col("id"), F.col("spot_type"),
-        F.format_number(center[0], 6).alias("longitude"),
-        F.format_number(center[1], 6).alias("latitude"),
+        F.format_string("%.6f", center[0]).alias("longitude"),
+        F.format_string("%.6f", center[1]).alias("latitude"),
         c["sources"].alias("sources"),
         F.concat_ws(";", F.array_sort("ski_areas")).alias("ski_areas"),
         c["countries"].alias("countries"), c["regions"].alias("regions"),

@@ -24,40 +24,62 @@ OVERPASS_TIMEOUT_S = 1800   # DownloadURLs.ts:9
 RETRIES = 10                # GeoJSONDownloader.ts:121-142
 RETRY_BACKOFF_S = 60
 
-# The five element selections the reference downloads (same data contract;
-# QL re-expressed, not copied).  {bbox} expands to "(south,west,north,east)"
-# or empty for planet-wide.
+# The five element selections of the reference's data contract
+# (DownloadURLs.ts:7-75), re-expressed.  {bbox} expands to the global
+# "[bbox:south,west,north,east]" setting (overpassBBoxQuery.ts:3-13) or
+# empty for planet-wide.  Lifecycle-prefixed keys the downstream status
+# parser consumes (Status.ts) are selected explicitly.
+_LIFECYCLE = ("disused", "abandoned", "proposed", "planned", "construction")
+
+_LIFT_WAYS = "".join(f'way["{p}:aerialway"];' for p in _LIFECYCLE)
+_AREA_SEL = "".join(f'wr["{p}:landuse"="winter_sports"];' for p in _LIFECYCLE)
+
 QUERY_TEMPLATES: dict[str, str] = {
+    # runs: every way/relation with a piste:type tag
     "runs": (
-        '[out:json][timeout:{timeout}];'
-        '(way["piste:type"]{bbox};relation["piste:type"]{bbox};'
-        'way["piste:abandoned"]{bbox};);'
-        'out body;>;out skel qt;'
+        '[out:json][timeout:{timeout}]{bbox};'
+        'wr["piste:type"];'
+        '(._;>;);out;'
     ),
+    # lifts: aerialways incl. lifecycle prefixes, funiculars, and ONLY the
+    # railways that are members of a site=piste relation -- not every
+    # passenger railway on the planet (DownloadURLs.ts:16-33).
     "lifts": (
-        '[out:json][timeout:{timeout}];'
-        '(way["aerialway"]{bbox};way["railway"="funicular"]{bbox};'
-        'way["railway"~"narrow_gauge|rail|light_rail|tram|subway|monorail"]'
-        '["usage"!~"freight|industrial"]{bbox};);'
-        'out body;>;out skel qt;'
+        '[out:json][timeout:{timeout}]{bbox};'
+        'rel["site"="piste"];'
+        '>>;'
+        'way(r)["railway"]->.siterailways;'
+        '((way["aerialway"];'
+        + _LIFT_WAYS +
+        'way["railway"="funicular"];'
+        '.siterailways;);>;);'
+        'out;'
     ),
+    # ski areas: landuse=winter_sports incl. lifecycle-prefixed variants
     "ski_areas": (
-        '[out:json][timeout:{timeout}];'
-        '(way["landuse"="winter_sports"]{bbox};'
-        'relation["landuse"="winter_sports"]{bbox};);'
-        'out body;>;out skel qt;'
+        '[out:json][timeout:{timeout}]{bbox};'
+        '(wr["landuse"="winter_sports"];'
+        + _AREA_SEL +
+        ');(._;>;);out;'
     ),
     "ski_area_sites": (
-        '[out:json][timeout:{timeout}];'
-        'relation["site"="piste"]{bbox};'
-        'out body;'
+        '[out:json][timeout:{timeout}]{bbox};'
+        'rel["site"="piste"];'
+        'out;'
     ),
+    # spots: dismount nodes; stations/transceivers/halfpipes as node OR
+    # way (nw), transceivers filtered to training/checkpoint values
+    # (DownloadURLs.ts:60-73).
     "spots": (
-        '[out:json][timeout:{timeout}];'
-        '(node["piste:dismount"]{bbox};node["aerialway"="station"]{bbox};'
-        'node["amenity"="avalanche_transceiver"]{bbox};'
-        'way["man_made"="piste:halfpipe"]{bbox};);'
-        'out body;>;out skel qt;'
+        '[out:json][timeout:{timeout}]{bbox};'
+        '(node["piste:dismount"];'
+        'nw["aerialway"="station"];'
+        'nw["amenity"="avalanche_transceiver"]'
+        '["avalanche_transceiver"="training"];'
+        'nw["amenity"="avalanche_transceiver"]'
+        '["avalanche_transceiver"="checkpoint"];'
+        'nw["man_made"="piste:halfpipe"];);'
+        '(._;>;);out;'
     ),
 }
 
@@ -69,7 +91,12 @@ def overpass_query(name: str, bbox: tuple[float, float, float, float] | None
     """Build one of the five Overpass queries; ``bbox`` =
     (south, west, north, east) pushes the spatial predicate into the
     source — the reference's only manual pushdown (§4.1)."""
-    clause = "({},{},{},{})".format(*bbox) if bbox else ""
+    if bbox:
+        south, west, north, east = bbox
+        norm = lambda lon: ((lon + 180.0) % 360.0) - 180.0  # noqa: E731
+        clause = f"[bbox:{south},{norm(west)},{north},{norm(east)}]"
+    else:
+        clause = ""
     return QUERY_TEMPLATES[name].format(timeout=timeout_s, bbox=clause)
 
 

@@ -102,8 +102,28 @@ def test_overpass_query_builder():
     from openskidata_processor_spark.sources.download import overpass_query
     q = overpass_query("runs", bbox=(46.0, 10.0, 48.0, 12.0))
     assert '[timeout:1800]' in q
-    assert '(46.0,10.0,48.0,12.0)' in q
+    assert '[bbox:46.0,10.0,48.0,12.0]' in q  # global setting, s,w,n,e
     assert 'piste:type' in q
     planet = overpass_query("ski_area_sites")
     assert '"site"="piste"' in planet
-    assert '(' not in planet.split(';', 1)[1].split('relation')[0]
+    assert '[bbox:' not in planet
+
+
+def test_overpass_query_contract():
+    """The selections mirror DownloadURLs.ts: site-member railways only,
+    lifecycle-prefixed keys, nw spot variants, transceiver value filter."""
+    from openskidata_processor_spark.sources.download import overpass_query
+    lifts = overpass_query("lifts")
+    assert 'way(r)["railway"]' in lifts          # only site=piste members
+    assert 'rel["site"="piste"]' in lifts
+    for p in ("disused", "abandoned", "proposed", "planned", "construction"):
+        assert f'way["{p}:aerialway"]' in lifts
+    assert '"railway"="funicular"' in lifts
+    areas = overpass_query("ski_areas")
+    for p in ("disused", "abandoned", "proposed", "planned", "construction"):
+        assert f'wr["{p}:landuse"="winter_sports"]' in areas
+    spots = overpass_query("spots")
+    assert 'nw["aerialway"="station"]' in spots
+    assert '["avalanche_transceiver"="training"]' in spots
+    assert '["avalanche_transceiver"="checkpoint"]' in spots
+    assert 'nw["man_made"="piste:halfpipe"]' in spots

@@ -44,6 +44,10 @@ def outputs(spark, tmp_path_factory):
                           "piste:difficulty": "easy", "name": "Home Run"}),
         way(102, [7, 8], {"aerialway": "chair_lift", "name": "Quad"}),
         way(103, [20, 21], {"piste:type": "nordic", "name": "Loipe"}),
+        # lifecycle-prefixed tags must still route to their layers
+        node(30, 15.0, 46.0), node(31, 15.003, 46.0),
+        way(104, [30, 31], {"disused:aerialway": "t-bar",
+                            "name": "Old Tbar"}),
     ], SCHEMA)
     skimap = spark.createDataFrame(
         [], "id string, name string, status string, activities array<string>,"
@@ -103,3 +107,10 @@ def test_geopackage_output(outputs):
     assert tables == {"runs", "lifts", "spots", "ski_areas"}
     n, = con.execute("SELECT count(*) FROM runs").fetchone()
     assert n == 2
+
+
+def test_lifecycle_prefixed_routing(outputs):
+    layers, _ = outputs
+    old = next(r for r in layers["lifts"].collect() if r.name == "Old Tbar")
+    assert old.status == "disused"
+    assert old.lift_type == "t-bar"

@@ -56,10 +56,10 @@ class TestCSV:
         rows = {r.difficulty: r for r in out.collect()}
         easy = rows["easy"]
         assert easy.color == "blue"  # europe/easy
-        assert easy.descent_m == 300.0
-        assert easy.ascent_m == 0.0
-        assert easy.inclined_length_m > 13000  # ~13.7 km slope length
-        assert easy.min_elevation_m == 1700.0
+        assert easy.descent_m == "300"
+        assert easy.ascent_m == "0"
+        assert float(easy.inclined_length_m) > 13000  # ~13.7 km slope length
+        assert easy.min_elevation_m == "1700"
         assert easy.openskimap.startswith("https://openskimap.org/?obj=")
 
     def test_lift_csv_schema(self, spark):
@@ -70,8 +70,8 @@ class TestCSV:
         assert out.columns == csvsink.LIFT_HEADERS
         r = out.collect()[0]
         assert r.duration_sec == 300
-        assert r.vertical_m == 300.0
-        assert r.speed_m_per_s > 40  # 13.7 km in 300 s
+        assert r.vertical_m == "300"
+        assert float(r.speed_m_per_s) > 40  # 13.7 km in 300 s
 
     def test_spot_csv_schema(self, spark):
         spots = fmt.format_spots(raw(spark, [
