@@ -472,7 +472,7 @@ def representative_point(geoms: list[dict[str, Any]]) -> list[float]:
     return [c[0] + (nearest[0] - c[0]) * f, c[1] + (nearest[1] - c[1]) * f]
 
 
-from pyspark.sql.types import StructField, StructType  # noqa: E402
+from pyspark.sql.types import ArrayType, StructField, StructType  # noqa: E402
 
 _ELEV_STATS_TYPE = StructType([
     StructField("elevation_change", DoubleType()),
@@ -609,39 +609,108 @@ def bearing_deg(p1: list[float], p2: list[float]) -> float:
     return (math.degrees(math.atan2(y, x)) + 360.0) % 360.0
 
 
+# openskidata-format computeViewportHint: flat equirectangular projection
+# constant (meters per degree of latitude).  Derived from the reference's
+# snapshot vectors (RunFormatter.unit.test.ts:67-76: a 1°-lat extent yields
+# rotatedHeightMeters == 111320.0 float-exact).
+VIEWPORT_M_PER_DEG = 111320.0
+
+# Camera-bearing offset from the downhill direction.  The reference vector
+# (PrepareGeoJSONWithElevation.int.test.ts:134) matches
+# bearing(highest→lowest vertex) + 210° to 1e-10 — i.e. the camera faces
+# uphill (downhill + 180°) with a 30° aesthetic twist.
+_VIEWPORT_BEARING_OFFSET = 210.0
+
+
+def compute_viewport_hint(geoms: list[dict[str, Any]]):
+    """openskidata-format 12.x ``computeViewportHint`` semantics, derived
+    from the reference's inline-snapshot vectors (the package source is not
+    vendored; every field below reproduces the published vectors to <1e-9
+    relative — residuals are JS-vs-C libm noise):
+
+    - ``center``: [lon, lat] midpoint of the bbox over all positions of all
+      input geometries.
+    - ``bearing``: null for 2D geometry (client falls back to a top-down
+      view, Elevation.ts:136-139); for 3D geometry with elevation range,
+      great-circle bearing from the highest to the lowest vertex plus 210°
+      (mod 360) — camera faces uphill with a 30° twist.
+    - ``rotated_width/height_meters``: extents of all positions projected to
+      meters (equirectangular about the center latitude, 111320 m/deg) in
+      the frame rotated so screen-up is the bearing; elevation adds 1:1 to
+      the screen-y of each position.
+    - ``min_camera_y``: min screen-y relative to the projected center (with
+      center elevation = mid of the z range).
+
+    Used at every point the reference recomputes it: formatters (2D,
+    RunFormatter.ts:79), after elevation enrichment (Elevation.ts:140),
+    after run merging (MergeOverlappingRuns.ts:78), and for ski areas from
+    member geometries (SkiAreaClusteringService.ts:1208-1211).
+    """
+    pts: list[list[float]] = []
+    for g in geoms:
+        if g:
+            pts.extend(iter_positions(g))
+    if not pts:
+        return None
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    clon = (min(xs) + max(xs)) / 2.0
+    clat = (min(ys) + max(ys)) / 2.0
+    zpts = [p for p in pts if len(p) >= 3]
+    zs = [p[2] for p in zpts]
+    bearing = None
+    if zs and max(zs) > min(zs):
+        top = max(zpts, key=lambda p: p[2])
+        bottom = min(zpts, key=lambda p: p[2])
+        bearing = (bearing_deg(top, bottom) + _VIEWPORT_BEARING_OFFSET) % 360.0
+    th = math.radians(bearing) if bearing is not None else 0.0
+    s, c = math.sin(th), math.cos(th)
+    m = VIEWPORT_M_PER_DEG
+    k = math.cos(math.radians(clat))
+    xr, yr = [], []
+    for p in pts:
+        x = p[0] * m * k
+        y = p[1] * m
+        z = p[2] if len(p) >= 3 else 0.0
+        xr.append(x * c - y * s)
+        yr.append(x * s + y * c + z)
+    cz = (min(zs) + max(zs)) / 2.0 if zs else 0.0
+    yc = (clon * m * k) * s + (clat * m) * c + cz
+    return (bearing, [clon, clat], min(yr) - yc,
+            max(yr) - min(yr), max(xr) - min(xr))
+
+
 _VIEWPORT_TYPE = StructType([
-    StructField("center_lon", DoubleType()),
-    StructField("center_lat", DoubleType()),
-    StructField("diagonal_km", DoubleType()),
     StructField("bearing", DoubleType()),
+    StructField("center", ArrayType(DoubleType())),
+    StructField("min_camera_y", DoubleType()),
+    StructField("rotated_height_meters", DoubleType()),
+    StructField("rotated_width_meters", DoubleType()),
 ])
+
+_VIEWPORT_COLS = ["bearing", "center", "min_camera_y",
+                  "rotated_height_meters", "rotated_width_meters"]
 
 
 @F.pandas_udf(_VIEWPORT_TYPE)
 def viewport_hint_udf(geojson: pd.Series) -> pd.DataFrame:
-    """Viewport hint per feature (the role of openskidata-format's
-    computeViewportHint, recomputed after every geometry change): bbox
-    center + diagonal for zoom fitting, and — when the geometry is 3D —
-    the downhill bearing (highest→lowest vertex), null for 2D geometries
-    (the client's graceful top-down fallback, Elevation.ts:136-139)."""
+    """Viewport hint of a single geometry JSON column (see
+    compute_viewport_hint)."""
     rows = []
-    for s in geojson:
-        g = json.loads(s)
-        pts = list(iter_positions(g))
-        if not pts:
-            rows.append((None, None, None, None))
-            continue
-        xs, ys = [p[0] for p in pts], [p[1] for p in pts]
-        lo, hi = [min(xs), min(ys)], [max(xs), max(ys)]
-        center = [(lo[0] + hi[0]) / 2, (lo[1] + hi[1]) / 2]
-        diag = haversine_point_km(lo, hi)
-        bearing = None
-        zpts = [p for p in pts if len(p) >= 3]
-        if len(zpts) >= 2:
-            top = max(zpts, key=lambda p: p[2])
-            bottom = min(zpts, key=lambda p: p[2])
-            if top[2] > bottom[2]:
-                bearing = bearing_deg(top, bottom)
-        rows.append((center[0], center[1], diag, bearing))
-    return pd.DataFrame(rows, columns=["center_lon", "center_lat",
-                                       "diagonal_km", "bearing"])
+    for gstr in geojson:
+        hint = compute_viewport_hint([json.loads(gstr)]) if gstr else None
+        rows.append(hint if hint else (None,) * 5)
+    return pd.DataFrame(rows, columns=_VIEWPORT_COLS)
+
+
+@F.pandas_udf(_VIEWPORT_TYPE)
+def viewport_hint_multi_udf(geojsons: pd.Series) -> pd.DataFrame:
+    """Viewport hint over an array-of-geometry-JSON column — the ski-area
+    member-geometry form (SkiAreaClusteringService.ts:1208-1211)."""
+    rows = []
+    for arr in geojsons:
+        geoms = [json.loads(gstr) for gstr in arr if gstr] \
+            if arr is not None else []
+        hint = compute_viewport_hint(geoms)
+        rows.append(hint if hint else (None,) * 5)
+    return pd.DataFrame(rows, columns=_VIEWPORT_COLS)

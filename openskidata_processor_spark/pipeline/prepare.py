@@ -74,9 +74,47 @@ def prepare(spark: SparkSession,
                           "runs_elevation")
         lifts = checkpoint(add_elevation(lifts, *elevation_caches),
                            "lifts_elevation")
+        spots = checkpoint(add_elevation(spots, *elevation_caches),
+                           "spots_elevation")
 
     out = cluster_ski_areas(ski_areas, runs, lifts, spots)
+    out = attach_viewport_hints(out)
     return {k: checkpoint(v, f"output_{k}") for k, v in out.items()}
+
+
+def attach_viewport_hints(layers: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """``viewport_hint`` on every exported feature — the reference's final
+    ``computeViewportHint`` recompute per feature class: runs/lifts/spots
+    from their own (elevation-enriched when available) geometry
+    (Elevation.ts:136-143), ski areas from the geometries of their member
+    runs/lifts, falling back to the ski area's own geometry when memberless
+    (SkiAreaClusteringService.ts:1204-1211)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.geometry import (viewport_hint_multi_udf,
+                                      viewport_hint_udf)
+
+    out = {name: df.withColumn("viewport_hint", viewport_hint_udf("geometry"))
+           for name, df in layers.items() if name != "ski_areas"}
+
+    members = (layers["runs"].select("ski_areas", "geometry")
+               .unionByName(layers["lifts"].select("ski_areas", "geometry"))
+               .select(F.explode("ski_areas").alias("__sid"), "geometry"))
+    # per-ski-area geometry lists are bounded by real-world resort size
+    # (≤ thousands of members), so collect_list stays executor-safe at scale
+    member_hints = (members.groupBy("__sid")
+                    .agg(F.collect_list("geometry").alias("__geoms"))
+                    .select(F.col("__sid"),
+                            viewport_hint_multi_udf("__geoms")
+                            .alias("__member_hint")))
+    sas = layers["ski_areas"]
+    out["ski_areas"] = (
+        sas.join(member_hints, sas["id"] == F.col("__sid"), "left")
+        .withColumn("viewport_hint",
+                    F.coalesce("__member_hint",
+                               viewport_hint_udf("geometry")))
+        .drop("__sid", "__member_hint"))
+    return out
 
 
 def prepare_from_elements(spark: SparkSession, elements: DataFrame,

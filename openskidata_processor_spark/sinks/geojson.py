@@ -26,7 +26,10 @@ def feature_json(df: DataFrame, geometry_col: str = "geometry",
     """One canonical GeoJSON Feature string per row (column ``feature``),
     plus the id for ordering."""
     prop_cols = [c for c in df.columns if c not in (geometry_col,)]
-    props = F.to_json(F.struct(*[F.col(c) for c in prop_cols]))
+    # the reference serializes null properties explicitly
+    # ("access": null, "bearing": null, ... in every snapshot)
+    props = F.to_json(F.struct(*[F.col(c) for c in prop_cols]),
+                      {"ignoreNullFields": "false"})
     feature = F.concat(
         F.lit('{"type":"Feature","properties":'), props,
         F.lit(',"geometry":'), F.col(geometry_col), F.lit("}"))

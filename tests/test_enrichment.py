@@ -147,9 +147,50 @@ def test_elevation_profile(spark):
     assert prof["heights"][0] == 1000.0
 
 
-def test_viewport_hint(spark):
+def test_viewport_hint_reference_vectors():
+    """compute_viewport_hint against the reference's inline-snapshot vectors
+    (openskidata-format computeViewportHint; tolerance covers JS/C libm
+    float noise in the published doubles)."""
+    from openskidata_processor_spark.functions.geometry import (
+        compute_viewport_hint)
+
+    # RunFormatter.unit.test.ts:67-76 — 2D LineString (0,0)→(1,1)
+    b, c, mcy, h, w = compute_viewport_hint(
+        [{"type": "LineString", "coordinates": [[0, 0], [1, 1]]}])
+    assert b is None
+    assert c == [0.5, 0.5]
+    assert mcy == -55660.0
+    assert h == 111320.0
+    assert w == 111315.76127550355
+
+    # PrepareGeoJSONWithElevation.int.test.ts:322-330 — same lift, 2D
+    # (elevation fetch failed → bearing null, axis-aligned extents)
+    lift2d = {"type": "LineString",
+              "coordinates": [[11.1223444, 47.5572422],
+                              [11.1164297, 47.5581563]]}
+    b, c, mcy, h, w = compute_viewport_hint([lift2d])
+    assert b is None
+    assert abs(c[0] - 11.11938705) < 1e-12
+    assert abs(c[1] - 47.55769924999999) < 1e-12
+    assert abs(mcy - -50.87880600015609) < 1e-6
+    assert abs(h - 101.75761200110317) < 1e-6
+    assert abs(w - 444.3359945090548) < 1e-6
+
+    # PrepareGeoJSONWithElevation.int.test.ts:133-141 — 3D lift: camera
+    # bearing = bearing(highest→lowest) + 210, elevation folds into
+    # screen-y extents
+    lift3d = {"type": "LineString",
+              "coordinates": [[11.1223444, 47.5572422, 0],
+                              [11.1164297, 47.5581563, 1]]}
+    b, c, mcy, h, w = compute_viewport_hint([lift3d])
+    assert abs(b - 312.89672520119075) < 1e-9
+    assert abs(mcy - -197.8883671355343) < 1e-6
+    assert abs(h - 395.7767342717046) < 1e-6
+    assert abs(w - 227.90440472769652) < 1e-6
+
+
+def test_viewport_hint_udf(spark):
     from openskidata_processor_spark.functions.geometry import viewport_hint_udf
-    from pyspark.sql import functions as F
     line3d = json.dumps({"type": "LineString",
                          "coordinates": [[11.0, 47.0, 2000.0],
                                          [11.0, 47.01, 1500.0]]})
@@ -158,6 +199,8 @@ def test_viewport_hint(spark):
     df = spark.createDataFrame([(line3d,), (line2d,)], "geometry string")
     rows = df.select(viewport_hint_udf("geometry").alias("v")).collect()
     v3, v2 = rows[0].v, rows[1].v
-    assert abs(v3["center_lat"] - 47.005) < 1e-9
-    assert abs(v3["bearing"] - 0.0) < 1.0  # downhill due north
-    assert v2["bearing"] is None           # 2D → graceful fallback
+    assert abs(v3["center"][1] - 47.005) < 1e-9
+    # downhill is due north (high z at south end); camera = north + 210
+    assert abs(v3["bearing"] - 210.0) < 1e-9
+    assert v2["bearing"] is None           # 2D → graceful top-down fallback
+    assert abs(v2["rotated_height_meters"] - 0.01 * 111320.0) < 1e-6

@@ -114,3 +114,21 @@ def test_lifecycle_prefixed_routing(outputs):
     old = next(r for r in layers["lifts"].collect() if r.name == "Old Tbar")
     assert old.status == "disused"
     assert old.lift_type == "t-bar"
+
+
+def test_viewport_hints_attached(outputs):
+    layers, out_dir = outputs
+    # every layer carries a hint; 2D pipeline (no elevation caches) → null
+    # bearing, real center/extents
+    run = next(r for r in layers["runs"].collect() if r.name == "Home Run")
+    assert run.viewport_hint.bearing is None
+    assert run.viewport_hint.rotated_width_meters > 0
+    # ski-area hint spans its member geometries, not just its own polygon
+    resort = next(s for s in layers["ski_areas"].collect()
+                  if s.name == "Test Resort")
+    assert resort.viewport_hint is not None
+    # hint is exported as a GeoJSON property
+    fc = json.load(open(f"{out_dir}/runs.geojson"))
+    hint = fc["features"][0]["properties"]["viewport_hint"]
+    assert set(hint) == {"bearing", "center", "min_camera_y",
+                         "rotated_height_meters", "rotated_width_meters"}
