@@ -494,14 +494,14 @@ def dedup_simhash(spark, sf_dir):
 
 @query("ann_lsh_topk")
 def ann_lsh_topk(spark, sf_dir):
-    """Random-hyperplane LSH approximate top-5 (multi-probe) — the bucketed
-    scale path for knn_cosine."""
+    """Multi-table random-hyperplane LSH approximate top-5 (multi-probe) —
+    the bucketed scale path for knn_cosine (recall@5 ≥ 0.8 asserted by
+    tests/test_recall.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
     c = emb.filter(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
-    out = similarity.lsh_ann_topk(q, c, k=5, dim=64, n_planes=12,
-                                  corpus_id="neighbor_id")
+    out = similarity.lsh_ann_topk(q, c, k=5, dim=64, corpus_id="neighbor_id")
     return (out.withColumn("cosine_sim", F.round("cosine_sim", 6))
                .withColumnRenamed("rank", "knn_rank"))

@@ -1,0 +1,106 @@
+"""Recall harness for the approximate operators (the 3 ``no_oracle``
+catalog rows): each approximate plan is graded against its exact twin on
+the driver's own sf0.01 tables, with seeded hash constants, so these are
+deterministic assertions, not flaky statistics.
+
+- MinHash(64)+LSH(16 bands) candidate pairs vs exact 3-gram Jaccard ≥ 0.8
+  (``dedup.ngram_jaccard_pairs`` is the truth set).  The LSH output is
+  verified by exact Jaccard, so precision is 1.0 by construction and the
+  only question is recall.
+- SimHash Hamming ≤ 3 pairs vs the same Jaccard truth set (different
+  similarity notion — the bound asserted is the measured floor).
+- Random-hyperplane LSH ANN top-5 vs brute-force cosine top-5, recall@5.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from openskidata_processor_spark.operators import dedup, similarity
+from openskidata_processor_spark.sources.tables import load_table
+
+from conftest import SF_T2
+
+
+def _docs(spark):
+    return load_table(spark, SF_T2, "documents")
+
+
+@pytest.fixture(scope="module")
+def jaccard_truth(spark):
+    """Exact word-3-gram Jaccard pairs at threshold 0.8 (unordered id
+    pairs)."""
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark), "doc_id", "text",
+                                      n=3, threshold=0.8)
+    truth = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert truth, "sf0.01 documents must contain near-duplicate pairs"
+    return truth
+
+
+def test_minhash_lsh_recall(spark, jaccard_truth):
+    found = {(r.id_a, r.id_b)
+             for r in dedup.minhash_dedup_pairs(
+                 _docs(spark), "doc_id", "text",
+                 n=3, num_perm=64, bands=16, threshold=0.8).collect()}
+    # exact-verify step ⇒ no false positives
+    assert found <= jaccard_truth
+    recall = len(found & jaccard_truth) / len(jaccard_truth)
+    assert recall >= 0.9, f"MinHash-LSH recall {recall:.3f} < 0.9"
+
+
+def test_simhash_blocking_is_lossless(spark):
+    """The 4×16-bit pigeonhole blocking finds EVERY pair at Hamming ≤ 3 —
+    recall 1.0 vs the brute-force all-pairs Hamming join, by the pigeonhole
+    guarantee (a pair differing in ≤ 3 bits agrees exactly on ≥ 1 of 4
+    blocks).  This is SimHash's own contract; see test_simhash_cross_metric
+    for how that contract relates to Jaccard similarity."""
+    docs = _docs(spark)
+    from openskidata_processor_spark.functions.text import (word_shingles,
+                                                            words)
+    feats = docs.select(
+        F.col("doc_id").alias("id"),
+        F.transform(F.array_distinct(word_shingles(words(F.col("text")), 3)),
+                    lambda s: F.xxhash64(s)).alias("__hashes"))
+    sh = feats.select(
+        "id", dedup.simhash_signature_udf()(F.col("__hashes")).alias("s"))
+    a = sh.toDF("id_a", "sim_a")
+    b = sh.toDF("id_b", "sim_b")
+    brute = {(r.id_a, r.id_b) for r in
+             a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .filter(F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+                     <= 3).collect()}
+    blocked = {(r.id_a, r.id_b) for r in
+               dedup.simhash_pairs(docs, "doc_id", "text",
+                                   max_hamming=3).collect()}
+    assert blocked == brute
+    assert brute, "sf0.01 documents must contain Hamming≤3 simhash pairs"
+
+
+def test_simhash_cross_metric(spark, jaccard_truth):
+    """Cross-metric floor: Hamming ≤ 3 on a 64-bit SimHash is a *tighter*
+    notion than 3-gram Jaccard ≥ 0.8 on short synthetic documents (the
+    truth pairs measure Hamming 1–8 here), so recall against the Jaccard
+    truth set is structurally partial.  Asserting the measured floor keeps
+    the operator's behavior pinned; the lossless-blocking test above is the
+    operator's real guarantee."""
+    found = set()
+    for r in dedup.simhash_pairs(_docs(spark), "doc_id", "text",
+                                 max_hamming=3).collect():
+        found.add((r.id_a, r.id_b))
+        found.add((r.id_b, r.id_a))
+    recall = sum(1 for p in jaccard_truth if p in found) / len(jaccard_truth)
+    assert recall >= 0.4, f"SimHash cross-metric recall {recall:.3f} < 0.4"
+
+
+def test_ann_lsh_recall_at_5(spark):
+    emb = load_table(spark, SF_T2, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
+    exact = similarity.knn_brute_force(q, c, k=5, corpus_id="neighbor_id")
+    approx = similarity.lsh_ann_topk(q, c, k=5, dim=64,
+                                     corpus_id="neighbor_id")
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    found = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.8, f"ANN recall@5 {recall:.3f} < 0.8"
