@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "knn_cosine",
     "ann_lsh_topk",
+    "dedup_embedding_lsh",
     "j2_points_in_polygon",
     "j3_geo_dwithin",
 ]

@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double, cosine, cosine_batch_udf
 
 
 def knn_brute_force(queries: DataFrame, corpus: DataFrame, k: int,
@@ -135,3 +135,66 @@ def lsh_ann_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(query_id, "rank", corpus_id, "cosine_sim"))
+
+
+def embedding_near_dup_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
+                                 dim: int, threshold: float,
+                                 n_planes: int = 8, n_tables: int = 4,
+                                 probe_hamming: int = 1) -> DataFrame:
+    """Embedding near-duplicate pairs WITHOUT the all-pairs crossJoin: the
+    LSH-bucketed self-join scale path (candidate pairs from the same
+    multi-table bucketing as ``lsh_ann_topk``, exact cosine verify on
+    candidates only — precision 1.0, recall bounded by 1-(1-p)^L).
+
+    One side probes Hamming ≤ ``probe_hamming`` around its code, the other
+    joins exact, so a pair is a candidate when its per-table codes differ
+    by ≤ probe_hamming bits in any table.  The candidate join shuffles on
+    (table, bucket) content-derived keys — no forced broadcasts — and
+    verification is per-candidate, so at corpus scale the plan's cost is
+    bucket-occupancy², not n².  Returns (id_a, id_b, cosine_sim) with
+    id_a < id_b, cosine_sim rounded to 6 and > threshold (the same contract
+    as the exact crossJoin twin it replaces at scale).
+
+    Defaults target the *dedup regime* (true near-dups cluster at cosine
+    ≥ ~0.85, where per-bit agreement is ≥ 0.85 and 4 tables with Hamming-1
+    probing compound to recall ≥ 0.99) — NOT the weak-similarity regime of
+    ``lsh_ann_topk``'s defaults.  On uncorrelated vectors at a low
+    threshold no LSH prunes meaningfully (candidates → all pairs); that is
+    a property of the data, not the plan.
+    """
+    tables = [_hyperplanes(dim, n_planes, seed=42 + t)
+              for t in range(n_tables)]
+    codes = _lsh_codes_udf(tables)
+    base = df.select(F.col(id_col).alias("__id"),
+                     F.col(vec_col).alias("__vec"))
+    coded = base.select(
+        "*", F.posexplode(codes(F.col("__vec"))).alias("__table", "__code"))
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << j for j in range(n_planes)]
+    if probe_hamming >= 2:
+        masks += [(1 << i) | (1 << j)
+                  for i in range(n_planes) for j in range(i + 1, n_planes)]
+    a = coded.select(
+        F.col("__id").alias("id_a"), F.col("__table"),
+        F.explode(F.array(*[F.col("__code").bitwiseXOR(F.lit(m))
+                            for m in masks])).alias("__bucket"))
+    b = coded.select(F.col("__id").alias("id_b"),
+                     F.col("__table"), F.col("__code").alias("__bucket"))
+    # candidates shrink to bare id pairs BEFORE the distinct (no vector
+    # payload through the shuffle); vectors re-join for the verify stage,
+    # scored by the Arrow-batched cosine (the interpreted Catalyst fold is
+    # the oracle twin, not the verify path).
+    cand = (a.join(b, ["__table", "__bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    va = base.select(F.col("__id").alias("id_a"), F.col("__vec").alias("__va"))
+    vb = base.select(F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"))
+    cos = cosine_batch_udf()
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cosine_sim",
+                    F.round(cos(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("cosine_sim") > threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

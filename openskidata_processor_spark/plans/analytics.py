@@ -492,6 +492,17 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+@query("dedup_embedding_lsh")
+def dedup_embedding_lsh(spark, sf_dir):
+    """LSH-bucketed embedding near-dup pairs (sim > 0.4) — the scale path
+    for dedup_embedding_pairs (whose crossJoin is kept only as the exact
+    oracle twin); recall vs the exact pairs asserted in
+    tests/test_recall.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs_lsh(
+        emb, "vec_id", "embedding", dim=64, threshold=0.4)
+
+
 @query("ann_lsh_topk")
 def ann_lsh_topk(spark, sf_dir):
     """Multi-table random-hyperplane LSH approximate top-5 (multi-probe) —

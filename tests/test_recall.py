@@ -104,3 +104,62 @@ def test_ann_lsh_recall_at_5(spark):
     found = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(truth & found) / len(truth)
     assert recall >= 0.8, f"ANN recall@5 {recall:.3f} < 0.8"
+
+
+def test_embedding_dedup_lsh_recall(spark):
+    """Recall in the operator's actual regime: a deterministic clustered
+    corpus (300 docs in 60 near-dup groups, cosine ≈ 0.9 within a group)
+    where LSH bucketing genuinely prunes.  On the *uncorrelated* synthetic
+    embeddings table at threshold 0.4 every LSH degenerates toward
+    all-pairs (a data property, not a plan property), so the random table
+    only pins precision below."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    centers = rng.randn(60, 64)
+    rows = []
+    for i in range(300):
+        c = centers[i % 60]
+        v = c + 0.22 * rng.randn(64)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    from openskidata_processor_spark.functions.vectors import as_double, cosine
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("vb"))
+    exact = {(r.id_a, r.id_b) for r in
+             a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("s", F.round(cosine(as_double(F.col("va")),
+                                             as_double(F.col("vb"))), 6))
+             .filter(F.col("s") > 0.8).collect()}
+    assert len(exact) > 100, "clustered corpus must contain near-dup pairs"
+    found = {(r.id_a, r.id_b) for r in
+             similarity.embedding_near_dup_pairs_lsh(
+                 emb, "vec_id", "embedding", dim=64,
+                 threshold=0.8).collect()}
+    # exact verify on candidates ⇒ precision 1.0
+    assert found <= exact
+    recall = len(found & exact) / len(exact)
+    assert recall >= 0.95, f"embedding LSH dedup recall {recall:.3f} < 0.95"
+
+
+def test_embedding_dedup_lsh_precision_random(spark):
+    """On the uncorrelated embeddings table the exact-verify step still
+    guarantees every reported pair is a true > 0.4 pair."""
+    emb = load_table(spark, SF_T2, "embeddings")
+    from openskidata_processor_spark.functions.vectors import as_double, cosine
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("vb"))
+    exact = {(r.id_a, r.id_b) for r in
+             a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("s", F.round(cosine(as_double(F.col("va")),
+                                             as_double(F.col("vb"))), 6))
+             .filter(F.col("s") > 0.4).collect()}
+    found = {(r.id_a, r.id_b) for r in
+             similarity.embedding_near_dup_pairs_lsh(
+                 emb, "vec_id", "embedding", dim=64,
+                 threshold=0.4).collect()}
+    assert found <= exact
+    assert found, "bucketing must still surface some true pairs"
