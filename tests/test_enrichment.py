@@ -204,3 +204,55 @@ def test_viewport_hint_udf(spark):
     assert abs(v3["bearing"] - 210.0) < 1e-9
     assert v2["bearing"] is None           # 2D → graceful top-down fallback
     assert abs(v2["rotated_height_meters"] - 0.01 * 111320.0) < 1e-6
+
+
+def test_geohash_decode_roundtrip():
+    from openskidata_processor_spark.sources.fetch import geohash_decode
+    for lon, lat in ((-5.6, 42.6), (13.361389, 38.115556),
+                     (11.1164297, 47.5581563), (-170.0, -80.0)):
+        gh = en.geohash_encode(lon, lat, 10)
+        dlat, dlon = geohash_decode(gh)
+        # precision-10 cell is ~1.2m; the center is within half a cell
+        assert abs(dlat - lat) < 1e-4 and abs(dlon - lon) < 1e-4
+
+
+def test_fetch_stage_closes_miss_loop(spark):
+    """miss set → batched fake fetch → updated cache → add_elevation now
+    elevates the previously-2D feature (the reference's
+    batchLoadElevations loop, Elevation.ts:160-246, as engine stages)."""
+    from openskidata_processor_spark.sources import fetch as fx
+    line = json.dumps({"type": "LineString",
+                       "coordinates": [[11.1, 47.1], [11.2, 47.2]]})
+    feats = spark.createDataFrame([("f1", line)], "id string, geometry string")
+    k1 = en.geohash_encode(11.1, 47.1, 10)
+    cache = spark.createDataFrame([(k1, 1000.0)], "key string, elev double")
+    misses = en.elevation_cache_misses(feats, cache)
+    assert [r.key for r in misses.collect()] == \
+        [en.geohash_encode(11.2, 47.2, 10)]
+
+    def fake_fetch(coords):
+        # encode the decoded coordinate into the value so the assertion
+        # below proves the geohash→(lat, lon) decode reached the fetcher
+        return [round(lat * 100.0) for lat, lon in coords]
+
+    fetched = fx.fetch_elevation_updates(misses.coalesce(1), fake_fetch,
+                                         batch_size=100)
+    new_cache = fx.updated_cache(cache, fetched)
+    assert new_cache.count() == 2
+    out = en.add_elevation(feats, new_cache).first()
+    coords = json.loads(out.geometry)["coordinates"]
+    assert coords[0][2] == 1000.0  # pre-existing cache row untouched
+    assert coords[1][2] == 4720.0  # fetched: round(47.2 * 100)
+
+
+def test_fetch_stage_never_caches_errors(spark):
+    from openskidata_processor_spark.sources import fetch as fx
+    misses = spark.createDataFrame(
+        [(en.geohash_encode(11.0, 47.0, 10),),
+         (en.geohash_encode(12.0, 48.0, 10),)], "key string")
+
+    def failing_fetch(coords):
+        raise RuntimeError("server down")
+
+    fetched = fx.fetch_elevation_updates(misses, failing_fetch)
+    assert fetched.count() == 0  # errors never cached (Elevation.ts:224)

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import json
+import shutil
 import sqlite3
 
 import pytest
@@ -160,3 +161,54 @@ class TestPlaceRollups:
                 __import__("pyspark.sql.functions", fromlist=["F"]).lit("sa1")))
         out = csvsink.run_csv(tagged, areas).collect()
         assert all(r.ski_area_names == "Alpine Resort" for r in out)
+
+
+class TestMergeOutputs:
+    def _mkdir_outputs(self, root, tag):
+        d = root / tag
+        (d / "csv" / "runs").mkdir(parents=True)
+        feat = {"type": "Feature", "properties": {"name": f"run-{tag}"},
+                "geometry": {"type": "Point", "coordinates": [0, 0]}}
+        (d / "runs.geojson").write_text(json.dumps(
+            {"type": "FeatureCollection", "features": [feat]}))
+        (d / "csv" / "runs" / "part-00000.csv").write_text(
+            f"name,id\nrun-{tag},{tag}\n")
+        return d
+
+    def test_merge_outputs(self, tmp_path):
+        from openskidata_processor_spark.sinks.merge import merge_outputs
+        d1 = self._mkdir_outputs(tmp_path, "a")
+        d2 = self._mkdir_outputs(tmp_path, "b")
+        out = tmp_path / "merged"
+        counts = merge_outputs([str(d1), str(d2)], str(out))
+        assert counts["geojson"] == 1 and counts["csv"] == 1
+        fc = json.loads((out / "runs.geojson").read_text())
+        assert [f["properties"]["name"] for f in fc["features"]] == \
+            ["run-a", "run-b"]
+        merged_csv = (out / "csv" / "runs" /
+                      "part-00000-merged.csv").read_text().splitlines()
+        assert merged_csv == ["name,id", "run-a,a", "run-b,b"]
+
+    def test_merge_csv_header_mismatch(self, tmp_path):
+        from openskidata_processor_spark.sinks.merge import merge_outputs
+        d1 = self._mkdir_outputs(tmp_path, "a")
+        d2 = self._mkdir_outputs(tmp_path, "b")
+        (d2 / "csv" / "runs" / "part-00000.csv").write_text("other,hdr\nx,y\n")
+        with pytest.raises(ValueError, match="header mismatch"):
+            merge_outputs([str(d1), str(d2)], str(tmp_path / "m2"))
+
+    @pytest.mark.skipif(shutil.which("tippecanoe") is None
+                        or shutil.which("tile-join") is None,
+                        reason="tippecanoe/tile-join not installed")
+    def test_generate_tiles(self, tmp_path):
+        from openskidata_processor_spark.sinks.merge import generate_tiles
+        fc = {"type": "FeatureCollection", "features": [
+            {"type": "Feature", "properties": {"id": "l1"},
+             "geometry": {"type": "LineString",
+                          "coordinates": [[11.0, 47.0], [11.01, 47.01]]}}]}
+        for name in ("mapboxgl_lifts.geojson", "mapboxgl_runs.geojson",
+                     "mapboxgl_ski_areas.geojson"):
+            (tmp_path / name).write_text(json.dumps(fc))
+        produced = generate_tiles(str(tmp_path))
+        assert (tmp_path / "openskimap.mbtiles").exists()
+        assert len(produced) == 4
