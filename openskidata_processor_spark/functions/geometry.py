@@ -22,6 +22,7 @@ import json
 import math
 from typing import Any, Iterable
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column
@@ -435,16 +436,72 @@ def geometry_valid_udf(geojson: pd.Series) -> pd.Series:
     return geojson.map(ok)
 
 
+def iter_paths(geom: dict[str, Any]) -> Iterable[list[list[float]]]:
+    """Yield every vertex path (LineString coords, ring, ...) of a
+    geometry; Points yield nothing."""
+    t = geom["type"]
+    c = _coords_of(geom)
+    if t == "LineString":
+        yield c
+    elif t in ("Polygon", "MultiLineString"):
+        yield from c
+    elif t == "MultiPolygon":
+        for poly in c:
+            yield from poly
+    elif t == "GeometryCollection":
+        for g in geom.get("geometries", []):
+            yield from iter_paths(g)
+
+
+def _polygon_boundary_edges(polygon: dict[str, Any]):
+    """All boundary edges of a (Multi)Polygon as two (n, 2) arrays."""
+    starts, ends = [], []
+    for ring in iter_paths(polygon):
+        a = np.asarray([p[:2] for p in ring], dtype=float)
+        if len(a) < 2:
+            continue
+        if not np.array_equal(a[0], a[-1]):
+            a = np.vstack([a, a[:1]])
+        starts.append(a[:-1])
+        ends.append(a[1:])
+    if not starts:
+        return None, None
+    return np.concatenate(starts), np.concatenate(ends)
+
+
+def _segment_properly_crosses(p, q, e1, e2) -> bool:
+    """True when segment p→q *properly* crosses any boundary edge (strict
+    sign changes on both orientation pairs; touching/collinear contact is
+    not a crossing — ST_CoveredBy allows boundary contact)."""
+    dx, dy = q[0] - p[0], q[1] - p[1]
+    o1 = dx * (e1[:, 1] - p[1]) - dy * (e1[:, 0] - p[0])
+    o2 = dx * (e2[:, 1] - p[1]) - dy * (e2[:, 0] - p[0])
+    dex, dey = e2[:, 0] - e1[:, 0], e2[:, 1] - e1[:, 1]
+    o3 = dex * (p[1] - e1[:, 1]) - dey * (p[0] - e1[:, 0])
+    o4 = dex * (q[1] - e1[:, 1]) - dey * (q[0] - e1[:, 0])
+    return bool(np.any((o1 * o2 < 0) & (o3 * o4 < 0)))
+
+
 def covered_by(geom: dict[str, Any], polygon: dict[str, Any]) -> bool:
-    """Approximate ST_CoveredBy(geom, polygon): every position of ``geom``
-    lies inside the (Multi)Polygon.  Vertex containment is the standard
-    post-filter after a grid-cell candidate join (edge-crossing-only
-    overlaps are not claimed — matches how piste geometries relate to
-    ski-area polygons in practice)."""
+    """ST_CoveredBy(geom, polygon): every vertex of ``geom`` lies inside
+    the (Multi)Polygon AND no segment properly crosses its boundary (a
+    vertex-containment-only test would claim a long segment that dips out
+    of a concave polygon between two interior vertices).  Runs as the
+    exact post-filter after the grid-cell candidate join."""
     pts = list(iter_positions(geom))
     if not pts:
         return False
-    return all(point_in_geom(p[0], p[1], polygon) for p in pts)
+    if not all(point_in_geom(p[0], p[1], polygon) for p in pts):
+        return False
+    e1, e2 = _polygon_boundary_edges(polygon)
+    if e1 is None:
+        return False
+    for path in iter_paths(geom):
+        arr = np.asarray([p[:2] for p in path], dtype=float)
+        for i in range(len(arr) - 1):
+            if _segment_properly_crosses(arr[i], arr[i + 1], e1, e2):
+                return False
+    return True
 
 
 def geometry_collection(geoms: list[dict[str, Any]]) -> dict[str, Any]:

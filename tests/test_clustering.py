@@ -297,3 +297,27 @@ class TestHighLatitudeGrid:
         got = {(r.lid, r.rid)
                for r in dwithin_pairs(left, right, 0.5).select("lid", "rid").collect()}
         assert got == {(f"a{i}", f"b{i}") for i in range(4)}
+
+
+def test_covered_by_edge_crossing():
+    """ST_CoveredBy parity: a segment between two interior vertices that
+    exits a concave polygon (or crosses a hole) is NOT covered; boundary
+    contact without a proper crossing still is."""
+    from openskidata_processor_spark.functions.geometry import covered_by
+    u = {"type": "Polygon", "coordinates": [[
+        [0, 0], [10, 0], [10, 10], [7, 10], [7, 3],
+        [3, 3], [3, 10], [0, 10], [0, 0]]]}
+    base_line = {"type": "LineString", "coordinates": [[1, 1], [9, 1]]}
+    notch_line = {"type": "LineString", "coordinates": [[1.5, 8], [8.5, 8]]}
+    assert covered_by(base_line, u)
+    assert not covered_by(notch_line, u)  # vertices inside, edge dips out
+    holed = {"type": "Polygon", "coordinates": [
+        [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+        [[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]]]}
+    assert not covered_by(
+        {"type": "LineString", "coordinates": [[2, 5], [8, 5]]}, holed)
+    assert covered_by(
+        {"type": "LineString", "coordinates": [[2, 2], [8, 2]]}, holed)
+    # boundary contact is allowed (CoveredBy, not Within)
+    assert covered_by(
+        {"type": "LineString", "coordinates": [[0, 0], [5, 0]]}, u)
