@@ -176,7 +176,7 @@ def write_outputs(layers: dict[str, DataFrame], out_dir: str,
                       os.path.join(out_dir, "csv", "runs"), True)
     csvsink.write_csv(csvsink.lift_csv(layers["lifts"], sa),
                       os.path.join(out_dir, "csv", "lifts"), True)
-    csvsink.write_csv(csvsink.spot_csv(layers["spots"]),
+    csvsink.write_csv(csvsink.spot_csv(layers["spots"], sa),
                       os.path.join(out_dir, "csv", "spots"), True)
     if "statistics" in layers["ski_areas"].columns:
         csvsink.write_csv(csvsink.ski_area_csv(layers["ski_areas"]),

@@ -61,7 +61,9 @@ SURFACE_LIFT_TYPES = ("t-bar", "j-bar", "platter", "rope_tow", "drag_lift",
 def _with_ski_area_names(df: DataFrame,
                          ski_areas: DataFrame | None) -> DataFrame:
     """J8 export join (FeatureExporter.ts:148-161): resolve the feature's
-    ski-area ids to names, sorted-unique ';'-joined.  Without a ski-area
+    ski-area ids to names, sorted-unique ','-joined (extractSkiAreaNames —
+    the CSV writer quotes the comma-bearing field, = escapeField).  Without
+    a ski-area
     table the column stays empty (the reference pre-clustering shape)."""
     if ski_areas is None or "ski_areas" not in df.columns:
         return df.withColumn("__sa_names", F.lit(""))
@@ -72,7 +74,7 @@ def _with_ski_area_names(df: DataFrame,
                 .join(F.broadcast(names), "__said")
                 .filter(F.col("__sname").isNotNull())
                 .groupBy("__fid")
-                .agg(F.concat_ws(";", F.array_sort(
+                .agg(F.concat_ws(",", F.array_sort(
                     F.collect_set("__sname"))).alias("__names")))
     return (df.join(resolved, df["id"] == resolved["__fid"], "left")
             .withColumn("__sa_names", F.coalesce("__names", F.lit("")))
@@ -125,11 +127,29 @@ def _common(df: DataFrame):
         # toFixed(6), no thousands separators (CSVFormatter.ts:164-165)
         "lat": F.format_string("%.6f", center[1]),
         "lng": F.format_string("%.6f", center[0]),
-        "websites": F.concat_ws(";", F.array_sort("websites"))
+        # sorted, SPACE-joined (formatWebsites/formatSources,
+        # CSVFormatter.ts:358-367)
+        "websites": F.concat_ws(" ", F.array_sort("websites"))
             if "websites" in df.columns else F.lit(""),
-        "sources": F.concat_ws(";", F.array_sort(F.transform(
-            "sources", lambda s: F.concat_ws(":", s["type"], s["id"])))),
+        "sources": F.concat_ws(" ", F.array_sort(F.transform(
+            "sources", _source_url))),
     }
+
+
+def _source_url(s: Column) -> Column:
+    """getSourceURL (openskidata-format): per-source canonical URL."""
+    return (F.when(s["type"] == "openstreetmap",
+                   F.concat(F.lit("https://www.openstreetmap.org/"), s["id"]))
+            .when(s["type"] == "skimap.org",
+                  F.concat(F.lit("https://www.skimap.org/SkiAreas/view/"),
+                           s["id"]))
+            .otherwise(s["id"]))
+
+
+def _bool(col: Column) -> Column:
+    """formatBoolean (CSVFormatter.ts:319-322): yes / no / empty."""
+    return (F.when(col.isNull(), F.lit(""))
+            .when(col.cast("boolean"), F.lit("yes")).otherwise(F.lit("no")))
 
 
 def run_csv(runs: DataFrame,
@@ -140,8 +160,10 @@ def run_csv(runs: DataFrame,
     c = _common(runs)
     m = elevation_metrics_udf("geometry")
     df = runs.withColumn("__m", m)
-    # toFixed(2) of the percent value (CSVFormatter.ts:197-198)
-    pct = lambda col: F.format_string("%.2f", col * 100)  # noqa: E731
+    # averagePitchInPercent is the GRADE RATIO toFixed(2) — the reference
+    # vector prints 0.96 for a 200 m drop over 208 m (CSVFormatter.unit.
+    # test.ts:171), despite the _% header
+    pct = lambda col: F.format_string("%.2f", col)  # noqa: E731
     return df.select(
         F.col("name"), F.col("ref"),
         c["countries"].alias("countries"), c["regions"].alias("regions"),
@@ -150,7 +172,9 @@ def run_csv(runs: DataFrame,
         F.col("difficulty"),
         run_color(F.col("difficulty_convention"), F.col("difficulty"))
             .alias("color"),
-        F.col("oneway"), F.col("lit"), F.col("gladed"), F.col("patrolled"),
+        _bool(F.col("oneway")).alias("oneway"), _bool(F.col("lit")).alias("lit"),
+        _bool(F.col("gladed")).alias("gladed"),
+        _bool(F.col("patrolled")).alias("patrolled"),
         F.col("grooming"),
         F.concat_ws(";", "uses").alias("uses"),
         # toFixed() integers / toFixed(2) percents (CSVFormatter.ts:194-200)
@@ -185,7 +209,7 @@ def lift_csv(lifts: DataFrame,
     vspeed = F.when(F.col("duration") > 0,
                     F.format_string("%.2f", vertical / F.col("duration")))
     pitch = F.when(F.col("__m.inclined_length_m") > 0, F.format_string(
-        "%.2f", vertical / F.col("__m.inclined_length_m") * 100))
+        "%.2f", vertical / F.col("__m.inclined_length_m")))
     return df.select(
         F.col("name"), F.col("ref"),
         F.col("ref_fr_cairn"), F.col("lift_type"), F.col("status"),
@@ -193,9 +217,14 @@ def lift_csv(lifts: DataFrame,
         c["countries"].alias("countries"), c["regions"].alias("regions"),
         c["localities"].alias("localities"),
         F.col("__sa_names").alias("ski_area_names"),
-        F.col("oneway"), F.col("duration").alias("duration_sec"),
-        F.col("capacity"), F.col("occupancy"), F.col("detachable"),
-        F.col("bubble"), F.col("heating"),
+        _bool(F.col("oneway")).alias("oneway"),
+        # falsy -> empty (CSVFormatter.ts:227-229)
+        F.when(F.col("duration") > 0, F.col("duration")).alias("duration_sec"),
+        F.when(F.col("capacity") > 0, F.col("capacity")).alias("capacity"),
+        F.when(F.col("occupancy") > 0, F.col("occupancy")).alias("occupancy"),
+        _bool(F.col("detachable")).alias("detachable"),
+        _bool(F.col("bubble")).alias("bubble"),
+        _bool(F.col("heating")).alias("heating"),
         F.format_string("%.0f", "__m.inclined_length_m")
             .alias("inclined_length_m"),
         F.format_string("%.0f", vertical).alias("vertical_m"),
@@ -267,8 +296,9 @@ def ski_area_csv(ski_areas: DataFrame) -> DataFrame:
         c["countries"].alias("countries"), c["regions"].alias("regions"),
         c["localities"].alias("localities"),
         F.col("status"),
-        F.array_contains("activities", "downhill").alias("has_downhill"),
-        F.array_contains("activities", "nordic").alias("has_nordic"),
+        _bool(F.array_contains("activities", "downhill"))
+            .alias("has_downhill"),
+        _bool(F.array_contains("activities", "nordic")).alias("has_nordic"),
         act_distance("downhill").alias("downhill_distance_km"),
         act_distance("nordic").alias("nordic_distance_km"),
         # Math.round integers, empty on falsy elevations / zero counts
@@ -291,7 +321,9 @@ def ski_area_csv(ski_areas: DataFrame) -> DataFrame:
     )
 
 
-def spot_csv(spots: DataFrame) -> DataFrame:
+def spot_csv(spots: DataFrame,
+             ski_areas: DataFrame | None = None) -> DataFrame:
+    spots = _with_ski_area_names(spots, ski_areas)
     c = _common(spots)
     center = F.from_json(
         F.get_json_object("geometry", "$.coordinates"), "array<double>")
@@ -300,11 +332,14 @@ def spot_csv(spots: DataFrame) -> DataFrame:
         F.format_string("%.6f", center[0]).alias("longitude"),
         F.format_string("%.6f", center[1]).alias("latitude"),
         c["sources"].alias("sources"),
-        F.concat_ws(";", F.array_sort("ski_areas")).alias("ski_areas"),
+        # spot ski_areas column carries resolved NAMES (formatSpot uses
+        # extractSkiAreaNames, CSVFormatter.ts:416)
+        F.col("__sa_names").alias("ski_areas"),
         c["countries"].alias("countries"), c["regions"].alias("regions"),
         c["localities"].alias("localities"),
         F.col("dismount"), F.col("name"), F.col("position"),
-        F.col("entry"), F.col("exit"),
+        _bool(F.col("entry")).alias("entry"),
+        _bool(F.col("exit")).alias("exit"),
     )
 
 

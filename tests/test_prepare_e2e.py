@@ -96,7 +96,7 @@ def test_csv_outputs(outputs, spark):
     sa = spark.read.option("header", True).csv(f"{out_dir}/csv/ski_areas")
     resort = next(r for r in sa.collect() if r.name == "Test Resort")
     assert resort.lift_count == "1"
-    assert resort.has_downhill == "true"
+    assert resort.has_downhill == "yes"
 
 
 def test_geopackage_output(outputs):

@@ -212,3 +212,63 @@ class TestMergeOutputs:
         produced = generate_tiles(str(tmp_path))
         assert (tmp_path / "openskimap.mbtiles").exists()
         assert len(produced) == 4
+
+
+class TestCSVReferenceVectors:
+    """Byte-parity against the reference's CSVFormatter inline snapshots
+    (CSVFormatter.unit.test.ts) — the whole row, joined exactly as the
+    reference joins fields."""
+
+    def _row_line(self, row):
+        return ",".join("" if v is None else str(v) for v in row)
+
+    def test_run_vector(self, spark):
+        schema = ("id string, name string, ref string, description string,"
+                  " difficulty string, difficulty_convention string,"
+                  " oneway boolean, lit boolean, gladed boolean,"
+                  " patrolled boolean, grooming string, uses array<string>,"
+                  " wikidata_id string, websites array<string>,"
+                  " ski_areas array<string>,"
+                  " sources array<struct<type:string,id:string>>,"
+                  " geometry string")
+        geom = json.dumps({"type": "LineString", "coordinates": [
+            [11.177452968770694, 47.312650638218656, 2000],
+            [11.175409464719593, 47.31138883724759, 1800]]})
+        runs = spark.createDataFrame([(
+            "test-run", "Test Run", "5", None, "intermediate", "europe",
+            True, True, False, True, None, ["downhill"], None, [],
+            ["test-ski-area"], [("openstreetmap", "123")], geom)], schema)
+        sa = spark.createDataFrame(
+            [("test-ski-area", "Test Ski Area")], "id string, name string")
+        line = self._row_line(csvsink.run_csv(runs, sa).collect()[0])
+        assert line == (
+            "Test Run,5,,,,Test Ski Area,intermediate,red,yes,yes,no,yes,,"
+            "downhill,289,200,0,0.96,0.96,1800,2000,europe,,,"
+            "https://openskimap.org/?obj=test-run,test-run,LineString,"
+            "47.312020,11.176431,test-ski-area,"
+            "https://www.openstreetmap.org/123,")
+
+    def test_lift_vector(self, spark):
+        schema = ("id string, name string, ref string, ref_fr_cairn string,"
+                  " lift_type string, status string, access string,"
+                  " description string, oneway boolean, duration int,"
+                  " capacity int, occupancy int, detachable boolean,"
+                  " bubble boolean, heating boolean, wikidata_id string,"
+                  " websites array<string>, ski_areas array<string>,"
+                  " sources array<struct<type:string,id:string>>,"
+                  " geometry string")
+        geom = json.dumps({"type": "LineString", "coordinates": [
+            [10.0, 20.0, 1600], [10.1, 20.1, 1800], [10.2, 20.2, 2000]]})
+        lifts = spark.createDataFrame([(
+            "test-lift", "Test Lift", "A", None, "chair_lift", "operating",
+            None, None, None, 600, 2400, 4, True, True, True, None, [],
+            ["test-ski-area"], [("openstreetmap", "123")], geom)], schema)
+        sa = spark.createDataFrame(
+            [("test-ski-area", "Test Ski Area")], "id string, name string")
+        line = self._row_line(csvsink.lift_csv(lifts, sa).collect()[0])
+        assert line == (
+            "Test Lift,A,,chair_lift,operating,,,,,Test Ski Area,,600,2400,"
+            "4,yes,yes,yes,30511,400,50.9,0.67,1600,2000,0.01,,,"
+            "https://openskimap.org/?obj=test-lift,test-lift,LineString,"
+            "20.100000,10.100000,test-ski-area,"
+            "https://www.openstreetmap.org/123,")
