@@ -158,9 +158,14 @@ def prepare_from_elements(spark: SparkSession, elements: DataFrame,
 
 
 def write_outputs(layers: dict[str, DataFrame], out_dir: str,
-                  geopackage: bool = True) -> None:
+                  geopackage: bool = True,
+                  reference_shape: bool = False) -> None:
     """Phase 4 (K1/K2/K3 + P10): all sink formats from the clustered
-    layers."""
+    layers.  ``reference_shape=True`` writes the four layer
+    FeatureCollections in the reference's exported property contract
+    (camelCase keys, embedded skiAreas/stations summary features) so a
+    consumer of the reference can diff outputs directly; the default keeps
+    the engine's own flat snake_case properties."""
     from ..sinks import csv as csvsink
     from ..sinks import geojson as geojson_sink
     from ..sinks.geopackage import write_geopackage
@@ -168,8 +173,12 @@ def write_outputs(layers: dict[str, DataFrame], out_dir: str,
 
     os.makedirs(out_dir, exist_ok=True)
     for name in ("runs", "lifts", "spots", "ski_areas"):
-        geojson_sink.write_feature_collection(
-            layers[name], os.path.join(out_dir, f"{name}.geojson"))
+        path = os.path.join(out_dir, f"{name}.geojson")
+        if reference_shape:
+            geojson_sink.write_reference_feature_collection(
+                layers[name], path, ski_areas=layers["ski_areas"])
+        else:
+            geojson_sink.write_feature_collection(layers[name], path)
 
     sa = layers["ski_areas"]
     csvsink.write_csv(csvsink.run_csv(layers["runs"], sa),

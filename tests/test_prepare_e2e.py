@@ -132,3 +132,39 @@ def test_viewport_hints_attached(outputs):
     hint = fc["features"][0]["properties"]["viewport_hint"]
     assert set(hint) == {"bearing", "center", "min_camera_y",
                          "rotated_height_meters", "rotated_width_meters"}
+
+
+def test_reference_shape_geojson(outputs, spark, tmp_path_factory):
+    """The reference-contract export: camelCase property keys, type from
+    feature_type, skiAreas embedded as summary FEATURES (toSkiAreaSummary),
+    lifts carrying stations[] features (FeatureExporter.ts:95-161)."""
+    layers, _ = outputs
+    out_dir = str(tmp_path_factory.mktemp("refshape"))
+    write_outputs(layers, out_dir, geopackage=False, reference_shape=True)
+    runs = json.load(open(f"{out_dir}/runs.geojson"))
+    home = next(f for f in runs["features"]
+                if f["properties"]["name"] == "Home Run")
+    p = home["properties"]
+    assert p["type"] == "run"
+    assert "difficultyConvention" in p and "wikidataID" in p
+    assert "ski_areas" not in p and "feature_type" not in p
+    sa = p["skiAreas"][0]
+    assert sa["type"] == "Feature"
+    assert sa["properties"]["name"] == "Test Resort"
+    assert set(sa["properties"]) == {"activities", "id", "name", "status",
+                                     "type"}
+    assert sa["geometry"]["type"] in ("Polygon", "Point")
+    assert p["viewportHint"] is not None \
+        and "minCameraY" in p["viewportHint"]
+    lifts = json.load(open(f"{out_dir}/lifts.geojson"))
+    lp = lifts["features"][0]["properties"]
+    assert "stations" in lp and isinstance(lp["stations"], list)
+    assert lp["liftType"] in ("chair_lift", "t-bar")
+    areas = json.load(open(f"{out_dir}/ski_areas.geojson"))
+    ap = next(f["properties"] for f in areas["features"]
+              if f["properties"]["name"] == "Test Resort")
+    stats = ap["statistics"]
+    assert "byActivity" in stats["runs"]
+    assert stats["runs"]["byActivity"]["downhill"]["byDifficulty"]["easy"][
+        "count"] == 1
+    assert stats["lifts"]["byType"]["chair_lift"]["count"] == 1
