@@ -169,7 +169,8 @@ def write_outputs(layers: dict[str, DataFrame], out_dir: str,
     from ..sinks import csv as csvsink
     from ..sinks import geojson as geojson_sink
     from ..sinks.geopackage import write_geopackage
-    from .mapbox import mapbox_lifts, mapbox_runs, mapbox_ski_areas
+    from .mapbox import (mapbox_lifts, mapbox_runs, mapbox_ski_areas,
+                         mapbox_spots)
 
     os.makedirs(out_dir, exist_ok=True)
     for name in ("runs", "lifts", "spots", "ski_areas"):
@@ -192,7 +193,8 @@ def write_outputs(layers: dict[str, DataFrame], out_dir: str,
                           os.path.join(out_dir, "csv", "ski_areas"), True)
 
     for name, projector in (("runs", mapbox_runs), ("lifts", mapbox_lifts),
-                            ("ski_areas", mapbox_ski_areas)):
+                            ("ski_areas", mapbox_ski_areas),
+                            ("spots", mapbox_spots)):
         geojson_sink.write_feature_collection(
             projector(layers[name]),
             os.path.join(out_dir, f"mapboxgl_{name}.geojson"))

@@ -168,3 +168,31 @@ def test_reference_shape_geojson(outputs, spark, tmp_path_factory):
     assert stats["runs"]["byActivity"]["downhill"]["byDifficulty"]["easy"][
         "count"] == 1
     assert stats["lifts"]["byType"]["chair_lift"]["count"] == 1
+
+
+def test_mapbox_contract(outputs):
+    """mapboxgl_*.geojson property contract (MapboxGLFormatter.ts +
+    PrepareGeoJSON.int.test.ts snapshots): one feature per run with
+    per-use offset columns, colorName + hsl color, lift name_and_type,
+    ski-area rounded stats, spots layer present."""
+    _, out_dir = outputs
+    runs = json.load(open(f"{out_dir}/mapboxgl_runs.geojson"))
+    home = next(f["properties"] for f in runs["features"]
+                if f["properties"]["name"] == "Home Run")
+    assert home["downhill"] == 0.0          # single use → centered offset
+    assert home["nordic"] is None
+    assert home["colorName"] == "blue"
+    assert home["color"] == "hsl(208, 100%, 33%)"  # snapshot-verified value
+    assert isinstance(home["skiAreas"], list) and home["skiAreas"]
+    lifts = json.load(open(f"{out_dir}/mapboxgl_lifts.geojson"))
+    quad = next(f["properties"] for f in lifts["features"])
+    assert quad["name_and_type"] == "Quad (Chairlift)"
+    assert quad["color"] == "hsl(0, 82%, 42%)"     # operating, verified
+    assert "stationIds" in quad
+    areas = json.load(open(f"{out_dir}/mapboxgl_ski_areas.geojson"))
+    resort = next(f["properties"] for f in areas["features"]
+                  if f["properties"]["name"] == "Test Resort")
+    assert resort["has_downhill"] is True
+    assert "downhillDistance" in resort and "vertical" in resort
+    assert json.load(open(f"{out_dir}/mapboxgl_spots.geojson"))[
+        "type"] == "FeatureCollection"
