@@ -570,18 +570,32 @@ FROM comp GROUP BY component
 def quality_docs(spark, sf_dir):
     """Pretraining-quality heuristic per document (token-length score ×
     punctuation-density penalty), aggregated per source — the classic
-    quality-filter stage of a corpus pipeline, all in whole-stage codegen."""
+    quality-filter stage of a corpus pipeline, all in whole-stage codegen.
+
+    The score is computed in *pure BIGINT arithmetic* on both engines:
+      q = (min(n_tok, 64) * (len - punct_len) * 1e6) div (64 * len)
+    which equals floor(min(n_tok/64,1) * (1-punct_ratio) * 1e6) exactly,
+    with no double rounding — so the Spark and DuckDB results are
+    bit-identical (a double `floor()` can straddle an integer boundary by
+    1 ulp between engines; integer `div` cannot)."""
     from ..functions import text as T
 
     docs = _t(spark, sf_dir, "documents")
-    n_tok = T.token_count(F.col("text")).cast("double")
-    len_score = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    n_tok = T.token_count(F.col("text")).cast("long")
+    len_text = F.length("text").cast("long")
     stripped = F.regexp_replace("text", "[a-zA-Z0-9 ]", "")
-    punct = F.when(F.length("text") > 0,
-                   F.length(stripped) / F.length("text")).otherwise(0.0)
-    # integer fixed-point: scale to 1e6 and floor, same on both engines
-    score = F.floor(len_score * (F.lit(1.0) - punct) * 1_000_000).cast("long")
-    return (docs.select("source", score.alias("q"))
+    alnum_len = len_text - F.length(stripped).cast("long")
+    prepared = docs.select(
+        "source",
+        F.least(n_tok, F.lit(64).cast("long")).alias("tok_c"),
+        alnum_len.alias("alnum_len"),
+        len_text.alias("len_text"),
+    )
+    score = F.expr(
+        "CASE WHEN len_text > 0 "
+        "THEN (tok_c * alnum_len * 1000000L) div (64L * len_text) "
+        "ELSE 0L END")
+    return (prepared.select("source", score.alias("q"))
             .groupBy("source")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("q").alias("sum_quality_e6"),
@@ -592,17 +606,19 @@ def quality_docs(spark, sf_dir):
 ORACLES["quality_docs"] = """
 WITH q AS (
   SELECT source,
-         CAST(floor(
-           least(CAST(len(regexp_extract_all(text,
-                 '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS DOUBLE) / 64.0, 1.0)
-           * (1.0 - CASE WHEN len(text) > 0
-              THEN CAST(len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-                   / len(text) ELSE 0.0 END)
-           * 1000000) AS BIGINT) AS q
+         CASE WHEN len(text) > 0 THEN
+           (least(CAST(len(regexp_extract_all(text,
+                  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT), 64)
+            * (CAST(len(text) AS BIGINT)
+               - CAST(len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT))
+            * 1000000)
+           // (64 * CAST(len(text) AS BIGINT))
+         ELSE 0 END AS q
   FROM documents)
 SELECT source, count(*) AS n_docs,
        CAST(sum(q) AS BIGINT) AS sum_quality_e6,
-       min(q) AS min_quality_e6, max(q) AS max_quality_e6
+       CAST(min(q) AS BIGINT) AS min_quality_e6,
+       CAST(max(q) AS BIGINT) AS max_quality_e6
 FROM q GROUP BY source
 """
 
