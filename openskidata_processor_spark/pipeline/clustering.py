@@ -21,8 +21,10 @@ Reference semantics (src/clustering/SkiAreaClusteringService.ts:337-447):
 The per-seed recursion (visitObject, :705-779) becomes per-activity
 connected components over the 500 m spatial graph: every "claim" pass is
 one grid-bucketed distance self-join + label propagation instead of one
-SQL round-trip per object.  ``localCheckpoint`` cuts lineage between
-passes.
+SQL round-trip per object.  A lazy lineage cut between passes
+(``operators.barrier.truncate_lineage`` — reliable ``checkpoint()`` on a
+cluster when ``SPARK_GRAFT_RELIABLE_CHECKPOINT`` is set) keeps plans
+bounded.
 
 Documented deviations from the sequential reference (the integration
 suite's scenarios still hold): contested transitive claims resolve to the
@@ -51,9 +53,14 @@ from ..functions import geometry as geo
 from ..functions.geometry import (geometry_collection_udf,
                                   representative_point_udf,
                                   geometry_length_km_udf)
+from ..operators.barrier import truncate_lineage
 from ..operators.graph import connected_components
 from .formatters import STATION_ARRAY_DDL
 from .statistics import ski_area_statistics
+
+def _cut(df: DataFrame) -> DataFrame:
+    return truncate_lineage(df, eager=False)
+
 
 MAX_DISTANCE_KM = 0.5       # SkiAreaClusteringService.ts:66
 MERGE_DISTANCE_KM = 0.25    # :826
@@ -366,19 +373,19 @@ def cluster_ski_areas(ski_areas: DataFrame, runs: DataFrame,
     layers.  ``ski_areas.ski_areas``-style membership lives on the objects
     (ids of their ski areas), exactly like the reference's working table.
     """
-    objs = prepare_objects(runs, lifts, spots).localCheckpoint(eager=False)
+    objs = prepare_objects(runs, lifts, spots).transform(_cut)
     sas = (ski_areas.select(
         "id", "name", "sources", "activities", "status", "websites",
         "wikidata_id", "run_convention", "geometry",
         F.get_json_object("geometry", "$.type").isin("Polygon", "MultiPolygon")
             .alias("is_polygon"),
         (F.col("sources")[0]["type"]).alias("source"))
-        .localCheckpoint(eager=False))
+        .transform(_cut))
 
     # Pass 1 — site ski areas: geometry + activities from members.
     sas = _derive_activities(sas, objs)
     sas = _member_geometry(sas, objs, only_placeholder=True)
-    sas = sas.localCheckpoint(eager=False)
+    sas = sas.transform(_cut)
 
     # Pass 2 — OSM polygon ski areas claim contained objects.
     polys = sas.filter(F.col("is_polygon") & (F.col("source") == "openstreetmap"))
@@ -387,7 +394,7 @@ def cluster_ski_areas(ski_areas: DataFrame, runs: DataFrame,
         .filter(_activity_compatible("lacts", "racts")) \
         .select(F.col("lid").alias("object_id"),
                 F.col("rid").alias("ski_area_id"))
-    contained = contained.localCheckpoint(eager=False)
+    contained = contained.transform(_cut)
 
     # removal rules: no members, or >50% of member length in a site.
     member_lengths = (
@@ -409,19 +416,19 @@ def cluster_ski_areas(ski_areas: DataFrame, runs: DataFrame,
     empty_polys = polys.join(
         member_lengths.select("ski_area_id"),
         polys["id"] == F.col("ski_area_id"), "left_anti").select("id")
-    dropped = removed_polys.unionByName(empty_polys).localCheckpoint(eager=False)
+    dropped = removed_polys.unionByName(empty_polys).transform(_cut)
 
-    sas = sas.join(dropped, "id", "left_anti").localCheckpoint(eager=False)
+    sas = sas.join(dropped, "id", "left_anti").transform(_cut)
     contained_kept = contained.join(
         dropped, contained["ski_area_id"] == dropped["id"], "left_anti")
     objs = _assign(objs, contained_kept, mark_polygon=True)
-    sas = _derive_activities(sas, objs).localCheckpoint(eager=False)
-    objs = objs.localCheckpoint(eager=False)
+    sas = _derive_activities(sas, objs).transform(_cut)
+    objs = objs.transform(_cut)
 
     # Pass 3 — transitive expansion of OSM ski areas.
     claims = _transitive_claim(sas, objs, "openstreetmap")
-    objs = _assign(objs, claims).localCheckpoint(eager=False)
-    sas = _derive_activities(sas, objs).localCheckpoint(eager=False)
+    objs = _assign(objs, claims).transform(_cut)
+    sas = _derive_activities(sas, objs).transform(_cut)
 
     # Pass 4 — merge Skimap.org areas into nearby OSM areas (250 m to any
     # object of the OSM area, activity compatible).
@@ -440,7 +447,7 @@ def cluster_ski_areas(ski_areas: DataFrame, runs: DataFrame,
     merges = (targets.join(t_sa, "target_id")
               .filter(F.col("target_source") != "skimap.org")
               .drop("target_source")
-              .localCheckpoint(eager=False))
+              .transform(_cut))
 
     merged_props = (
         merges.join(skimap.select(F.col("id").alias("skimap_id"),
@@ -476,18 +483,18 @@ def cluster_ski_areas(ski_areas: DataFrame, runs: DataFrame,
            .drop("target_id", "__sm_name", "__sm_sources", "__sm_acts",
                  "__sm_sites"))
     sas = sas.join(merges.select(F.col("skimap_id").alias("id")).distinct(),
-                   "id", "left_anti").localCheckpoint(eager=False)
+                   "id", "left_anti").transform(_cut)
 
     # Pass 5 — transitive expansion of remaining Skimap.org ski areas.
     claims = _transitive_claim(sas, objs, "skimap.org")
-    objs = _assign(objs, claims).localCheckpoint(eager=False)
-    sas = _derive_activities(sas, objs).localCheckpoint(eager=False)
+    objs = _assign(objs, claims).transform(_cut)
+    sas = _derive_activities(sas, objs).transform(_cut)
 
     # Pass 6 — generate ski areas from still-unassigned runs.
     gen_sas, gen_assign = _generate_ski_areas(objs)
     if gen_sas is not None:
-        sas = sas.unionByName(gen_sas).localCheckpoint(eager=False)
-        objs = _assign(objs, gen_assign).localCheckpoint(eager=False)
+        sas = sas.unionByName(gen_sas).transform(_cut)
+        objs = _assign(objs, gen_assign).transform(_cut)
 
     # Pass 8 — lift stations ↔ lifts (J5/W1 argmin within 30 m).
     objs, station_assoc = _associate_stations(objs)
@@ -521,7 +528,7 @@ def cluster_ski_areas(ski_areas: DataFrame, runs: DataFrame,
             .withColumn("status", F.lit("operating")).withColumn(
                 "lift_type", F.col("lift_type")))
     sas = (sas.join(stats, sas["id"] == stats["ski_area_id"], "left")
-           .drop("ski_area_id").localCheckpoint(eager=False))
+           .drop("ski_area_id").transform(_cut))
 
     # write memberships back to the layers
     def apply_membership(layer: DataFrame) -> DataFrame:
@@ -593,7 +600,7 @@ def _generate_ski_areas(objs: DataFrame):
            .select(F.col("lid").alias("src"), F.col("rid").alias("dst")))
     comps = connected_components(prs)
     members = (unassigned.join(comps, unassigned["id"] == comps["vertex"])
-               .drop("vertex").localCheckpoint(eager=False))
+               .drop("vertex").transform(_cut))
 
     per_comp = members.groupBy("component").agg(
         F.max(F.when(F.col("is_basis_for_new_ski_area"), 1).otherwise(0))
@@ -719,7 +726,7 @@ def _associate_stations(objs: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("rid").alias("lift_id"),
         snap("lgeom", "rgeom").alias("snapped_geometry"),
         infer_pos("lgeom", "rgeom").alias("inferred_position"))
-        .localCheckpoint(eager=False))
+        .transform(_cut))
 
     out = (objs.join(assoc, objs["id"] == assoc["station_id"], "left")
            # orphaned stations removed (ref :88-94)
@@ -731,5 +738,5 @@ def _associate_stations(objs: DataFrame) -> tuple[DataFrame, DataFrame]:
            .withColumn("associated_lift_id", F.col("lift_id"))
            .drop("station_id", "lift_id", "snapped_geometry",
                  "inferred_position")
-           .localCheckpoint(eager=False))
+           .transform(_cut))
     return out, assoc

@@ -224,6 +224,22 @@ def elevation_cache_misses(features: DataFrame, cache: DataFrame,
 
 # -- geocoding join (J10/P12) ----------------------------------------------
 
+def geometry_geohashes(sample_interval_km: float = 1.0,
+                       geohash_precision: int = 6):
+    """Pandas UDF: geometry GeoJSON → geohash keys sampled along it at
+    ``sample_interval_km`` steps, always keeping endpoints
+    (GeoTransforms.ts:136-223).  Shared by the geocode join
+    (``add_places``) and the miss-set extractor
+    (``sources.fetch.geocode_cache_misses``) so both walk identical keys."""
+    @F.pandas_udf(ArrayType(StringType()))
+    def sample(gj: pd.Series) -> pd.Series:
+        return gj.map(lambda s: [
+            geohash_encode(p[0], p[1], geohash_precision)
+            for p in geo.points_along_geometry(json.loads(s),
+                                               sample_interval_km)])
+    return sample
+
+
 def add_places(features: DataFrame, geocode_cache: DataFrame,
                sample_interval_km: float = 1.0,
                geohash_precision: int = 6,
@@ -234,13 +250,7 @@ def add_places(features: DataFrame, geocode_cache: DataFrame,
     ``geocode_cache``: (key geohash-6, place struct<iso3166_1, iso3166_2,
     country, region, locality>).  Sampling walks each geometry at 1 km
     steps always keeping endpoints (GeoTransforms.ts:136-223)."""
-    @F.pandas_udf(ArrayType(StringType()))
-    def sample(gj: pd.Series) -> pd.Series:
-        return gj.map(lambda s: [
-            geohash_encode(p[0], p[1], geohash_precision)
-            for p in geo.points_along_geometry(json.loads(s),
-                                               sample_interval_km)])
-
+    sample = geometry_geohashes(sample_interval_km, geohash_precision)
     keys = (features.select(F.col(id_col).alias("__fid"),
                             F.explode(sample(F.col(geometry_col)))
                             .alias("key"))

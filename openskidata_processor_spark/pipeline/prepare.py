@@ -25,6 +25,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import osm as osm_fns
+from ..operators.barrier import truncate_lineage
 from ..sources.osm import assemble_osm_features, site_relations
 from . import formatters as fmt
 from .clustering import cluster_ski_areas
@@ -51,7 +52,7 @@ def prepare(spark: SparkSession,
             path = os.path.join(checkpoint_dir, name)
             df.write.mode("overwrite").parquet(path)
             return spark.read.parquet(path)
-        return df.localCheckpoint(eager=True)
+        return truncate_lineage(df)
 
     site_areas = fmt.format_ski_areas_sites(sites)
     runs = fmt.attach_site_ski_areas(fmt.format_runs(runs_raw), sites,
@@ -121,7 +122,7 @@ def prepare_from_elements(spark: SparkSession, elements: DataFrame,
                           skimap_areas: DataFrame,
                           **kwargs) -> dict[str, DataFrame]:
     """Full S3→outputs path from raw OSM elements (one Overpass dump)."""
-    feats = assemble_osm_features(elements).localCheckpoint(eager=True)
+    feats = truncate_lineage(assemble_osm_features(elements))
     from pyspark.sql import functions as F
 
     tags = F.col("tags")

@@ -584,16 +584,16 @@ def quality_docs(spark, sf_dir):
     n_tok = T.token_count(F.col("text")).cast("long")
     len_text = F.length("text").cast("long")
     stripped = F.regexp_replace("text", "[a-zA-Z0-9 ]", "")
-    alnum_len = len_text - F.length(stripped).cast("long")
+    non_punct_len = len_text - F.length(stripped).cast("long")
     prepared = docs.select(
         "source",
         F.least(n_tok, F.lit(64).cast("long")).alias("tok_c"),
-        alnum_len.alias("alnum_len"),
+        non_punct_len.alias("non_punct_len"),
         len_text.alias("len_text"),
     )
     score = F.expr(
         "CASE WHEN len_text > 0 "
-        "THEN (tok_c * alnum_len * 1000000L) div (64L * len_text) "
+        "THEN (tok_c * non_punct_len * 1000000L) div (64L * len_text) "
         "ELSE 0L END")
     return (prepared.select("source", score.alias("q"))
             .groupBy("source")

@@ -60,15 +60,47 @@ def write_feature_collection(df: DataFrame, path: str,
         f.write("]}")
 
 
-def read_feature_collection(spark, path: str) -> DataFrame:
-    """Streaming-shaped reader for FeatureCollection files (S4): features
-    land as JSON strings, one row each."""
-    with open(path) as f:
-        fc = json.load(f)
-    feats = [(json.dumps(x, separators=(",", ":"), sort_keys=True),)
-             for x in fc.get("features", [])]
-    return spark.createDataFrame(feats or [("",)], "feature string") \
-        .filter(F.col("feature") != "")
+def read_feature_jsonl(spark, path: str) -> DataFrame:
+    """The scale reader (inverse of ``write_feature_jsonl``): sharded
+    newline-delimited Features → one ``feature`` string row each.  A plain
+    splittable text scan — N files / N splits, no driver involvement."""
+    return (spark.read.text(path)
+            .select(F.col("value").alias("feature"))
+            .filter(F.length("feature") > 0))
+
+
+# Above this size a single FeatureCollection file parses executor-side.
+DRIVER_READ_MAX_BYTES = 32 << 20
+
+
+def read_feature_collection(spark, path: str,
+                            max_driver_bytes: int = DRIVER_READ_MAX_BYTES
+                            ) -> DataFrame:
+    """Reader for FeatureCollection inputs (S4): features land as JSON
+    strings, one row each.
+
+    Three paths by input shape:
+    - a *directory* → sharded JSONL (``read_feature_jsonl``) — the
+      documented 100 TB entry, fully splittable;
+    - a small single file (≤ ``max_driver_bytes``) → driver ``json.load``
+      with canonical re-serialization (byte-stable parity ingest);
+    - a large single file → ``spark.read.json(multiLine)`` +
+      ``posexplode(features)``: one JSON document can't split, but the
+      parse and feature fan-out happen on an executor and everything
+      downstream is distributed — the driver never holds the file.
+    """
+    if os.path.isdir(path):
+        return read_feature_jsonl(spark, path)
+    if os.path.getsize(path) <= max_driver_bytes:
+        with open(path) as f:
+            fc = json.load(f)
+        feats = [(json.dumps(x, separators=(",", ":"), sort_keys=True),)
+                 for x in fc.get("features", [])]
+        return spark.createDataFrame(feats or [("",)], "feature string") \
+            .filter(F.col("feature") != "")
+    fc = spark.read.option("multiLine", "true").json(path)
+    return (fc.select(F.explode("features").alias("__f"))
+            .select(F.to_json("__f").alias("feature")))
 
 
 # ---------------------------------------------------------------------------

@@ -32,6 +32,7 @@ from typing import Callable, Iterable, Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 FetchBatch = Callable[[list[tuple[float, float]]], list]
 
@@ -105,6 +106,118 @@ def fetch_elevation_updates(misses: DataFrame, fetch_batch: FetchBatch,
                     "elevation": [None if v is None else float(v)
                                   for v in values]})
     return misses.mapInPandas(run, "key string, elevation double")
+
+
+GEOCODE_PLACE_DDL = ("struct<iso3166_1:string, iso3166_2:string, "
+                     "country:string, region:string, locality:string>")
+
+FetchOne = Callable[[float, float], "dict | None"]
+
+
+def photon_fetcher(url: str, timeout_s: float = 60.0) -> FetchOne:
+    """The reference's photon geocoding request (Geocoder.ts:219-253): one
+    GET per geohash center with ``?lon=&lat=&lang=en&limit=1&radius=5``,
+    mapped to the engine's place struct.  The reference additionally
+    resolves ``state``/``county`` to an ISO-3166-2 code via a bundled
+    region database (Geocoder.ts:267-330); without that dataset this client
+    carries the region *name* and leaves ``iso3166_2`` null — the join/
+    cache plumbing is identical.  Built lazily: importing never touches
+    the network."""
+    def fetch(lat: float, lon: float):
+        import urllib.parse
+        import urllib.request
+        q = urllib.parse.urlencode(
+            {"lon": lon, "lat": lat, "lang": "en", "limit": 1, "radius": 5})
+        req = urllib.request.Request(
+            f"{url}?{q}", headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            if resp.status != 200:
+                raise RuntimeError(f"Failed status code: {resp.status}")
+            body = json.loads(resp.read())
+        feats = body.get("features") or []
+        if not feats:
+            return None  # a successful "no place here" IS cached
+        props = feats[0].get("properties") or {}
+        if not props.get("countrycode"):
+            return None
+        return {
+            "iso3166_1": props["countrycode"],
+            "iso3166_2": None,
+            "country": props.get("country"),
+            "region": props.get("state") or props.get("county"),
+            "locality": props.get("city"),
+        }
+    return fetch
+
+
+def fetch_geocode_updates(misses: DataFrame, fetch_one: FetchOne,
+                          batch_size: int = 1000,
+                          max_concurrent: int = 4,
+                          max_errors: int = 100,
+                          retry_delay_s: float = 2.0,
+                          key_col: str = "key") -> DataFrame:
+    """Geocode cache misses → (key, place) cache rows, with the reference
+    client's request envelope (Geocoder.ts:66-100,111-208):
+
+    - keys drain in batches of ``batch_size`` (DataLoader maxBatchSize
+      1000, :97) — the batch bounds how much work is lost to an abort;
+    - global concurrency ≤ ``max_concurrent`` in-flight requests
+      (semaphore(4), :75,79): the miss set repartitions to that many
+      partitions, each task fetching sequentially;
+    - a failed request retries ONCE after ``retry_delay_s``
+      (rawGeocodeRemoteWithRetry, :197-207);
+    - an error-budget abort: ``max_errors`` *consecutive* failures stop
+      remote fetching for the rest of the task ("Too many errors, not
+      trying remote", :170); the counter resets to 0 on any success
+      (:177).  Skipped/failed keys yield no rows — errors are never
+      cached and surface as misses next run;
+    - a successful null geocode ("no place here") IS cached as a null
+      place (enhancePhoton returning null, :268-275).
+    """
+    out_schema = f"key string, place {GEOCODE_PLACE_DDL}"
+
+    def run(parts: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _time
+        errors = 0
+        for pdf in parts:
+            keys = list(pdf[key_col])
+            for i in range(0, len(keys), batch_size):
+                rows = []
+                for k in keys[i:i + batch_size]:
+                    if errors >= max_errors:
+                        break  # budget exhausted: stay local-only
+                    lat, lon = geohash_decode(k)
+                    try:
+                        place = fetch_one(lat, lon)
+                    except Exception:
+                        _time.sleep(retry_delay_s)
+                        try:
+                            place = fetch_one(lat, lon)
+                        except Exception:
+                            errors += 1
+                            continue
+                    errors = 0
+                    rows.append({"key": k, "place": place})
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return misses.repartition(max_concurrent).mapInPandas(run, out_schema)
+
+
+def geocode_cache_misses(features: DataFrame, cache: DataFrame,
+                         sample_interval_km: float = 1.0,
+                         geohash_precision: int = 6,
+                         geometry_col: str = "geometry") -> DataFrame:
+    """Distinct geohash-6 keys along all feature geometries (the same 1 km
+    walk ``add_places`` joins on) not yet in the geocode cache."""
+    from ..pipeline.enrichment import geometry_geohashes
+
+    keys = (features.select(
+        F.explode(geometry_geohashes(
+            sample_interval_km, geohash_precision)(F.col(geometry_col)))
+        .alias("key")).distinct())
+    return keys.join(cache.select(F.col(cache.columns[0]).alias("key")),
+                     "key", "left_anti")
 
 
 def updated_cache(cache: DataFrame, fetched: DataFrame) -> DataFrame:

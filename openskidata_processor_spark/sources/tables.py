@@ -23,12 +23,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond timestamp with exact integer math (`div`, not double
     division — int64 nanos exceed double's 53-bit mantissa)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Parquet `timestamp[us]` without the UTC flag would otherwise infer as
+    # TIMESTAMP_NTZ, which `unix_micros`/`withWatermark` reject.  Session tz
+    # is pinned UTC, so TIMESTAMP (LTZ) carries identical instants.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and isinstance(df.schema["ts"].dataType,
+                                         TimestampNTZType):
+        # Defensive: a harness-supplied session may have scanned before the
+        # conf pin took effect (cached relation).  UTC session tz makes the
+        # cast a pure type relabel.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

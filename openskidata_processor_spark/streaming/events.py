@@ -13,6 +13,22 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType, TimestampNTZType, TimestampType
+
+
+def _ntz_to_ltz(schema: StructType) -> StructType:
+    """Relabel TIMESTAMP_NTZ fields as TIMESTAMP.
+
+    Spark 4.1 infers Parquet ``timestamp[us]`` without the UTC flag as NTZ,
+    which ``withWatermark`` rejects.  The session tz is pinned UTC so the
+    instants are identical; supplying the LTZ schema to the file source makes
+    it read the same physical values as TIMESTAMP.
+    """
+    return StructType([
+        StructField(f.name, TimestampType(), f.nullable, f.metadata)
+        if isinstance(f.dataType, TimestampNTZType) else f
+        for f in schema.fields
+    ])
 
 
 def windowed_event_counts(spark: SparkSession, sf_dir: str,
@@ -29,7 +45,7 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str,
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events_file = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(events_file).schema
+    schema = _ntz_to_ltz(spark.read.parquet(events_file).schema)
     # The streaming file source wants a directory; glob-filter to the table.
     stream = (spark.readStream.schema(schema)
               .option("pathGlobFilter", "events.parquet")
@@ -70,7 +86,7 @@ def stateful_user_sessions(spark: SparkSession, sf_dir: str,
     from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _ntz_to_ltz(spark.read.parquet(f"{sf_dir}/events.parquet").schema)
     stream = (spark.readStream.schema(schema)
               .option("pathGlobFilter", "events.parquet")
               .parquet(sf_dir))

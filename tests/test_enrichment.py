@@ -4,6 +4,7 @@ geocoding places, VIIRS pixels, snow-cover history aggregation."""
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -256,3 +257,82 @@ def test_fetch_stage_never_caches_errors(spark):
 
     fetched = fx.fetch_elevation_updates(misses, failing_fetch)
     assert fetched.count() == 0  # errors never cached (Elevation.ts:224)
+
+
+def test_geocode_fetch_closes_miss_loop(spark):
+    """Geocode misses → fake photon fetch → cache union → add_places now
+    populates ``places`` (Geocoder.ts:111-208 as engine stages)."""
+    from openskidata_processor_spark.sources import fetch as fx
+    line = json.dumps({"type": "LineString",
+                       "coordinates": [[11.1, 47.1], [11.2, 47.2]]})
+    feats = spark.createDataFrame([("f1", line)], "id string, geometry string")
+    empty_cache = spark.createDataFrame(
+        [], f"key string, place {fx.GEOCODE_PLACE_DDL}")
+
+    misses = fx.geocode_cache_misses(feats, empty_cache)
+    n_miss = misses.count()
+    assert n_miss >= 2  # both endpoints sampled at minimum
+
+    def fake_fetch(lat, lon):
+        # encode the decoded coordinate so the assertion proves the
+        # geohash→center decode reached the fetcher
+        return {"iso3166_1": "AT", "iso3166_2": None,
+                "country": f"c{round(lat)}", "region": None,
+                "locality": None}
+
+    fetched = fx.fetch_geocode_updates(misses, fake_fetch,
+                                       retry_delay_s=0.0)
+    new_cache = fx.updated_cache(empty_cache, fetched)
+    assert new_cache.count() == n_miss
+    assert fx.geocode_cache_misses(feats, new_cache).count() == 0
+    out = en.add_places(feats, new_cache).first()
+    assert len(out.places) >= 1
+    assert out.places[0]["iso3166_1"] == "AT"
+    assert out.places[0]["country"] == "c47"
+
+
+def test_geocode_fetch_retry_and_null_place(spark, tmp_path):
+    """A request that fails once succeeds on the reference's single retry
+    (Geocoder.ts:197-207); a successful null geocode IS cached.
+
+    Executor-side call counting goes through a file — closures don't
+    mutate driver state from Python workers."""
+    from openskidata_processor_spark.sources import fetch as fx
+    misses = spark.createDataFrame(
+        [(en.geohash_encode(11.0, 47.0, 6),)], "key string")
+    marker = str(tmp_path / "calls")
+
+    def flaky_then_null(lat, lon):
+        with open(marker, "a") as f:
+            f.write("x")
+        if os.path.getsize(marker) == 1:
+            raise RuntimeError("transient")
+        return None
+
+    fetched = fx.fetch_geocode_updates(misses.coalesce(1), flaky_then_null,
+                                       max_concurrent=1, retry_delay_s=0.0)
+    rows = fetched.collect()
+    assert len(rows) == 1 and rows[0].place is None
+    assert os.path.getsize(marker) == 2  # initial attempt + one retry
+
+
+def test_geocode_fetch_error_budget_abort(spark, tmp_path):
+    """After ``max_errors`` consecutive failures the task stops fetching
+    ("Too many errors, not trying remote", Geocoder.ts:168-171); skipped
+    keys surface as misses again."""
+    from openskidata_processor_spark.sources import fetch as fx
+    keys = [(en.geohash_encode(10.0 + i * 0.1, 45.0, 6),) for i in range(10)]
+    misses = spark.createDataFrame(keys, "key string")
+    marker = str(tmp_path / "attempts")
+
+    def always_fail(lat, lon):
+        with open(marker, "a") as f:
+            f.write("x")
+        raise RuntimeError("down")
+
+    fetched = fx.fetch_geocode_updates(misses.coalesce(1), always_fail,
+                                       max_concurrent=1, max_errors=3,
+                                       retry_delay_s=0.0)
+    assert fetched.count() == 0
+    # 3 keys × 2 attempts (retry-once) then abort — not 10 × 2
+    assert os.path.getsize(marker) == 6

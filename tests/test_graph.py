@@ -25,3 +25,39 @@ def test_connected_components_chain_converges(spark):
            for r in connected_components(edges).collect()}
     assert set(out.values()) == {"v00"}
     assert len(out) == 13
+
+
+def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
+    """Cluster-durable mode: same answers with a reliable ``checkpoint()``
+    barrier (survives executor loss at 100 TB, unlike localCheckpoint)."""
+    import os
+
+    os.environ["SPARK_GRAFT_CHECKPOINT_DIR"] = str(tmp_path / "ckpt")
+    try:
+        names = [f"v{i:02d}" for i in range(13)]
+        edges = spark.createDataFrame(
+            list(zip(names, names[1:])), "src string, dst string")
+        out = {r.vertex: r.component
+               for r in connected_components(edges, reliable=True).collect()}
+        assert set(out.values()) == {"v00"}
+        assert len(out) == 13
+        # the reliable barrier must actually have written checkpoint data
+        ckpt = spark.sparkContext.getCheckpointDir()
+        assert ckpt is not None
+    finally:
+        os.environ.pop("SPARK_GRAFT_CHECKPOINT_DIR", None)
+
+
+def test_materialize_is_lazy(spark):
+    """The shared-subplan barrier must not trigger a job at call time
+    (round-2's eager localCheckpoint serialized materialization and caused
+    2-5x bench variance)."""
+    from openskidata_processor_spark.operators.barrier import materialize
+
+    status = spark.sparkContext.statusTracker()
+    before = len(status.getJobIdsForGroup(None) or [])
+    df = materialize(spark.range(1000).selectExpr("id", "id * 2 as two"))
+    after = len(status.getJobIdsForGroup(None) or [])
+    assert after == before  # no job ran at barrier-creation time
+    assert df.count() == 1000
+    df.unpersist()

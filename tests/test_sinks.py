@@ -49,6 +49,31 @@ class TestGeoJSON:
         assert df.count() == 2
         assert json.loads(df.first().value)["type"] == "Feature"
 
+    def test_read_feature_collection_routes_by_shape(self, spark, runs,
+                                                     tmp_path):
+        """Directory → splittable JSONL scan; big single file →
+        executor-side multiLine parse; small file → driver parity path.
+        All three return the same features."""
+        # multi-partition JSONL directory (the 100 TB entry)
+        jdir = str(tmp_path / "fc_jsonl")
+        geojson.write_feature_jsonl(runs.repartition(4), jdir)
+        dist = geojson.read_feature_collection(spark, jdir)
+        assert dist.rdd.getNumPartitions() > 1  # genuinely splittable scan
+        dist_ids = sorted(json.loads(r.feature)["properties"]["id"]
+                          for r in dist.collect())
+
+        fpath = str(tmp_path / "fc.geojson")
+        geojson.write_feature_collection(runs, fpath)
+        small_ids = sorted(
+            json.loads(r.feature)["properties"]["id"]
+            for r in geojson.read_feature_collection(spark, fpath).collect())
+        # force the executor-side multiLine path on the same file
+        big_ids = sorted(
+            json.loads(r.feature)["properties"]["id"]
+            for r in geojson.read_feature_collection(
+                spark, fpath, max_driver_bytes=0).collect())
+        assert dist_ids == small_ids == big_ids and len(dist_ids) == 2
+
 
 class TestCSV:
     def test_run_csv_schema_and_metrics(self, runs):
