@@ -1,0 +1,81 @@
+"""Scale-path operators: bucketed co-located joins (zero-shuffle plan
+audit) and explicit skew salting (result parity with unsalted plans)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from openskidata_processor_spark.operators import bucketing as bk
+from openskidata_processor_spark.operators import skew
+
+
+class TestBucketing:
+    def test_co_located_join_has_no_shuffle(self, spark, tmp_path):
+        left = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
+        bk.write_bucketed(left, "t_left_b", str(tmp_path / "l"),
+                          ["k"], 8, sort_cols=["k"])
+        bk.write_bucketed(right, "t_right_b", str(tmp_path / "r"),
+                          ["k"], 8, sort_cols=["k"])
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            # force SMJ so the check exercises bucket alignment, not a
+            # broadcast that would trivially have no shuffle
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = bk.co_located_join(spark, "t_left_b", "t_right_b", "k")
+            bk.assert_no_shuffle(joined)          # the point of bucketing
+            assert joined.count() == 1000
+            # sanity: the same join on unbucketed frames DOES shuffle
+            with pytest.raises(AssertionError):
+                bk.assert_no_shuffle(left.join(right, "k"))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.sql("DROP TABLE IF EXISTS t_left_b")
+            spark.sql("DROP TABLE IF EXISTS t_right_b")
+
+
+@pytest.fixture()
+def skewed(spark):
+    # 2000 rows of key 0 (hot), 10 rows each of keys 1..9
+    hot = spark.range(2000).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+    cold = (spark.range(90).select(
+        (F.col("id") % 9 + 1).alias("k"), F.col("id").alias("v")))
+    return hot.unionByName(cold)
+
+
+class TestSkew:
+    def test_salted_join_matches_plain(self, spark, skewed):
+        dim = spark.createDataFrame(
+            [(i, f"name{i}") for i in range(10)], "k bigint, name string")
+        plain = skewed.join(dim, ["k"]).groupBy("k", "name").count()
+        salted = (skew.salted_join(skewed, dim, ["k"], n_salts=8)
+                  .groupBy("k", "name").count())
+        assert sorted(plain.collect()) == sorted(salted.collect())
+
+    def test_salted_join_scatters_hot_key(self, spark, skewed):
+        out = skew.salted_join(
+            skewed, skewed.select("k").distinct(), ["k"], n_salts=8)
+        salts = (skewed.withColumn(
+            "__salt", skew._row_salt(skewed, 8))
+            .filter(F.col("k") == 0)
+            .select("__salt").distinct().count())
+        assert salts > 1          # the hot key really spreads over salts
+        assert out.count() == skewed.count()
+
+    def test_salted_aggregate_matches_plain(self, spark, skewed):
+        plain = (skewed.groupBy("k")
+                 .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+                      F.min("v").alias("lo"), F.max("v").alias("hi")))
+        salted = skew.salted_aggregate(
+            skewed, ["k"],
+            {"n": ("count", "*"), "s": ("sum", "v"),
+             "lo": ("min", "v"), "hi": ("max", "v")}, n_salts=8)
+        assert sorted(plain.collect()) == sorted(salted.collect())
+
+    def test_salted_aggregate_rejects_non_decomposable(self, spark, skewed):
+        with pytest.raises(ValueError):
+            skew.salted_aggregate(skewed, ["k"], {"a": ("avg", "v")})
