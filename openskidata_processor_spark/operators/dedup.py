@@ -89,13 +89,28 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.8,
-                        max_doc_freq: int | None = None) -> DataFrame:
+                        max_doc_freq: int | None = None,
+                        prefix_filter: bool = False) -> DataFrame:
     """Exact n-gram-set Jaccard similarity join: (id_a, id_b, jaccard).
 
     ``max_doc_freq`` optionally drops shingles appearing in more than that
     many documents (stop-shingle pruning — the standard guard against
     quadratic blowup on ubiquitous shingles at corpus scale; candidates can
     only be missed if ALL their shared shingles are ubiquitous).
+
+    ``prefix_filter=True`` switches candidate generation to PPJoin-style
+    prefix filtering (same exact result, published algorithm): order every
+    document's shingles by ascending global document-frequency and index
+    only the first ``|set| - floor(t·|set|)`` of them.  Any pair with
+    J ≥ t shares ≥ ``ceil(t·|set|)`` shingles, so it must collide inside
+    these prefixes; pairs of frequent-only shingles never meet.  The
+    inverted-index self-join — the quadratic stage — shrinks from all
+    postings to rare-prefix postings, and a length filter
+    (``t·max(|a|,|b|) ≤ min(|a|,|b|)``) prunes candidates before the
+    exact verify join recomputes |∩| over FULL sets.  Crossover: at bench
+    scale (small inverted index) the plain join's single self-join wins;
+    prefix filtering pays off once hot shingles make postings buckets
+    quadratic — switch it on for web-scale corpora.
     """
     sh = materialize(  # computed once, reused by both join sides + sizes
         shingle_table(_spread(df), id_col, text_col, n))
@@ -104,14 +119,24 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         sh = (sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle")
                 .drop("df"))
-    a = sh.toDF("id_a", "shingle")
-    b = sh.toDF("id_b", "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+
+    if prefix_filter:
+        cands = _prefix_filter_candidates(sh, sizes, threshold)
+        a = sh.toDF("id_a", "shingle")
+        b = sh.toDF("id_b", "shingle")
+        inter = (
+            a.join(cands, "id_a").join(b, ["shingle", "id_b"])
+            .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        a = sh.toDF("id_a", "shingle")
+        b = sh.toDF("id_b", "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
     sa = sizes.toDF("id_a", "size_a")
     sb = sizes.toDF("id_b", "size_b")
     return (
@@ -123,6 +148,43 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                     / (F.col("size_a") + F.col("size_b") - F.col("n_inter")))
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _prefix_filter_candidates(sh: DataFrame, sizes: DataFrame,
+                              threshold: float) -> DataFrame:
+    """Candidate (id_a, id_b) pairs via prefix filtering.
+
+    Prefix length ``|set| - floor(t·|set|)`` is the conservative
+    (floor, not ceil) bound: a float-boundary slip can only LENGTHEN the
+    prefix, never lose a true pair.  Ordering key is (df, shingle) —
+    ascending document frequency with a total-order tiebreak, the
+    standard rare-first order that minimizes postings."""
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    prefix = (
+        sh.join(freq, "shingle")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle")))
+             .alias("__ordered"))
+        .join(sizes, "id")
+        .select(
+            "id", "set_size",
+            F.explode(F.slice(
+                F.col("__ordered"), 1,
+                (F.col("set_size")
+                 - F.floor(F.lit(threshold) * F.col("set_size"))
+                 ).cast("int"))).alias("__p"))
+        .select("id", "set_size", F.col("__p.shingle").alias("shingle"))
+    )
+    a = prefix.toDF("id_a", "size_a", "shingle")
+    b = prefix.toDF("id_b", "size_b", "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter((F.col("id_a") < F.col("id_b"))
+                # length filter: t·max ≤ min ⇔ J ≥ t is still possible
+                & (F.least("size_a", "size_b")
+                   >= F.lit(threshold) * F.greatest("size_a", "size_b")))
+        .select("id_a", "id_b").distinct()
     )
 
 

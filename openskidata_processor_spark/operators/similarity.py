@@ -6,10 +6,13 @@
   rank window.  At 100 TB this is the scan-everything baseline: one pass,
   no shuffle of the corpus itself, only of the (n_queries × corpus) scored
   pairs — which a pre-filter on an LSH/IVF bucket cuts down.
-- ``lsh_ann_topk``: random-hyperplane LSH bucketing (the scale path).
-  Plane tables are deterministic (seeded), built once, broadcast as
-  literals.  Multi-probe = querying all buckets at Hamming distance ≤ 1
+- ``lsh_ann_topk``: random-hyperplane LSH bucketing (training-free scale
+  path).  Plane tables are deterministic (seeded), built once, broadcast
+  as literals.  Multi-probe = querying all buckets at Hamming distance ≤ 1
   from the query's code to recover recall lost at bucket boundaries.
+- ``ivf_ann_topk``: inverted-file index (trained scale path) — sample-
+  trained spherical-k-means cells, one cell per corpus vector, n_probe
+  cells per query.  Wins over LSH on clustered (i.e. real) embeddings.
 """
 
 from __future__ import annotations
@@ -125,6 +128,86 @@ def lsh_ann_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
     scored = (
         F.broadcast(q.drop("__code"))
         .join(c, ["__table", "__bucket"])
+        .select(F.col(query_id), F.col(corpus_id),
+                cosine(as_double(F.col(query_vec)),
+                       as_double(F.col(corpus_vec))).alias("cosine_sim"))
+        .dropDuplicates([query_id, corpus_id])
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine_sim").desc(),
+                                             F.col(corpus_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, "rank", corpus_id, "cosine_sim"))
+
+
+def _train_ivf_centroids(corpus: DataFrame, vec_col: str, n_centroids: int,
+                         sample_size: int, n_iters: int) -> np.ndarray:
+    """Spherical k-means on a bounded, deterministic corpus sample.
+
+    IVF training is sample-based by design (the standard practice of
+    published IVF implementations): the driver trains on ≤ ``sample_size``
+    vectors — a TakeOrdered by content hash, so the sample is stable across
+    runs and cluster layouts — and only the *assignment* runs distributed.
+    Initialization is the first ``n_centroids`` sample rows in hash order;
+    an emptied cluster keeps its previous centroid.  Returns L2-normalized
+    (n_centroids, dim)."""
+    rows = (corpus.select(F.col(vec_col).alias("v"))
+            .orderBy(F.hash("v")).limit(sample_size).collect())
+    x = np.array([np.asarray(r.v, dtype=np.float64) for r in rows])
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cents = x[:n_centroids].copy()
+    for _ in range(n_iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def _ivf_cells_udf(cents: np.ndarray, n_probe: int):
+    """Top-``n_probe`` nearest-centroid cells per vector in one GEMM."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _cells(vecs: pd.Series) -> pd.Series:
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.Series([], dtype=object)
+        sims = mat @ cents.T
+        top = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+    return _cells
+
+
+def ivf_ann_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                 n_centroids: int = 16, n_probe: int = 4,
+                 sample_size: int = 2048, n_iters: int = 8,
+                 query_id: str = "query_id", corpus_id: str = "corpus_id",
+                 query_vec: str = "qvec", corpus_vec: str = "cvec") -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index — the alternative
+    scale path to ``lsh_ann_topk``, strictly better when the embedding
+    space is CLUSTERED (real text/image embeddings are; LSH needs no
+    training and wins on adversarially uniform vectors).
+
+    Shape: spherical-k-means centroids (sample-trained, see
+    ``_train_ivf_centroids``) partition the corpus into ``n_centroids``
+    cells — each corpus vector lands in exactly ONE cell (one GEMM, no
+    per-vector replication, unlike multi-table LSH's L rows per vector);
+    each query probes its ``n_probe`` nearest cells; cell members are
+    scored exactly and ranked.  The candidate join shuffles on the cell
+    id, so at scale the cost is (corpus/n_centroids)·n_probe per query,
+    not corpus."""
+    cells1 = _ivf_cells_udf(
+        _train_ivf_centroids(corpus, corpus_vec, n_centroids,
+                             sample_size, n_iters), max(n_probe, 1))
+    c = corpus.withColumn("__cell", cells1(F.col(corpus_vec))[0])
+    q = queries.withColumn(
+        "__cell", F.explode(cells1(F.col(query_vec))))
+    scored = (
+        F.broadcast(q)
+        .join(c, "__cell")
         .select(F.col(query_id), F.col(corpus_id),
                 cosine(as_double(F.col(query_vec)),
                        as_double(F.col(corpus_vec))).alias("cosine_sim"))

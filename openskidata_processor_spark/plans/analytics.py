@@ -343,9 +343,16 @@ def dedup_exact(spark, sf_dir):
 @query("dedup_ngram_jaccard")
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard similarity join: near-duplicate pairs with
-    jaccard ≥ 0.8 (the exact-oracle twin of the MinHash-LSH scale path)."""
+    jaccard ≥ 0.8 (the exact-oracle twin of the MinHash-LSH scale path).
+
+    Runs the all-postings join — fastest at bench scale, where the
+    inverted index is small.  ``prefix_filter=True`` (PPJoin candidate
+    pruning, identical output, exactness-tested in ``test_recall``) is
+    the switch for corpora where ubiquitous shingles make the postings
+    self-join quadratic."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                      threshold=0.8)
     return pairs.withColumn("jaccard", F.round("jaccard", 4))
 
 
@@ -516,6 +523,22 @@ def dedup_embedding_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs_lsh(
         emb, "vec_id", "embedding", dim=64, threshold=0.4)
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) approximate top-5: sample-trained spherical
+    k-means cells, n_probe=4 — the trained-index scale path beside the
+    training-free LSH one (recall vs brute force asserted in
+    tests/test_recall.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
+    out = similarity.ivf_ann_topk(q, c, k=5, corpus_id="neighbor_id")
+    return (out.withColumn("cosine_sim", F.round("cosine_sim", 6))
+               .withColumnRenamed("rank", "knn_rank"))
 
 
 @query("ann_lsh_topk")
