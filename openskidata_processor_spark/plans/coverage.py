@@ -650,3 +650,19 @@ SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM flagged GROUP BY user_id
 """
+
+
+@query("stream_dedup_exact")
+def stream_dedup_exact(spark, sf_dir):
+    """Incremental exact dedup as a REAL stateful streaming query
+    (``dropDuplicates`` state over a file stream, drained availableNow) —
+    the streaming twin of ``dedup_exact`` for a training-data tail
+    pipeline; the batch oracle verifies the drained state."""
+    from ..streaming.documents import streaming_exact_dedup_counts
+    return streaming_exact_dedup_counts(spark, sf_dir)
+
+
+ORACLES["stream_dedup_exact"] = """
+SELECT source, count(DISTINCT md5(text)) AS n_unique
+FROM documents GROUP BY source
+"""

@@ -75,6 +75,36 @@ class TestGeoJSON:
         assert dist_ids == small_ids == big_ids and len(dist_ids) == 2
 
 
+class TestPartitionedParquet:
+    def test_layout_pruning_and_file_bounds(self, spark, tmp_path):
+        from openskidata_processor_spark.sinks import parquet as pq
+        from pyspark.sql import functions as F
+        df = spark.range(1000).select(
+            (F.col("id") % 4).cast("string").alias("country"),
+            F.col("id").alias("k"),
+            (F.col("id") * 2).alias("v"))
+        path = str(tmp_path / "lake")
+        pq.write_partitioned(df, path, ["country"], sort_cols=["k"],
+                             max_records_per_file=100)
+        back = pq.read_pruned(spark, path)
+        assert back.count() == 1000
+        # partition pruning reaches the scan: only country=2 files read
+        pruned = back.filter(F.col("country") == "2")
+        assert pruned.count() == 250
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        import glob
+        files2 = glob.glob(f"{path}/country=2/*.parquet")
+        # 250 rows under maxRecordsPerFile=100 → ≥3 splittable files
+        assert len(files2) >= 3
+        # within-file ordering (row-group stats selectivity): each file
+        # individually sorted by k
+        import pyarrow.parquet as papq
+        for f in files2:
+            ks = papq.read_table(f, columns=["k"]).column("k").to_pylist()
+            assert ks == sorted(ks)
+
+
 class TestCSV:
     def test_run_csv_schema_and_metrics(self, runs):
         out = csvsink.run_csv(runs)
