@@ -1,0 +1,92 @@
+"""Physical-plan audits: the properties that keep the catalog fast at
+100× the bench data, asserted on the plans themselves.
+
+These are the checks a scale review does by hand with
+``.explain("formatted")`` — encoded as tests so a regression (a stray
+row-at-a-time UDF, a lost broadcast, a filter that stopped reaching the
+scan) fails CI instead of surfacing as a 10× slowdown on a cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+from openskidata_processor_spark.plans import QUERIES
+
+# stream_* queries execute at call time (availableNow drain) — their plan
+# is the drained memory table, not the pipeline; audited separately.
+_BATCH_QUERIES = sorted(n for n in QUERIES if not n.startswith("stream_"))
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", _BATCH_QUERIES)
+def test_no_row_at_a_time_python(spark, name):
+    """No catalog query may plan a row-at-a-time Python UDF
+    (BatchEvalPython).  Python is allowed only Arrow-batched
+    (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)."""
+    plan = _plan(QUERIES[name](spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan, (
+        f"{name} plans a row-at-a-time Python UDF")
+
+
+def test_projection_reaches_scan(spark):
+    """Column pruning: a query touching 2 of part's 6 columns must scan
+    exactly those (ReadSchema at the parquet scan)."""
+    plan = _plan(QUERIES["r1_mercator_tiles"](spark, SF_SMOKE))
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "p_partkey" in read_schema
+    for unused in ("p_name", "p_brand", "p_type", "p_retailprice"):
+        assert unused not in read_schema, f"scan reads unused {unused}"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """A plain column predicate must appear in PushedFilters at the
+    parquet scan, not only as a post-scan Filter."""
+    from openskidata_processor_spark.sources.tables import load_table
+    df = (load_table(spark, SF_SMOKE, "part")
+          .filter(F.col("p_size") >= 25).select("p_partkey", "p_size"))
+    plan = _plan(df)
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "p_size" in pushed, f"p_size filter not pushed: {pushed}"
+
+
+def test_dimension_joins_broadcast(spark):
+    """Small-dimension joins must plan as broadcast joins, not
+    shuffle/sort-merge (j1: the `sites` dim side; knn: the query side)."""
+    for name in ("j1_membership_rollup", "knn_cosine"):
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
+
+
+def test_flagship_is_codegen(spark):
+    """The flagship aggregation runs inside whole-stage codegen.  AQE
+    prints codegen spans only in the FINAL plan, so execute first and
+    read the same QueryExecution back."""
+    df = QUERIES["a2_pricing_summary"](spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # "*(n) Op" is the WholeStageCodegen span marker in compact plan text
+    assert "*(" in plan and "*(" + plan.split("*(")[1][0] + ") HashAggregate" \
+        in plan
+
+
+def test_no_cartesian_outside_oracle_twins(spark):
+    """Only the two explicitly-documented exact oracle twins may plan a
+    cartesian/all-pairs join; every scale-path query must not."""
+    allowed = {"dedup_embedding_pairs", "knn_cosine", "ann_ivf_topk",
+               "ann_lsh_topk"}  # broadcast NLJ of a tiny query side is fine
+    for name in _BATCH_QUERIES:
+        if name in allowed:
+            continue
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, (
+            f"{name} plans a cartesian product")
