@@ -1,0 +1,142 @@
+"""Multimodal column operators: opaque ``binary`` payloads with typed
+metadata, processed in Arrow-batched stages.
+
+The training-data pipeline treats images/audio/video as bytes plus
+schema'd metadata and keeps every transformation distributed:
+
+- ``decode_images`` — PNG payloads decode for real (the dependency-free
+  decoder from ``sources.terrain``); other formats would plug in an image
+  library here and currently yield a null decode (the miss surfaces in
+  the ``decoded`` flag rather than failing the stage).
+- ``resize_images`` — nearest-neighbor resample on the raw pixel buffer
+  (numpy index math; no image library).
+- ``image_features`` — grid mean-pool embedding (``grid²·3`` floats), the
+  cheap visual fingerprint used for embedding-dedup/ANN over images via
+  the existing ``operators.similarity`` family.
+- ``sample_frames`` — 1-in-``every_n`` fixed-stride frame sampling.  A
+  real video container needs a demuxer this container doesn't have, so
+  frames are fixed-size byte windows (DOCUMENTED STUB — the partitioning,
+  fan-out shape, and schema are the real pipeline; swap the window slicer
+  for a decoder binding in production).
+
+Pixel buffers travel as ``binary`` (row-major H×W×3) + shape columns, not
+nested arrays: Arrow moves one contiguous buffer per asset, and numpy
+views it zero-copy on the Python side.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from ..sources.terrain import decode_png_rgb
+
+DECODED_DDL = ("id long, n_bytes long, decoded boolean, "
+               "width int, height int, pixels binary")
+
+
+def decode_images(df: DataFrame, id_col: str = "id",
+                  payload_col: str = "payload") -> DataFrame:
+    """(id, payload binary) → typed pixel rows.
+
+    PNG decodes for real; non-PNG payloads yield ``decoded=false`` with
+    null shape/pixels (never an exception — a poisoned asset must not
+    kill a 100 TB scan)."""
+    def run(parts: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in parts:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    arr = decode_png_rgb(payload)
+                    rows.append((int(rid), len(payload), True,
+                                 arr.shape[1], arr.shape[0],
+                                 arr.tobytes()))
+                except Exception:
+                    rows.append((int(rid), len(payload), False,
+                                 None, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "id", "n_bytes", "decoded", "width", "height", "pixels"])
+    return df.mapInPandas(run, DECODED_DDL)
+
+
+def resize_images(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of decoded pixel rows to (out_w, out_h).
+    Undecoded rows pass through unchanged (still ``decoded=false``)."""
+    def run(parts: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys = None
+        for pdf in parts:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if not r.decoded:
+                    rows.append((r.id, r.n_bytes, False, None, None, None))
+                    continue
+                arr = np.frombuffer(r.pixels, dtype=np.uint8).reshape(
+                    r.height, r.width, 3)
+                yi = (np.arange(out_h) * r.height) // out_h
+                xi = (np.arange(out_w) * r.width) // out_w
+                out = arr[yi][:, xi]
+                rows.append((r.id, r.n_bytes, True, out_w, out_h,
+                             out.tobytes()))
+            yield pd.DataFrame(rows, columns=[
+                "id", "n_bytes", "decoded", "width", "height", "pixels"])
+    return decoded.mapInPandas(run, DECODED_DDL)
+
+
+def image_features(decoded: DataFrame, grid: int = 4) -> DataFrame:
+    """Per-asset embedding: ``grid × grid`` mean-pooled RGB cells,
+    flattened to ``grid²·3`` floats in [0, 1] — feeds the similarity/
+    dedup operators as an ``array<float>`` column."""
+    def run(parts: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in parts:
+            ids, vecs = [], []
+            for r in pdf.itertuples(index=False):
+                if not r.decoded:
+                    continue
+                arr = np.frombuffer(r.pixels, dtype=np.uint8).reshape(
+                    r.height, r.width, 3).astype(np.float64)
+                yi = (np.arange(r.height) * grid) // max(r.height, 1)
+                xi = (np.arange(r.width) * grid) // max(r.width, 1)
+                feat = np.zeros((grid, grid, 3))
+                for gy in range(grid):
+                    for gx in range(grid):
+                        cell = arr[yi == gy][:, xi == gx]
+                        if cell.size:
+                            feat[gy, gx] = cell.mean(axis=(0, 1)) / 255.0
+                ids.append(r.id)
+                vecs.append([float(x) for x in feat.reshape(-1)])
+            if ids:  # an empty frame infers float64 cols Arrow can't
+                yield pd.DataFrame({"id": ids,
+                                    "embedding": pd.Series(vecs,
+                                                           dtype=object)})
+    return decoded.mapInPandas(run, "id long, embedding array<float>")
+
+
+def sample_frames(df: DataFrame, frame_bytes: int, every_n: int,
+                  id_col: str = "id",
+                  payload_col: str = "payload") -> DataFrame:
+    """Fan a video payload out to 1-in-``every_n`` frame rows.
+
+    STUB SEMANTICS: a "frame" is a fixed ``frame_bytes`` window of the
+    payload (no demuxer in this container); the output shape —
+    (id, frame_idx, frame binary), one row per KEPT frame, frame_idx
+    preserving source order — is the real contract a decoder binding
+    drops into."""
+    def run(parts: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in parts:
+            ids, idxs, frames = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                n_frames = len(payload) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    ids.append(int(rid))
+                    idxs.append(i)
+                    frames.append(
+                        payload[i * frame_bytes:(i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": idxs, "frame": frames})
+    return df.mapInPandas(run, "id long, frame_idx int, frame binary")

@@ -515,6 +515,47 @@ FROM documents GROUP BY source
 """
 
 
+@query("multimodal_frame_sample")
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling fan-out shape (``operators.multimodal.sample_frames``
+    — fixed-stride 1-in-3 over 32-byte frame windows): per source, how
+    many frame rows the sampler emits and the payload bytes they cover.
+    The window slicer is the documented demuxer stub; the fan-out,
+    ordering, and rollup are the real pipeline and oracle-exact."""
+    from ..operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    vids = docs.select(F.col("doc_id").alias("id"), "source",
+                       F.encode("text", "UTF-8").alias("payload"))
+    frames = sample_frames(vids, frame_bytes=32, every_n=3)
+    return (frames.join(vids.select("id", "source"), "id")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_frames"),
+                 F.sum(F.length("frame")).alias("frame_bytes"),
+                 F.max("frame_idx").alias("max_frame_idx")))
+
+
+ORACLES["multimodal_frame_sample"] = """
+WITH f AS (
+  SELECT source,
+         octet_length(encode(text)) // 32 AS n_frames_total
+  FROM documents),
+s AS (
+  SELECT source,
+         CASE WHEN n_frames_total > 0
+              THEN (n_frames_total + 2) // 3 ELSE 0 END AS n_kept,
+         CASE WHEN n_frames_total > 0
+              THEN ((n_frames_total - 1) // 3) * 3 END AS max_idx
+  FROM f)
+SELECT source, CAST(sum(n_kept) AS BIGINT) AS n_frames,
+       CAST(sum(n_kept) * 32 AS BIGINT) AS frame_bytes,
+       CAST(max(max_idx) AS INT) AS max_frame_idx
+FROM s
+WHERE n_kept > 0
+GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # §2.9/§2.10 — connected components (the clustering/chain-merge primitive),
 # oracle-checked against a recursive-CTE transitive closure

@@ -1,0 +1,64 @@
+"""Multimodal operator tests: real PNG decode through the Spark stage,
+nearest-neighbor resize, grid feature embedding, frame-sampling fan-out."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from openskidata_processor_spark.operators import multimodal as mm
+from test_terrain import encode_png
+
+
+@pytest.fixture()
+def images(spark):
+    # 4x4 gradient + 2x2 flat + one poisoned (non-PNG) payload
+    grad = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    flat = np.full((2, 2, 3), 200, dtype=np.uint8)
+    rows = [(1, bytearray(encode_png(grad))),
+            (2, bytearray(encode_png(flat))),
+            (3, bytearray(b"not a png"))]
+    return spark.createDataFrame(rows, "id long, payload binary"), grad, flat
+
+
+def test_decode_images_real_png(spark, images):
+    df, grad, flat = images
+    out = {r.id: r for r in mm.decode_images(df).collect()}
+    assert out[1].decoded and (out[1].width, out[1].height) == (4, 4)
+    assert np.array_equal(
+        np.frombuffer(out[1].pixels, np.uint8).reshape(4, 4, 3), grad)
+    assert out[2].decoded and (out[2].width, out[2].height) == (2, 2)
+    # poisoned asset: flagged, not fatal
+    assert out[3].decoded is False and out[3].pixels is None
+
+
+def test_resize_nearest_neighbor(spark, images):
+    df, grad, _ = images
+    out = {r.id: r for r in
+           mm.resize_images(mm.decode_images(df), 2, 2).collect()}
+    got = np.frombuffer(out[1].pixels, np.uint8).reshape(2, 2, 3)
+    # nearest-neighbor with index floor: rows/cols 0 and 2 of the 4x4
+    assert np.array_equal(got, grad[[0, 2]][:, [0, 2]])
+    assert out[3].decoded is False  # undecoded passes through
+
+
+def test_image_features_embedding(spark, images):
+    df, _, flat = images
+    out = {r.id: r.embedding
+           for r in mm.image_features(mm.decode_images(df), grid=2).collect()}
+    assert set(out) == {1, 2}            # poisoned asset dropped
+    assert len(out[1]) == 2 * 2 * 3
+    # the flat image pools to its constant value everywhere (float32 col)
+    assert all(abs(v - 200.0 / 255.0) < 1e-6 for v in out[2])
+
+
+def test_sample_frames_stride(spark):
+    payload = bytes(range(100))          # 12 full 8-byte frames + tail
+    df = spark.createDataFrame([(7, bytearray(payload))],
+                               "id long, payload binary")
+    rows = mm.sample_frames(df, frame_bytes=8, every_n=3).collect()
+    assert [r.frame_idx for r in rows] == [0, 3, 6, 9]
+    for r in rows:
+        assert bytes(r.frame) == payload[r.frame_idx * 8:(r.frame_idx + 1) * 8]
