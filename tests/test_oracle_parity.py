@@ -76,6 +76,18 @@ def test_every_query_runs(spark):
         df.collect()
 
 
+def test_sql_views_surface(spark):
+    """register_views exposes the full star schema to spark.sql under the
+    oracle table names."""
+    from openskidata_processor_spark.sources.tables import register_views
+    register_views(spark, SF_SMOKE)
+    out = spark.sql(
+        "SELECT r_name, count(*) AS n FROM region "
+        "JOIN nation ON r_regionkey = n_regionkey "
+        "GROUP BY r_name ORDER BY r_name").collect()
+    assert len(out) == 5 and all(r.n == 5 for r in out)
+
+
 def test_entry_smoke(spark):
     import importlib.util
     spec = importlib.util.spec_from_file_location(

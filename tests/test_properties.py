@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis) for the pure kernels: invariants
+that hold for ALL inputs, not just the fixture points.
+
+Spark stays out of these — the kernels under test are the plain-Python/
+numpy functions the Arrow-batched stages call, so hypothesis can push
+thousands of cases per second through them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from openskidata_processor_spark.pipeline.enrichment import geohash_encode
+from openskidata_processor_spark.sources import terrain as tr
+from openskidata_processor_spark.sources.fetch import geohash_decode
+from test_terrain import encode_png
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(-180, 180), st.floats(-90, 90))
+def test_geohash_roundtrip_property(lon, lat):
+    """decode(encode(p)) stays within half a precision-10 cell of p."""
+    gh = geohash_encode(lon, lat, 10)
+    dlat, dlon = geohash_decode(gh)
+    assert abs(dlat - lat) <= 90 / (2 ** 25) + 1e-9
+    assert abs(dlon - lon) <= 180 / (2 ** 25) + 1e-9
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(1, 8), st.integers(1, 8),
+    st.lists(st.sampled_from([0, 1, 2]), min_size=8, max_size=8),
+    st.randoms(use_true_random=False),
+)
+def test_png_codec_roundtrip_property(w, h, filters, rnd):
+    """encode→decode is the identity for any 8-bit RGB image under any
+    mix of the filter types the encoder supports."""
+    arr = np.array([[rnd.randrange(256) for _ in range(w * 3)]
+                    for _ in range(h)], dtype=np.uint8).reshape(h, w, 3)
+    png = encode_png(arr, filters=filters[:h])
+    assert np.array_equal(tr.decode_png_rgb(png), arr)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(-180, 180), st.floats(-85, 85), st.integers(0, 14))
+def test_mercator_tile_bounds_property(lon, lat, zoom):
+    """Tile coordinates always land inside the zoom's grid and pixel
+    offsets inside the tile."""
+    tx, ty, px, py = tr.lonlat_to_tile_pixel(lon, lat, zoom, 256)
+    n = 1 << zoom
+    # tx == n is reachable for lon within 1 ulp of 180 (float rounding at
+    # the antimeridian); interpolation_setup's modulo wrap handles it
+    assert 0 <= tx <= n
+    assert 0 <= ty <= n
+    assert -1e-9 <= px < 256 + 1e-9
+    assert -1e-9 <= py < 256 + 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(-179.99, 179.99), st.floats(-84.9, 84.9),
+       st.integers(1, 12))
+def test_interpolation_corners_property(lon, lat, zoom):
+    """Every interior point gets exactly 4 corners, each with pixel
+    coordinates inside its tile and tile ids inside the world."""
+    tx, ty, px, py = tr.lonlat_to_tile_pixel(lon, lat, zoom, 256)
+    setup = tr.interpolation_setup(tx, ty, px, py, zoom, 256)
+    if setup is None:
+        return  # world edge — allowed
+    corners, fx, fy = setup
+    n = 1 << zoom
+    assert len(corners) == 4 and 0 <= fx < 1 and 0 <= fy < 1
+    for cx, cy, lx, ly in corners:
+        assert 0 <= cx < n and 0 <= cy < n
+        assert 0 <= lx < 256 and 0 <= ly < 256
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255))
+def test_terrain_decode_inverse_property(r, g, b):
+    """The mapbox decode is the exact inverse of the test encoder's
+    channel packing (the reference's published formula)."""
+    elev = tr.decode_elevation(r, g, b, "mapbox")
+    v = (r << 16) | (g << 8) | b
+    assert abs(elev - (-10000.0 + v * 0.1)) < 1e-12
+    # terrarium decode is monotone in the packed value
+    assert tr.decode_elevation(r, g, b, "terrarium") == \
+        r * 256 + g + b / 256.0 - 32768
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+                min_size=1, max_size=60))
+def test_salted_aggregate_decomposition_property(rows):
+    """The two-phase (key, salt) → key decomposition equals direct
+    aggregation for every decomposable function, checked in plain Python
+    over arbitrary key/value multisets (the Spark wiring is covered by
+    test_scale_operators; this pins the algebra)."""
+    import collections
+    by_key = collections.defaultdict(list)
+    for k, v in rows:
+        by_key[k].append(v)
+    for n_salts in (1, 2, 7):
+        partial = collections.defaultdict(
+            lambda: {"n": 0, "s": 0, "lo": None, "hi": None})
+        for k, v in rows:
+            salt = hash((k, v)) % n_salts
+            p = partial[(k, salt)]
+            p["n"] += 1
+            p["s"] += v
+            p["lo"] = v if p["lo"] is None else min(p["lo"], v)
+            p["hi"] = v if p["hi"] is None else max(p["hi"], v)
+        final = collections.defaultdict(
+            lambda: {"n": 0, "s": 0, "lo": None, "hi": None})
+        for (k, _), p in partial.items():
+            f = final[k]
+            f["n"] += p["n"]
+            f["s"] += p["s"]
+            f["lo"] = p["lo"] if f["lo"] is None else min(f["lo"], p["lo"])
+            f["hi"] = p["hi"] if f["hi"] is None else max(f["hi"], p["hi"])
+        for k, vs in by_key.items():
+            assert final[k] == {"n": len(vs), "s": sum(vs),
+                                "lo": min(vs), "hi": max(vs)}
