@@ -693,6 +693,37 @@ FROM flagged GROUP BY user_id
 """
 
 
+@query("asof_latest_order")
+def asof_latest_order(spark, sf_dir):
+    """As-of join (the timeseries operator Spark lacks, built from a
+    tagged union + carry-forward window — ``operators/asof.py``): each
+    event matches its user's most recent order placed on-or-before the
+    event's date.  Oracle: DuckDB's native ASOF LEFT JOIN.  The order
+    side pre-aggregates to one row per (customer, date) so the match is
+    well-defined on both engines."""
+    from ..operators.asof import asof_join
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "user_id", F.to_date("ts").alias("event_date")))
+    orders = (_t(spark, sf_dir, "orders")
+              .groupBy("o_custkey", "o_orderdate")
+              .agg(F.max("o_orderkey").alias("matched_order")))
+    out = asof_join(ev, orders,
+                    left_on="event_date", right_on="o_orderdate",
+                    left_by="user_id", right_by="o_custkey")
+    return out.select("event_id", "user_id", "matched_order")
+
+
+ORACLES["asof_latest_order"] = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS matched_order
+  FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, o.matched_order
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND CAST(e.ts AS DATE) >= o.o_orderdate
+"""
+
+
 @query("stream_dedup_exact")
 def stream_dedup_exact(spark, sf_dir):
     """Incremental exact dedup as a REAL stateful streaming query
