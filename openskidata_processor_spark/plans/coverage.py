@@ -693,6 +693,36 @@ FROM flagged GROUP BY user_id
 """
 
 
+@query("range_band_counts")
+def range_band_counts(spark, sf_dir):
+    """Interval (band) join via bucketed equi-join
+    (``operators/range_join.py``): events fall into overlapping value
+    bands derived from nation keys; per-band counts.  A raw BETWEEN join
+    would plan BroadcastNestedLoop — the bucket key restores a shuffled
+    equi-join at corpus scale."""
+    from ..operators.range_join import range_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    bands = (_t(spark, sf_dir, "nation")
+             .select(F.col("n_nationkey").alias("band_id"),
+                     (F.col("n_nationkey") * 18.0).alias("lo"),
+                     (F.col("n_nationkey") * 18.0 + 30.0).alias("hi")))
+    joined = range_join(ev, bands, "value", "lo", "hi", bucket_width=30.0)
+    return (joined.groupBy("band_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                  .alias("sum_cents")))
+
+
+ORACLES["range_band_counts"] = """
+SELECT n_nationkey AS band_id, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events JOIN nation
+  ON value >= n_nationkey * 18.0 AND value <= n_nationkey * 18.0 + 30.0
+GROUP BY 1
+"""
+
+
 @query("asof_latest_order")
 def asof_latest_order(spark, sf_dir):
     """As-of join (the timeseries operator Spark lacks, built from a
