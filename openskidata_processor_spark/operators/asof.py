@@ -27,11 +27,14 @@ def asof_join(left: DataFrame, right: DataFrame,
               left_on: str, right_on: str,
               left_by: str, right_by: str,
               direction: str = "backward",
+              tolerance_seconds: float | None = None,
               suffix: str = "") -> DataFrame:
     """For each left row: the right row with the greatest ``right_on`` ≤
     ``left_on`` (direction="backward") or smallest ≥ (direction=
     "forward"), matching ``left_by == right_by``.  Unmatched left rows
     keep null right columns (left-join semantics).
+    ``tolerance_seconds`` (pandas merge_asof ``tolerance``): a match
+    further than this from the left time nulls out, same as no match.
 
     Right-side duplicates at the same (key, time) are resolved to the
     LAST under a deterministic sort of the payload struct — pre-aggregate
@@ -66,6 +69,15 @@ def asof_join(left: DataFrame, right: DataFrame,
                                                F.col("__p").asc())
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+    if tolerance_seconds is not None:
+        mt = F.last(F.when(F.col("__side") == 0, F.col("__t")),
+                    ignorenulls=True).over(w)
+        gap = (F.unix_micros(F.col("__t")) - F.unix_micros(mt)
+               if direction == "backward"
+               else F.unix_micros(mt) - F.unix_micros(F.col("__t")))
+        carried = carried.withColumn(
+            "__m", F.when(gap <= F.lit(int(tolerance_seconds * 1_000_000)),
+                          F.col("__m")))
     out = carried.filter(F.col("__side") == 1)
     cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
     cols += [F.col(f"__m.{c}").alias(c + suffix) for c in rcols]

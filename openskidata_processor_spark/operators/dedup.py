@@ -283,6 +283,37 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def near_dup_groups(df: DataFrame, id_col: str,
+                    pairs: DataFrame) -> DataFrame:
+    """Resolve near-duplicate PAIRS into dedup GROUPS — the step that
+    turns any pair-producing family (ngram/minhash/simhash/embedding)
+    into the actual pipeline output: which documents to keep.
+
+    Connected components over the pair graph (near-duplication is not
+    transitive, but dedup treats it as such — the standard corpus-dedup
+    policy: A≈B and B≈C ⇒ {A,B,C} are one group); ``group_id`` is the
+    minimum doc id in the component, ``keep`` marks that canonical
+    representative (keep-first policy, matching ``exact_duplicates``).
+    Documents in no pair are their own group with ``keep=true``.
+
+    Ids must be non-negative integers (they zero-pad to strings for the
+    CC operator so lexicographic min == numeric min).
+    """
+    from .graph import connected_components
+
+    width = 19  # max int64 digits
+    pad = lambda c: F.lpad(c.cast("string"), width, "0")  # noqa: E731
+    edges = pairs.select(pad(F.col("id_a")).alias("src"),
+                         pad(F.col("id_b")).alias("dst"))
+    comp = connected_components(edges)
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     pad(F.col(id_col)).alias("vertex"))
+    out = base.join(comp, "vertex", "left")
+    group = F.coalesce(F.col("component").cast("long"), F.col("doc_id"))
+    return out.select("doc_id", group.alias("group_id"),
+                      (group == F.col("doc_id")).alias("keep"))
+
+
 def simhash_from_hashes(hashes: Column, num_bits: int = 64) -> Column:
     """Pack a SimHash from a (bound) column of feature hashes.
 

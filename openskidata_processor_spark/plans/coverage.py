@@ -693,6 +693,61 @@ FROM flagged GROUP BY user_id
 """
 
 
+@query("dedup_group_resolution")
+def dedup_group_resolution(spark, sf_dir):
+    """Pairs → groups → keep-set: the dedup output a corpus pipeline
+    actually consumes.  Exact 3-gram Jaccard ≥ 0.8 pairs resolve through
+    connected components (``dedup.near_dup_groups``); every document gets
+    (group_id = min doc id in its component, keep = is-canonical);
+    singletons keep themselves.  Oracle: the same shingle pair SQL plus a
+    recursive-CTE transitive closure."""
+    from ..operators import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                   n=3, threshold=0.8)
+    return dd.near_dup_groups(docs, "doc_id", pairs)
+
+
+ORACLES["dedup_group_resolution"] = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                               FOR i IN generate_series(1, len(ws) - 2)]))
+           AS shingle
+  FROM w WHERE len(ws) >= 3
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), p AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a
+  JOIN sz sb ON sb.doc_id = id_b
+  WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.8
+), e AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION SELECT id_b, id_a FROM p
+), reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+), comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS group_id FROM reach GROUP BY a
+)
+SELECT d.doc_id,
+       coalesce(c.group_id, d.doc_id) AS group_id,
+       coalesce(c.group_id, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
 @query("range_band_counts")
 def range_band_counts(spark, sf_dir):
     """Interval (band) join via bucketed equi-join

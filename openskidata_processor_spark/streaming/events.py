@@ -69,6 +69,47 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str,
     return spark.table(name)
 
 
+def windowed_event_counts_append(spark: SparkSession, events_dir: str,
+                                 window: str = "1 hour",
+                                 watermark: str = "30 minutes",
+                                 max_files_per_trigger: int = 1) -> DataFrame:
+    """APPEND-mode windowed counts: each (window_start, event_type) row
+    emits exactly once, after the watermark passes the window's end, and
+    rows arriving later than the watermark are DROPPED — the production
+    shape for an unbounded stream, where complete mode's full-result
+    rewrite would mean unbounded state and output.
+
+    ``max_files_per_trigger=1`` + availableNow replays the directory one
+    file per micro-batch, so watermark advancement and late-row eviction
+    run exactly as they would on a live tail — this is the engine's
+    late-data semantics under test, not just a batch in disguise.
+    Windows the watermark never passes stay in state and do NOT emit
+    (their rows are simply absent from the result).  Late-row dropping
+    follows Spark's guarantee: a row later than the watermark is dropped
+    once its window's state was finalized/evicted; if the window is
+    still in state the row is aggregated (documented best-effort).
+    """
+    schema = _ntz_to_ltz(spark.read.parquet(events_dir).schema)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(events_dir))
+    agg = (
+        stream
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events")
+    )
+    name = f"stream_counts_append_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def stateful_user_sessions(spark: SparkSession, sf_dir: str,
                            gap_minutes: int = 30) -> DataFrame:
     """Custom stateful streaming operator: per-user gap sessionization via

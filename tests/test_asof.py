@@ -45,6 +45,18 @@ def test_forward_direction(spark):
     assert out[4] is None
 
 
+def test_tolerance_nulls_stale_matches(spark):
+    """merge_asof tolerance: a match further than the bound nulls out."""
+    left, right = _frames(spark)
+    out = {r.eid: r.val
+           for r in asof_join(left, right, "t", "t", "k", "k",
+                              tolerance_seconds=86400.0).collect()}
+    # eid 1: matched row is 2 days earlier (01-03 vs 01-05) → nulled
+    assert out[1] is None
+    # eid 2: exact-time match, gap 0 → kept
+    assert out[2] == 200
+
+
 def test_matches_duckdb_asof(spark):
     """Operator parity with DuckDB's native ASOF LEFT JOIN on a random
     keyed timeline."""

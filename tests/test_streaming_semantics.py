@@ -1,0 +1,63 @@
+"""Append-mode watermark semantics: exactly-once window emission and
+late-row eviction, exercised with a deterministic file-per-batch replay."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from openskidata_processor_spark.streaming.events import (
+    windowed_event_counts_append)
+
+UTC_TS = pa.timestamp("us", tz="UTC")
+
+
+def _write(path: str, rows: list[tuple[str, str]], mtime: float) -> None:
+    """One parquet file of (ts ISO-string, event_type) rows with a forced
+    mtime so the file stream processes files in a known order."""
+    import datetime
+    ts = [datetime.datetime.fromisoformat(t + "+00:00") for t, _ in rows]
+    table = pa.table({
+        "ts": pa.array(ts, type=UTC_TS),
+        "event_type": pa.array([e for _, e in rows]),
+    })
+    pq.write_table(table, path)
+    os.utime(path, (mtime, mtime))
+
+
+def test_append_mode_emits_closed_windows_and_drops_late(spark, tmp_path):
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    # batch 0: two rows in [10:00), two in [11:00); max event time 11:45
+    # → watermark advances to 11:15 for the NEXT batch
+    _write(f"{d}/f1.parquet",
+           [("2024-01-01 10:15:00", "a"),
+            ("2024-01-01 10:40:00", "a"),
+            ("2024-01-01 11:30:00", "a"),
+            ("2024-01-01 11:45:00", "a")], mtime=1_000_000)
+    # batch 1: 12:45 pushes the watermark to 12:15 → at batch end, the
+    # [10:00) and [11:00) windows are FINALIZED (emitted + state evicted)
+    _write(f"{d}/f2.parquet",
+           [("2024-01-01 12:45:00", "b")], mtime=2_000_000)
+    # batch 2: a late row for the already-finalized [10:00) window —
+    # guaranteed dropped (Spark drops late rows once their window's
+    # state is evicted; a late row arriving while the window is still in
+    # state would instead be aggregated — the documented best-effort)
+    _write(f"{d}/f3.parquet",
+           [("2024-01-01 10:20:00", "a")], mtime=3_000_000)
+
+    out = windowed_event_counts_append(spark, d, window="1 hour",
+                                       watermark="30 minutes")
+    rows = {(str(r.window_start), r.event_type): r.n_events
+            for r in out.collect()}
+
+    # [10:00) finalized with its on-time rows only — the late row absent
+    assert rows[("2024-01-01 10:00:00", "a")] == 2
+    # [11:00) finalized once the 12:45 row pushed the watermark past it
+    assert rows[("2024-01-01 11:00:00", "a")] == 2
+    # [12:00) never finalizes (watermark stops at 12:15 < its 13:00 end)
+    assert not any(k[0] == "2024-01-01 12:00:00" for k in rows)
+    assert len(rows) == 2
