@@ -101,7 +101,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     ``prefix_filter=True`` switches candidate generation to PPJoin-style
     prefix filtering (same exact result, published algorithm): order every
     document's shingles by ascending global document-frequency and index
-    only the first ``|set| - floor(t·|set|)`` of them.  Any pair with
+    only the first ``|set| - ceil(t·|set|) + 1`` of them.  Any pair with
     J ≥ t shares ≥ ``ceil(t·|set|)`` shingles, so it must collide inside
     these prefixes; pairs of frequent-only shingles never meet.  The
     inverted-index self-join — the quadratic stage — shrinks from all
@@ -155,11 +155,16 @@ def _prefix_filter_candidates(sh: DataFrame, sizes: DataFrame,
                               threshold: float) -> DataFrame:
     """Candidate (id_a, id_b) pairs via prefix filtering.
 
-    Prefix length ``|set| - floor(t·|set|)`` is the conservative
-    (floor, not ceil) bound: a float-boundary slip can only LENGTHEN the
-    prefix, never lose a true pair.  Ordering key is (df, shingle) —
-    ascending document frequency with a total-order tiebreak, the
-    standard rare-first order that minimizes postings."""
+    Prefix length is ``|set| - ceil(t·|set|) + 1``: a pair with J ≥ t
+    shares ≥ ceil(t·|set|) shingles, so by pigeonhole at least one shared
+    shingle lands in that prefix.  (``|set| - floor(t·|set|)`` — the
+    earlier formula — is one element SHORT exactly when t·|set| is an
+    integer, silently dropping boundary pairs at J = t.)  The ceil is
+    taken on ``t·|set| − 1e−9`` so float noise can only lengthen the
+    prefix (extra candidates, still exact), never shorten it.  Ordering
+    key is (df, shingle) — ascending document frequency with a
+    total-order tiebreak, the standard rare-first order that minimizes
+    postings."""
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     prefix = (
         sh.join(freq, "shingle")
@@ -172,8 +177,9 @@ def _prefix_filter_candidates(sh: DataFrame, sizes: DataFrame,
             F.explode(F.slice(
                 F.col("__ordered"), 1,
                 (F.col("set_size")
-                 - F.floor(F.lit(threshold) * F.col("set_size"))
-                 ).cast("int"))).alias("__p"))
+                 - F.ceil(F.lit(threshold) * F.col("set_size")
+                          - F.lit(1e-9))
+                 + F.lit(1)).cast("int"))).alias("__p"))
         .select("id", "set_size", F.col("__p.shingle").alias("shingle"))
     )
     a = prefix.toDF("id_a", "size_a", "shingle")

@@ -33,12 +33,28 @@ def _row_salt(df: DataFrame, n_salts: int) -> Column:
                   F.lit(n_salts))
 
 
+_SALTED_HOW = {"inner", "left", "leftouter", "left_outer",
+               "left_semi", "leftsemi", "left_anti", "leftanti"}
+
+
 def salted_join(fact: DataFrame, dim: DataFrame, on: list[str],
                 n_salts: int = 16, how: str = "inner") -> DataFrame:
     """Equi-join with the fact side scattered over ``n_salts`` sub-keys
     and the dimension side replicated per salt.  Result equals
     ``fact.join(dim, on, how)``; only the physical distribution differs
-    (hot keys occupy ``n_salts`` tasks instead of one)."""
+    (hot keys occupy ``n_salts`` tasks instead of one).
+
+    ``how`` is restricted to fact-preserving joins ({inner, left,
+    left_semi, left_anti}): the dim side is replicated once per salt, so
+    a right/full outer join would emit each unmatched dim row
+    ``n_salts`` times — equality with the unsalted join breaks.  For
+    those, salt the other side or dedupe unmatched rows explicitly."""
+    if how.lower().replace("_", "") not in {
+            h.replace("_", "") for h in _SALTED_HOW}:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the replicated dim "
+            f"side would duplicate unmatched right rows {n_salts}×; use "
+            f"one of inner/left/left_semi/left_anti")
     salted_fact = fact.withColumn("__salt", _row_salt(fact, n_salts))
     replicated = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))

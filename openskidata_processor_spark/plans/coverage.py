@@ -763,15 +763,19 @@ def range_band_counts(spark, sf_dir):
                      (F.col("n_nationkey") * 18.0).alias("lo"),
                      (F.col("n_nationkey") * 18.0 + 30.0).alias("hi")))
     joined = range_join(ev, bands, "value", "lo", "hi", bucket_width=30.0)
+    # floor, not round: `value` is an arbitrary double, and round() on a
+    # half-way double diverges across engines (Spark rounds the shortest
+    # decimal repr, DuckDB the raw binary — see plans/analytics.py:50).
+    # floor of the identical IEEE product is bit-deterministic everywhere.
     return (joined.groupBy("band_id")
             .agg(F.count("*").alias("n_events"),
-                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 F.sum(F.floor(F.col("value") * 100).cast("long"))
                   .alias("sum_cents")))
 
 
 ORACLES["range_band_counts"] = """
 SELECT n_nationkey AS band_id, count(*) AS n_events,
-       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events JOIN nation
   ON value >= n_nationkey * 18.0 AND value <= n_nationkey * 18.0 + 30.0
 GROUP BY 1

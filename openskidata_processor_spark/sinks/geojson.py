@@ -84,10 +84,15 @@ def read_feature_collection(spark, path: str,
       documented 100 TB entry, fully splittable;
     - a small single file (≤ ``max_driver_bytes``) → driver ``json.load``
       with canonical re-serialization (byte-stable parity ingest);
-    - a large single file → ``spark.read.json(multiLine)`` +
-      ``posexplode(features)``: one JSON document can't split, but the
-      parse and feature fan-out happen on an executor and everything
-      downstream is distributed — the driver never holds the file.
+    - a large single file → ``spark.read.json(multiLine)`` with the
+      EXPLICIT schema ``features array<string>`` + ``explode``: Spark's
+      Jackson parser returns the raw JSON text of each feature when the
+      expected type is string, so features pass through verbatim — no
+      schema inference, no cross-feature type coercion (Point vs Polygon
+      coordinate nesting), no null-field dropping.  One JSON document
+      can't split, but the parse and feature fan-out happen on an
+      executor and everything downstream is distributed — the driver
+      never holds the file.
     """
     if os.path.isdir(path):
         return read_feature_jsonl(spark, path)
@@ -98,9 +103,9 @@ def read_feature_collection(spark, path: str,
                  for x in fc.get("features", [])]
         return spark.createDataFrame(feats or [("",)], "feature string") \
             .filter(F.col("feature") != "")
-    fc = spark.read.option("multiLine", "true").json(path)
-    return (fc.select(F.explode("features").alias("__f"))
-            .select(F.to_json("__f").alias("feature")))
+    fc = (spark.read.option("multiLine", "true")
+          .schema("features array<string>").json(path))
+    return fc.select(F.explode("features").alias("feature"))
 
 
 # ---------------------------------------------------------------------------

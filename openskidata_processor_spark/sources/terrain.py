@@ -231,7 +231,25 @@ class _TileStore:
                 else:
                     with open(ppath, "wb") as f:
                         f.write(png)
-        val = None if png is None else decode_png_rgb(png)
+        if png is None:
+            self.mem[key] = None
+            return None
+        try:
+            val = decode_png_rgb(png)
+        except Exception:
+            # Corrupt/truncated bytes (bad server response, or a
+            # partially-written disk-cache file from a crashed task) must
+            # surface as a per-point miss, not fail the stage — and a bad
+            # cache file must not poison every subsequent run: delete it
+            # so the next run refetches.
+            if hit and self.cache_dir:
+                ppath, _ = self._disk_paths(z, x, y)
+                try:
+                    os.remove(ppath)
+                except OSError:
+                    pass
+            self.mem[key] = self._ERROR
+            return self._ERROR
         self.mem[key] = val
         return val
 

@@ -52,6 +52,31 @@ def test_prefix_filter_is_exact(spark, jaccard_truth):
     assert pref == plain
 
 
+def test_prefix_filter_integer_boundary(spark):
+    """Regression: prefix length must be |s| − ceil(t·|s|) + 1, not
+    |s| − floor(t·|s|) — the two differ exactly when t·|s| is an integer.
+
+    Construction (the failing case for the floor formula): t=0.8,
+    doc x has 5 word-3-gram shingles {abc..efg}, doc y = x's first 6
+    words has the 4-shingle subset, so J = 4/5 = 0.8 = t exactly.
+    x's unique shingle ``e f g`` has df=1 (rarest), so under the floor
+    formula x's prefix was the single element {efg} — disjoint from y —
+    and the pair at J exactly = t was silently dropped."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f")],
+        "doc_id int, text string")
+    expect = {(1, 2): 0.8}
+    plain = {(r.id_a, r.id_b): round(r.jaccard, 9)
+             for r in dedup.ngram_jaccard_pairs(
+                 docs, "doc_id", "text", n=3, threshold=0.8).collect()}
+    pref = {(r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=3, threshold=0.8,
+                prefix_filter=True).collect()}
+    assert plain == expect
+    assert pref == expect
+
+
 def test_minhash_lsh_recall(spark, jaccard_truth):
     found = {(r.id_a, r.id_b)
              for r in dedup.minhash_dedup_pairs(

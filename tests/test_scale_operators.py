@@ -66,6 +66,26 @@ class TestSkew:
         assert salts > 1          # the hot key really spreads over salts
         assert out.count() == skewed.count()
 
+    def test_salted_join_rejects_outer(self, spark, skewed):
+        """Right/full outer would emit each unmatched dim row n_salts
+        times (the dim side is replicated per salt) — must raise, not
+        silently violate the equality contract."""
+        dim = spark.createDataFrame([(0, "a")], "k bigint, name string")
+        for how in ("right", "rightouter", "full", "outer", "full_outer"):
+            with pytest.raises(ValueError, match="unsupported"):
+                skew.salted_join(skewed, dim, ["k"], n_salts=8, how=how)
+        # left-family joins still accepted and correct
+        left = (skew.salted_join(skewed, dim, ["k"], n_salts=8, how="left")
+                .groupBy("k", "name").count())
+        plain = skewed.join(dim, ["k"], "left").groupBy("k", "name").count()
+        assert sorted(left.collect()) == sorted(plain.collect())
+        semi = skew.salted_join(skewed, dim, ["k"], n_salts=8,
+                                how="left_semi")
+        assert semi.count() == 2000
+        anti = skew.salted_join(skewed, dim, ["k"], n_salts=8,
+                                how="left_anti")
+        assert anti.count() == 90
+
     def test_salted_aggregate_matches_plain(self, spark, skewed):
         plain = (skewed.groupBy("k")
                  .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),

@@ -74,6 +74,43 @@ class TestGeoJSON:
                 spark, fpath, max_driver_bytes=0).collect())
         assert dist_ids == small_ids == big_ids and len(dist_ids) == 2
 
+    def test_read_heterogeneous_fc_multiline_parity(self, spark, tmp_path):
+        """Regression (ADVICE r3): the executor-side multiLine path must
+        not run schema inference — a FeatureCollection mixing Point and
+        Polygon (conflicting coordinate nesting) with null-valued
+        properties must come back structurally identical to the driver
+        path, nulls retained, on both paths."""
+        feats = [
+            {"type": "Feature",
+             "properties": {"id": "p1", "name": "pt", "ele": None},
+             "geometry": {"type": "Point", "coordinates": [7.5, 46.0]}},
+            {"type": "Feature",
+             "properties": {"id": "g1", "name": None, "ele": 1200.5},
+             "geometry": {"type": "Polygon",
+                          "coordinates": [[[0.0, 0.0], [1.0, 0.0],
+                                           [1.0, 1.0], [0.0, 0.0]]]}},
+            {"type": "Feature",
+             "properties": {"id": "l1", "tags": {"k": "v", "n": None}},
+             "geometry": {"type": "LineString",
+                          "coordinates": [[0.0, 0.0], [2.5, 3.5]]}},
+        ]
+        fpath = str(tmp_path / "hetero.geojson")
+        with open(fpath, "w") as f:
+            json.dump({"type": "FeatureCollection", "features": feats}, f,
+                      indent=2)
+
+        def parsed(df):
+            out = sorted((json.loads(r.feature) for r in df.collect()),
+                         key=lambda x: x["properties"]["id"])
+            return out
+
+        small = parsed(geojson.read_feature_collection(spark, fpath))
+        big = parsed(geojson.read_feature_collection(
+            spark, fpath, max_driver_bytes=0))
+        want = sorted(feats, key=lambda x: x["properties"]["id"])
+        assert small == want
+        assert big == want  # nulls kept, nesting intact, no coercion
+
 
 class TestPartitionedParquet:
     def test_layout_pruning_and_file_bounds(self, spark, tmp_path):

@@ -198,3 +198,43 @@ def test_tile_disk_cache(spark, tmp_path):
     r2 = tr.fetch_elevation_tiles(misses, dead_fetch, zooms=[12],
                                   cache_dir=cache_dir).collect()
     assert abs(r2[0].elevation - 555.0) < 1e-6  # resolved from disk
+
+
+def test_corrupt_tile_bytes_surface_as_miss(spark, tmp_path):
+    """A corrupt/truncated PNG (bad server bytes, or a partially-written
+    disk-cache file from a crashed task) must NOT fail the stage: the
+    point errors out (no row, never cached) and a poisoned cache file is
+    deleted so the next run refetches — 'errors are never cached and
+    surface as misses'."""
+    keys = [geohash_encode(11.1, 47.1, 10)]
+    misses = spark.createDataFrame([(k,) for k in keys], "key string")
+
+    # 1) server returns garbage bytes → no row, no crash
+    out = tr.fetch_elevation_tiles(
+        misses, lambda z, x, y: b"\x89PNG garbage", zooms=[12]).collect()
+    assert out == []
+
+    # 2) truncated disk-cache file poisons nothing: first run writes a
+    # good tile, we corrupt it on disk, the next run deletes it and
+    # refetches through a live fetcher.
+    cache_dir = str(tmp_path / "tiles")
+    tile = constant_tile(777.0)
+    r1 = tr.fetch_elevation_tiles(misses, lambda z, x, y: tile, zooms=[12],
+                                  cache_dir=cache_dir).collect()
+    assert abs(r1[0].elevation - 777.0) < 1e-6
+    import glob, os
+    cached = glob.glob(os.path.join(cache_dir, "*.png"))
+    assert cached
+    for p in cached:
+        with open(p, "wb") as f:
+            f.write(b"truncated")
+    # corrupt cache + dead fetcher → miss (no row), bad file removed
+    r2 = tr.fetch_elevation_tiles(
+        misses, lambda z, x, y: (_ for _ in ()).throw(RuntimeError("down")),
+        zooms=[12], cache_dir=cache_dir).collect()
+    assert r2 == []
+    assert not any(os.path.exists(p) for p in cached)
+    # next run refetches and resolves
+    r3 = tr.fetch_elevation_tiles(misses, lambda z, x, y: tile, zooms=[12],
+                                  cache_dir=cache_dir).collect()
+    assert abs(r3[0].elevation - 777.0) < 1e-6
