@@ -23,6 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from openskidata_processor_spark.plans import QUERIES  # noqa: E402
 from openskidata_processor_spark.session import get_spark  # noqa: E402
 
+# The original 16-query set — DO NOT change: BENCH_r{N}.json artifacts are
+# compared per-query across rounds, and edits break that longitudinal
+# comparison.  New operator families get numbers via EXTENDED_QUERIES.
 BENCH_QUERIES = [
     "a2_pricing_summary",
     "j8_regional_revenue",
@@ -40,6 +43,16 @@ BENCH_QUERIES = [
     "dedup_embedding_lsh",
     "j2_points_in_polygon",
     "j3_geo_dwithin",
+]
+
+# Additive second set (timed identically, reported under "extended";
+# excluded from the headline "value" so it stays comparable to r1-r3).
+EXTENDED_QUERIES = [
+    "asof_latest_order",
+    "range_band_counts",
+    "dedup_group_resolution",
+    "cc_components",
+    "multimodal_decode_stats",
 ]
 
 
@@ -80,6 +93,14 @@ def main() -> None:
             timings[name] = f"ERR:{type(exc).__name__}"
             print(f"{name} failed: {exc}", file=sys.stderr)
 
+    extended: dict[str, float | str] = {}
+    for name in EXTENDED_QUERIES:
+        try:
+            extended[name] = round(run_query(spark, name, sf_dir), 3)
+        except Exception as exc:
+            extended[name] = f"ERR:{type(exc).__name__}"
+            print(f"{name} failed: {exc}", file=sys.stderr)
+
     total = round(sum(v for v in timings.values()
                       if isinstance(v, (int, float))), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -88,6 +109,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extended": extended,
         "sf": sf,
     }))
     spark.stop()

@@ -26,6 +26,8 @@ views it zero-copy on the Python side.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from typing import Iterable, Iterator
 
 import numpy as np
@@ -37,6 +39,30 @@ from ..sources.terrain import decode_png_rgb
 
 DECODED_DDL = ("id long, n_bytes long, decoded boolean, "
                "width int, height int, pixels binary")
+
+
+def encode_png_rgb(arr: np.ndarray) -> bytes:
+    """Dependency-free PNG encoder (8-bit RGB, filter 0 per row) — the
+    inverse of ``sources.terrain.decode_png_rgb``.  Used to materialize
+    real PNG payload columns from raw pixel buffers (test fixtures, the
+    oracle-checked multimodal catalog query, synthetic asset generation);
+    a production image library drops in behind the same signature."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_png_rgb expects uint8 H×W×3")
+    h, w, _ = arr.shape
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)  # filter type 0 (None)
+        raw.extend(arr[y].tobytes())
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
 
 
 def decode_images(df: DataFrame, id_col: str = "id",
@@ -114,6 +140,26 @@ def image_features(decoded: DataFrame, grid: int = 4) -> DataFrame:
                                     "embedding": pd.Series(vecs,
                                                            dtype=object)})
     return decoded.mapInPandas(run, "id long, embedding array<float>")
+
+
+def pixel_stats(decoded: DataFrame) -> DataFrame:
+    """Per-asset raw-pixel statistics over decoded rows:
+    (id, n_px, pixel_sum, px_min, px_max).  Undecoded rows are dropped
+    (their miss is already visible in the ``decoded`` flag upstream)."""
+    def run(parts: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in parts:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if not r.decoded:
+                    continue
+                px = np.frombuffer(r.pixels, dtype=np.uint8)
+                rows.append((r.id, int(px.size),
+                             int(px.sum(dtype=np.int64)),
+                             int(px.min()), int(px.max())))
+            yield pd.DataFrame(rows, columns=[
+                "id", "n_px", "pixel_sum", "px_min", "px_max"])
+    return decoded.mapInPandas(
+        run, "id long, n_px long, pixel_sum long, px_min int, px_max int")
 
 
 def sample_frames(df: DataFrame, frame_bytes: int, every_n: int,

@@ -492,6 +492,19 @@ def stream_event_counts(spark, sf_dir):
     return windowed_event_counts(spark, sf_dir)
 
 
+@query("stream_event_counts_append")
+def stream_event_counts_append(spark, sf_dir):
+    """APPEND-mode watermarked windows — each (window, event_type) row
+    emits exactly once after the watermark passes the window end; open
+    windows never emit (``streaming/events.py``,
+    ``windowed_event_counts_append``).  The batch-twin oracle selects the
+    emitted subset at the final watermark: hourly windows whose end ≤
+    max(ts) − 30 min."""
+    from ..streaming.events import windowed_event_counts_append
+    return windowed_event_counts_append(spark, sf_dir,
+                                        glob_filter="events.parquet")
+
+
 # ---------------------------------------------------------------------------
 # Approximate operators (no SQL oracle — driver does rows-only checks)
 # ---------------------------------------------------------------------------

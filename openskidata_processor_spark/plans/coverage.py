@@ -15,6 +15,8 @@ and appends its DuckDB twin to ``oracles.ORACLES``.
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -472,46 +474,79 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 
 @query("multimodal_decode_stats")
 def multimodal_decode_stats(spark, sf_dir):
-    """Opaque-binary multimodal plumbing: documents' text re-encoded as a
-    ``binary`` payload column, "decoded" by an Arrow-batched mapInPandas
-    stub that emits typed metadata (bytes, width, height).  The decode is a
-    deterministic fake (real image libs aren't in this container) but the
-    Spark-side schema, batching, and partitioning are the real pipeline."""
+    """Multimodal pipeline through the REAL codec (no stub): deterministic
+    PNG payloads are synthesized Spark-side from each document (dimensions
+    from the text's UTF-8 byte length, pixel ramp seeded by doc_id),
+    encoded with ``operators.multimodal.encode_png_rgb``, decoded back by
+    the REAL dependency-free decoder (``decode_images`` →
+    ``sources.terrain.decode_png_rgb``), and reduced to per-source raw
+    pixel statistics.  The DuckDB oracle computes the identical stats
+    from first principles on the source table, so the encode∘decode
+    identity — filters, zlib, CRC, row geometry — is driver-checked, not
+    just pytest-checked.  Every stage is an Arrow-batched distributed
+    map; binary payloads travel as single contiguous buffers."""
     import pandas as pd
 
+    from ..operators.multimodal import (decode_images, encode_png_rgb,
+                                        pixel_stats)
+
     docs = _t(spark, sf_dir, "documents")
-    blobs = docs.select("doc_id", "source",
-                        F.encode("text", "UTF-8").alias("payload"))
+    meta = docs.select(
+        F.col("doc_id").alias("id"), "source",
+        F.length(F.encode("text", "UTF-8")).alias("nb"))
 
-    schema = ("doc_id long, source string, n_bytes long, "
-              "width int, height int")
-
-    def decode_stub(batches):
+    def synth(batches):
+        # Deterministic assets: w,h from byte length, pixel i =
+        # (doc_id·7 + i) mod 256 — closed-form reproducible in SQL.
         for pdf in batches:
-            n = pdf["payload"].map(len)
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "source": pdf["source"],
-                "n_bytes": n,
-                # Deterministic fake decode: real impl would parse headers.
-                "width": (n % 64 + 1).astype("int32"),
-                "height": (n // 64 % 64 + 1).astype("int32"),
-            })
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w = int(r.nb) % 8 + 2
+                h = (int(r.nb) // 8) % 6 + 2
+                px = ((int(r.id) * 7 + np.arange(w * h * 3, dtype=np.int64))
+                      % 256).astype(np.uint8).reshape(h, w, 3)
+                rows.append((int(r.id), encode_png_rgb(px)))
+            yield pd.DataFrame(rows, columns=["id", "payload"])
 
-    decoded = blobs.mapInPandas(decode_stub, schema)
-    return (decoded.groupBy("source")
+    blobs = meta.mapInPandas(synth, "id long, payload binary")
+    decoded = decode_images(blobs)
+    stats = pixel_stats(decoded)
+    dims = decoded.select("id", "width", "height")
+    return (stats.join(dims, "id")
+            .join(meta.select("id", "source"), "id")
+            .groupBy("source")
             .agg(F.count("*").alias("n_assets"),
-                 F.sum("n_bytes").alias("total_bytes"),
                  F.sum("width").alias("sum_width"),
-                 F.sum("height").alias("sum_height")))
+                 F.sum("height").alias("sum_height"),
+                 F.sum("n_px").alias("total_px"),
+                 F.sum("pixel_sum").alias("total_pixel_sum"),
+                 F.min("px_min").alias("px_min"),
+                 F.max("px_max").alias("px_max")))
 
 
 ORACLES["multimodal_decode_stats"] = """
+WITH d AS (
+  SELECT doc_id, source, octet_length(encode(text)) AS nb FROM documents),
+dims AS (
+  SELECT doc_id, source, nb % 8 + 2 AS w, (nb // 8) % 6 + 2 AS h FROM d),
+px AS (
+  SELECT doc_id, source, w, h,
+         unnest(generate_series(0, w * h * 3 - 1)) AS i
+  FROM dims),
+ps AS (
+  SELECT doc_id, source, w, h,
+         sum((doc_id * 7 + i) % 256) AS psum,
+         min((doc_id * 7 + i) % 256) AS pmin,
+         max((doc_id * 7 + i) % 256) AS pmax
+  FROM px GROUP BY 1, 2, 3, 4)
 SELECT source, count(*) AS n_assets,
-       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-       CAST(sum(octet_length(encode(text)) % 64 + 1) AS BIGINT) AS sum_width,
-       CAST(sum(octet_length(encode(text)) // 64 % 64 + 1) AS BIGINT) AS sum_height
-FROM documents GROUP BY source
+       CAST(sum(w) AS BIGINT) AS sum_width,
+       CAST(sum(h) AS BIGINT) AS sum_height,
+       CAST(sum(w * h * 3) AS BIGINT) AS total_px,
+       CAST(sum(psum) AS BIGINT) AS total_pixel_sum,
+       CAST(min(pmin) AS INT) AS px_min,
+       CAST(max(pmax) AS INT) AS px_max
+FROM ps GROUP BY source
 """
 
 

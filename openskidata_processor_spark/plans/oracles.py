@@ -324,3 +324,14 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events
 FROM events GROUP BY 1, 2
 """
+
+# Append-mode twin: only windows FINALIZED at the final watermark
+# (window end <= max event time - 30 min delay) ever emit.
+ORACLES["stream_event_counts_append"] = """
+WITH m AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM events)
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events
+FROM events, m
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
+GROUP BY 1, 2
+"""

@@ -31,7 +31,13 @@ def get_spark(app_name: str = "openskidata-spark", cpus: int | str | None = None
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Every session this package creates must be able to run its own
+    # pandas UDFs from ANY cwd (operator-level API users, tests run from
+    # outside the repo, cluster executors): ship the package zip here,
+    # not only on the catalog path (prep_session).
+    ship_package(spark)
+    return spark
 
 
 _SHIPPED: set[int] = set()

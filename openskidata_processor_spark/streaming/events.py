@@ -72,7 +72,8 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str,
 def windowed_event_counts_append(spark: SparkSession, events_dir: str,
                                  window: str = "1 hour",
                                  watermark: str = "30 minutes",
-                                 max_files_per_trigger: int = 1) -> DataFrame:
+                                 max_files_per_trigger: int = 1,
+                                 glob_filter: str | None = None) -> DataFrame:
     """APPEND-mode windowed counts: each (window_start, event_type) row
     emits exactly once, after the watermark passes the window's end, and
     rows arriving later than the watermark are DROPPED — the production
@@ -89,10 +90,20 @@ def windowed_event_counts_append(spark: SparkSession, events_dir: str,
     once its window's state was finalized/evicted; if the window is
     still in state the row is aggregated (documented best-effort).
     """
-    schema = _ntz_to_ltz(spark.read.parquet(events_dir).schema)
-    stream = (spark.readStream.schema(schema)
-              .option("maxFilesPerTrigger", max_files_per_trigger)
-              .parquet(events_dir))
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = (f"{events_dir}/{glob_filter}" if glob_filter else events_dir)
+    schema = _ntz_to_ltz(spark.read.parquet(probe).schema)
+    reader = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger))
+    if glob_filter:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    stream = reader.parquet(events_dir)
+    if isinstance(schema["ts"].dataType, LongType):
+        # Parquet TIMESTAMP(NANOS) read as long; exact integer ns → µs.
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = (
         stream
         .withWatermark("ts", watermark)

@@ -23,6 +23,32 @@ def images(spark):
     return spark.createDataFrame(rows, "id long, payload binary"), grad, flat
 
 
+def test_encode_png_rgb_roundtrip():
+    """The package's own encoder (the one the oracle-checked catalog query
+    uses to synthesize payloads) must round-trip through the real decoder
+    pixel-exact, and reject non-RGB input."""
+    from openskidata_processor_spark.sources.terrain import decode_png_rgb
+    rng = np.random.RandomState(3)
+    for h, w in [(1, 1), (2, 7), (13, 5), (32, 32)]:
+        arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        back = decode_png_rgb(mm.encode_png_rgb(arr))
+        assert np.array_equal(back, arr)
+    with pytest.raises(ValueError):
+        mm.encode_png_rgb(np.zeros((2, 2, 4), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        mm.encode_png_rgb(np.zeros((2, 2, 3), dtype=np.int16))
+
+
+def test_pixel_stats(spark, images):
+    df, grad, flat = images
+    out = {r.id: r for r in mm.pixel_stats(mm.decode_images(df)).collect()}
+    assert set(out) == {1, 2}  # poisoned asset dropped, not fatal
+    assert out[1].n_px == 48 and out[1].pixel_sum == int(grad.sum())
+    assert (out[1].px_min, out[1].px_max) == (0, 47)
+    assert out[2].n_px == 12 and out[2].pixel_sum == 200 * 12
+    assert (out[2].px_min, out[2].px_max) == (200, 200)
+
+
 def test_decode_images_real_png(spark, images):
     df, grad, flat = images
     out = {r.id: r for r in mm.decode_images(df).collect()}
