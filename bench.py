@@ -53,6 +53,11 @@ EXTENDED_QUERIES = [
     "dedup_group_resolution",
     "cc_components",
     "multimodal_decode_stats",
+    "cdc_merge_upsert",
+    "sample_stratified",
+    "quantiles_exact",
+    "tfidf_doc_terms",
+    "sketch_doc_stats",
 ]
 
 

@@ -2,5 +2,6 @@ from .analytics import QUERIES
 from .oracles import ORACLES
 from . import coverage  # noqa: F401  (registers J1/J6/J7/J9/W2-W4/A3/A8/A9/P9/P12/O1 + multimodal)
 from . import raster  # noqa: F401  (registers R1-R3 §2.8 projection math)
+from . import training  # noqa: F401  (registers CDC merge / sampling / quantiles / tfidf / sketches)
 
 __all__ = ["QUERIES", "ORACLES"]

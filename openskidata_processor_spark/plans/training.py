@@ -1,0 +1,207 @@
+"""Training-data pipeline catalog extension — the corpus-management
+operators a 100 TB LLM-data pipeline needs beyond dedup/similarity:
+
+- ``cdc_merge_upsert``   : key+version lakehouse merge (latest wins, update
+                           beats base on ties, tombstone deletes)
+- ``sample_stratified``  : deterministic md5-bucket stratified sampling
+- ``quantiles_exact``    : percentile_cont from one sort-shuffle + broadcast
+                           rank lookup (exact score cut-points)
+- ``tfidf_doc_terms``    : pure-Catalyst TF-IDF posting weights (bit-exact
+                           ratio-idf variant so the oracle can hash-match)
+- ``sketch_doc_stats``   : HLL distinct + t-digest median per language
+                           (approximate by design → no oracle; the error
+                           bound vs the exact answer is pinned in
+                           tests/test_training_ops.py)
+
+Every query registers into ``analytics.QUERIES`` via the shared decorator
+and (except the sketch) appends its DuckDB twin to ``oracles.ORACLES``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.merge import merge_upsert
+from ..operators.quantiles import exact_quantiles
+from ..operators.sampling import _threshold, stratified_hash_sample
+from ..operators.tfidf import tfidf
+from .analytics import _cents, _t, query
+from .oracles import ORACLES
+
+# ---------------------------------------------------------------------------
+# CDC merge / upsert — latest-version-wins with tombstones
+# ---------------------------------------------------------------------------
+
+@query("cdc_merge_upsert")
+def cdc_merge_upsert(spark, sf_dir):
+    """Base snapshot = orders@v1; change stream = every 3rd key re-priced
+    and re-statused at v2, every 15th key a tombstone.  One hash-shuffle on
+    the key, resolved map-side-partial via max_by((version, src))."""
+    orders = (_t(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_orderstatus",
+                      _cents(F.col("o_totalprice")).alias("price_c")))
+    base = (orders.withColumn("version", F.lit(1))
+            .withColumn("deleted", F.lit(False)))
+    updates = (orders.filter(F.col("o_orderkey") % 3 == 0)
+               .select("o_orderkey",
+                       F.lit("X").alias("o_orderstatus"),
+                       (F.col("price_c") + 1000).alias("price_c"),
+                       F.lit(2).alias("version"),
+                       (F.col("o_orderkey") % 15 == 0).alias("deleted")))
+    return merge_upsert(base, updates, ["o_orderkey"], "version",
+                        delete_col="deleted")
+
+
+ORACLES["cdc_merge_upsert"] = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
+         1 AS version, false AS deleted, 0 AS src
+  FROM orders
+), upd AS (
+  SELECT o_orderkey, 'X' AS o_orderstatus, price_c + 1000 AS price_c,
+         2 AS version, o_orderkey % 15 = 0 AS deleted, 1 AS src
+  FROM base WHERE o_orderkey % 3 = 0
+), u AS (
+  SELECT * FROM base UNION ALL SELECT * FROM upd
+), w AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey ORDER BY version DESC, src DESC) AS rn
+  FROM u
+)
+SELECT o_orderkey, o_orderstatus, price_c, version
+FROM w WHERE rn = 1 AND NOT deleted
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling — md5-bucket, reproducible cross-engine
+# ---------------------------------------------------------------------------
+
+_FRACTIONS = {"O": 0.2, "F": 0.1, "P": 0.5}
+
+
+@query("sample_stratified")
+def sample_stratified(spark, sf_dir):
+    """Source-weighted corpus mix: keep 20% of 'O', 10% of 'F', 50% of 'P'
+    orders, selected by stable key hash — a narrow no-shuffle filter that
+    yields the identical sample on any engine, cluster layout, or rerun."""
+    orders = _t(spark, sf_dir, "orders")
+    return (stratified_hash_sample(orders, "o_orderkey", "o_orderstatus",
+                                   _FRACTIONS)
+            .select("o_orderkey", "o_orderstatus"))
+
+
+ORACLES["sample_stratified"] = f"""
+SELECT o_orderkey, o_orderstatus
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) <
+      CASE o_orderstatus
+        WHEN 'O' THEN '{_threshold(_FRACTIONS["O"])}'
+        WHEN 'F' THEN '{_threshold(_FRACTIONS["F"])}'
+        WHEN 'P' THEN '{_threshold(_FRACTIONS["P"])}'
+        ELSE '0000' END
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles — percentile_cont per group, bit-exact interpolation
+# ---------------------------------------------------------------------------
+
+@query("quantiles_exact")
+def quantiles_exact(spark, sf_dir):
+    """Quartile cut-points of order value per status.  Integer-cent inputs
+    + quarter probs make every interpolation step exactly representable, so
+    the doubles hash-match the oracle bitwise."""
+    orders = (_t(spark, sf_dir, "orders")
+              .select("o_orderstatus",
+                      _cents(F.col("o_totalprice")).alias("price_c")))
+    return exact_quantiles(orders, "price_c", ["o_orderstatus"],
+                           [0.25, 0.5, 0.75])
+
+
+ORACLES["quantiles_exact"] = """
+WITH src AS (
+  SELECT o_orderstatus AS g,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+  FROM orders
+), ranked AS (
+  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) - 1 AS rn
+  FROM src
+), targets AS (
+  SELECT g, n, p,
+         CAST(floor(p * (n - 1)) AS BIGINT) AS k,
+         p * (n - 1) - floor(p * (n - 1)) AS frac
+  FROM (SELECT g, count(*) AS n FROM src GROUP BY g)
+  CROSS JOIN (SELECT unnest(CAST([0.25, 0.5, 0.75] AS DOUBLE[])) AS p)
+), cand AS (
+  SELECT t.g, t.p, t.frac, r.rn, r.v, t.k
+  FROM targets t JOIN ranked r
+    ON r.g = t.g AND (r.rn = t.k OR (t.frac > 0 AND r.rn = t.k + 1))
+), agg AS (
+  SELECT g, p, frac,
+         min(CASE WHEN rn = k THEN v END) AS a,
+         coalesce(min(CASE WHEN rn = k + 1 THEN v END),
+                  min(CASE WHEN rn = k THEN v END)) AS b
+  FROM cand GROUP BY g, p, frac
+)
+SELECT g AS o_orderstatus, p, a + frac * (b - a) AS q FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF posting weights — ratio-idf variant (bit-exact cross-engine)
+# ---------------------------------------------------------------------------
+
+@query("tfidf_doc_terms")
+def tfidf_doc_terms(spark, sf_dir):
+    """Postings with tf ≥ 3: term frequency, document frequency, and the
+    exact ratio-idf weight tf·N/df.  Tokenize→tf is a map-side-partial
+    groupBy; df is vocabulary-sized and joins back on term (AQE broadcasts
+    when it fits); N is a broadcast 1-row aggregate, not a collect."""
+    docs = _t(spark, sf_dir, "documents")
+    return (tfidf(docs, "doc_id", "text", variant="ratio")
+            .filter(F.col("tf") >= 3))
+
+
+ORACLES["tfidf_doc_terms"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(*) AS n FROM documents
+)
+SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+       (tf.tf * n.n) / dfreq.df AS tfidf
+FROM tf JOIN dfreq USING (term) CROSS JOIN n
+WHERE tf.tf >= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Approximate sketches — HLL distinct + t-digest median (no oracle: the
+# estimates are implementation-defined; tests/test_training_ops.py pins the
+# relative-error bound against the exact answers instead)
+# ---------------------------------------------------------------------------
+
+@query("sketch_doc_stats")
+def sketch_doc_stats(spark, sf_dir):
+    """Per-language corpus profile from constant-memory sketches: HLL++
+    distinct sources + distinct texts, t-digest median length.  At 100 TB
+    these replace exact distinct/median when a ±2% answer is enough — one
+    map-side-partial pass, no sort, no giant hash tables."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.approx_count_distinct("source", 0.02)
+                 .alias("approx_sources"),
+                 F.approx_count_distinct("text", 0.02)
+                 .alias("approx_texts"),
+                 F.percentile_approx("n_chars", 0.5, 10000)
+                 .alias("approx_median_chars"))
+            .orderBy("lang"))

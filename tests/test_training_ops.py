@@ -1,0 +1,226 @@
+"""Unit + property tests for the training-pipeline operators: CDC merge,
+deterministic hash sampling, exact quantiles, TF-IDF, and the error bounds
+of the approximate-sketch catalog query (which has no DuckDB oracle)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+from openskidata_processor_spark.operators.merge import merge_upsert
+from openskidata_processor_spark.operators.quantiles import exact_quantiles
+from openskidata_processor_spark.operators.sampling import (
+    hash_sample, stratified_hash_sample)
+from openskidata_processor_spark.operators.tfidf import (
+    term_frequencies, tfidf)
+from openskidata_processor_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# merge_upsert
+# ---------------------------------------------------------------------------
+
+MERGE_SCHEMA = "k long, v string, version int"
+
+
+def test_merge_latest_version_wins(spark):
+    base = spark.createDataFrame([(1, "old", 1), (2, "keep", 1)],
+                                 MERGE_SCHEMA)
+    upd = spark.createDataFrame([(1, "new", 2)], MERGE_SCHEMA)
+    rows = {r.k: r for r in merge_upsert(base, upd, ["k"],
+                                         "version").collect()}
+    assert rows[1].v == "new" and rows[1].version == 2
+    assert rows[2].v == "keep"
+
+
+def test_merge_update_wins_version_tie(spark):
+    base = spark.createDataFrame([(1, "base", 5)], MERGE_SCHEMA)
+    upd = spark.createDataFrame([(1, "update", 5)], MERGE_SCHEMA)
+    assert merge_upsert(base, upd, ["k"], "version").first().v == "update"
+
+
+def test_merge_stale_update_ignored(spark):
+    base = spark.createDataFrame([(1, "base", 5)], MERGE_SCHEMA)
+    upd = spark.createDataFrame([(1, "stale", 3)], MERGE_SCHEMA)
+    assert merge_upsert(base, upd, ["k"], "version").first().v == "base"
+
+
+def test_merge_tombstone_delete(spark):
+    base = spark.createDataFrame([(1, "a", 1), (2, "b", 1)], MERGE_SCHEMA)
+    upd = spark.createDataFrame([(1, "x", 2, True), (3, "c", 1, False)],
+                                MERGE_SCHEMA + ", deleted boolean")
+    # base has no delete column — treated as false there
+    out = merge_upsert(base, upd, ["k"], "version", delete_col="deleted")
+    assert {r.k: r.v for r in out.collect()} == {2: "b", 3: "c"}
+    assert "deleted" not in out.columns
+
+
+def test_merge_insert_only_key(spark):
+    base = spark.createDataFrame([(1, "a", 1)], MERGE_SCHEMA)
+    upd = spark.createDataFrame([(9, "ins", 1)], MERGE_SCHEMA)
+    assert {r.k for r in merge_upsert(base, upd, ["k"],
+                                      "version").collect()} == {1, 9}
+
+
+# ---------------------------------------------------------------------------
+# hash sampling
+# ---------------------------------------------------------------------------
+
+def test_hash_sample_deterministic_and_stable(spark):
+    df = spark.range(20000)
+    a = {r.id for r in hash_sample(df, "id", 0.3).collect()}
+    b = {r.id for r in hash_sample(df.repartition(13), "id", 0.3).collect()}
+    assert a == b                      # layout-independent
+    # binomial(20000, 0.3): ±4σ ≈ ±260
+    assert abs(len(a) - 6000) < 300
+
+
+def test_hash_sample_nested_fractions(spark):
+    # threshold ordering ⇒ the 10% sample is a subset of the 30% sample
+    df = spark.range(5000)
+    small = {r.id for r in hash_sample(df, "id", 0.1).collect()}
+    big = {r.id for r in hash_sample(df, "id", 0.3).collect()}
+    assert small <= big
+
+
+def test_hash_sample_salt_gives_different_draw(spark):
+    df = spark.range(5000)
+    a = {r.id for r in hash_sample(df, "id", 0.2, salt="s1").collect()}
+    b = {r.id for r in hash_sample(df, "id", 0.2, salt="s2").collect()}
+    assert a != b
+    # independent draws: overlap ≈ 0.04·5000 = 200, not ≈ 1000
+    assert len(a & b) < 400
+
+
+def test_hash_sample_fraction_bounds(spark):
+    df = spark.range(100)
+    assert hash_sample(df, "id", 0.0).count() == 0
+    assert hash_sample(df, "id", 1.0).count() == 100
+    with pytest.raises(ValueError):
+        hash_sample(df, "id", 1.5)
+
+
+def test_stratified_sample_rates(spark):
+    df = spark.range(30000).withColumn(
+        "s", F.when(F.col("id") % 2 == 0, "a").otherwise("b"))
+    out = stratified_hash_sample(df, "id", "s", {"a": 0.5, "b": 0.05})
+    counts = {r.s: r.n for r in
+              out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["a"] - 7500) < 350
+    assert abs(counts["b"] - 750) < 150
+
+
+def test_stratified_sample_default_zero(spark):
+    df = spark.range(1000).withColumn("s", F.lit("unlisted"))
+    assert stratified_hash_sample(df, "id", "s", {"a": 1.0}).count() == 0
+
+
+def test_hash_sample_no_shuffle(spark):
+    plan = hash_sample(spark.range(10), "id", 0.5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# exact quantiles
+# ---------------------------------------------------------------------------
+
+def test_exact_quantiles_match_numpy(spark):
+    rng = np.random.default_rng(7)
+    data = [(int(g), int(v)) for g in range(3)
+            for v in rng.integers(0, 10_000, 101 + 7 * g)]
+    df = spark.createDataFrame(data, "g int, v long")
+    probs = [0.0, 0.25, 0.5, 0.75, 1.0]
+    got = {(r.g, r.p): r.q
+           for r in exact_quantiles(df, "v", ["g"], probs).collect()}
+    for g in range(3):
+        vals = np.array([v for gg, v in data if gg == g])
+        for p in probs:
+            want = float(np.percentile(vals, p * 100))  # linear interp
+            assert math.isclose(got[(g, p)], want, rel_tol=1e-12), \
+                (g, p, got[(g, p)], want)
+
+
+def test_exact_quantiles_single_row_group(spark):
+    df = spark.createDataFrame([("only", 42)], "g string, v long")
+    out = {r.p: r.q for r in
+           exact_quantiles(df, "v", ["g"], [0.25, 0.5, 1.0]).collect()}
+    assert out == {0.25: 42.0, 0.5: 42.0, 1.0: 42.0}
+
+
+def test_exact_quantiles_single_sort_shuffle(spark):
+    df = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderstatus", F.col("o_totalprice").cast("long").alias("v"))
+    plan = exact_quantiles(df, "v", ["o_orderstatus"], [0.5]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # ranked side: one hashpartitioning exchange feeding the window sort;
+    # the rank lookup must be a broadcast, not a second shuffle of the data
+    assert "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# tf-idf
+# ---------------------------------------------------------------------------
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the dog sat"),
+         (3, "a cat and a dog and a parrot")],
+        "doc_id long, text string")
+
+
+def test_term_frequencies(spark):
+    tf = {(r.doc_id, r.term): r.tf
+          for r in term_frequencies(_corpus(spark)).collect()}
+    assert tf[(1, "the")] == 2
+    assert tf[(3, "a")] == 3
+    assert tf[(2, "sat")] == 1
+
+
+def test_tfidf_ratio_exact(spark):
+    out = {(r.doc_id, r.term): r
+           for r in tfidf(_corpus(spark), variant="ratio").collect()}
+    # "the": df=2, N=3 → doc1 tf=2 → 2*3/2 = 3.0 exactly
+    r = out[(1, "the")]
+    assert (r.tf, r.df, r.tfidf) == (2, 2, 3.0)
+    # "parrot": df=1 → 1*3/1 = 3.0
+    assert out[(3, "parrot")].tfidf == 3.0
+
+
+def test_tfidf_log_ranks_rare_terms_higher(spark):
+    out = {(r.doc_id, r.term): r.tfidf
+           for r in tfidf(_corpus(spark), variant="log").collect()}
+    # same tf=1 in doc 3: parrot (df=1) must outrank dog (df=2)
+    assert out[(3, "parrot")] > out[(3, "dog")]
+    with pytest.raises(ValueError):
+        tfidf(_corpus(spark), variant="bogus")
+
+
+# ---------------------------------------------------------------------------
+# sketch error bounds (the no_oracle catalog query, pinned here)
+# ---------------------------------------------------------------------------
+
+def test_sketch_doc_stats_error_bounds(spark):
+    from openskidata_processor_spark.plans import QUERIES
+    approx = {r.lang: r for r in
+              QUERIES["sketch_doc_stats"](spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = {r.lang: r for r in
+             (docs.groupBy("lang")
+              .agg(F.countDistinct("source").alias("sources"),
+                   F.countDistinct("text").alias("texts"),
+                   F.expr("percentile(n_chars, 0.5)").alias("median"))
+              .collect())}
+    assert set(approx) == set(exact)
+    for lang, a in approx.items():
+        e = exact[lang]
+        assert abs(a.approx_sources - e.sources) <= max(2, 0.05 * e.sources)
+        assert abs(a.approx_texts - e.texts) <= max(2, 0.05 * e.texts)
+        # percentile_approx returns an actual element (no interpolation),
+        # so allow one data-point spacing on small groups: 5% relative
+        assert abs(a.approx_median_chars - e.median) <= \
+            max(2, 0.05 * e.median)
