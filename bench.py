@@ -58,6 +58,12 @@ EXTENDED_QUERIES = [
     "quantiles_exact",
     "tfidf_doc_terms",
     "sketch_doc_stats",
+    "pii_redact_docs",
+    "quality_repetition",
+    "contamination_ngram",
+    "dedup_passages",
+    "pack_sequences",
+    "shard_assignment",
 ]
 
 

@@ -1,0 +1,356 @@
+"""Corpus-hygiene catalog extension — the remaining data-curation operators
+a 100 TB LLM-training pipeline runs between raw crawl and tokenizer:
+
+- ``pii_redact_docs``     : email/phone/IPv4 detection + typed-mask redaction
+                            (pure Catalyst regexp, per-row, no shuffle)
+- ``quality_repetition``  : Gopher-style repetition signals (distinct-word
+                            ratio inputs + most-frequent word bigram)
+- ``contamination_ngram`` : benchmark-contamination scan — word-5-gram
+                            overlap between a held-out benchmark slice and
+                            the training slice, via shingle equi-join
+- ``dedup_passages``      : passage-level exact dedup (10-word chunks,
+                            keep-first by (doc_id, position))
+- ``pack_sequences``      : greedy next-fit packing into fixed-char-budget
+                            training sequences (per-shard sequential scan,
+                            shard-parallel; recursive-CTE oracle)
+- ``shard_assignment``    : deterministic hash-sharding + within-shard
+                            position — the "global shuffle" that precedes
+                            training-data serving, expressed scale-first as
+                            per-shard windows (never a single global sort)
+
+All six are exact and DuckDB-oracle-checked.  No reference counterpart
+(the reference is a GIS ETL); these extend the engine's training-data
+family alongside dedup/similarity/multimodal (see plans/training.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions import pii as P
+from ..functions import text as T
+from ..operators.packing import pack_sequences as _pack
+from .analytics import _t, query
+from .oracles import ORACLES
+
+# ---------------------------------------------------------------------------
+# PII redaction — synthesize deterministic PII spans (the corpus is clean
+# word-soup), then detect + mask.  The synthesis is mirrored literally in
+# the oracle, so the CORRECTNESS row checks the real redaction regexps.
+# ---------------------------------------------------------------------------
+
+
+@query("pii_redact_docs")
+def pii_redact_docs(spark, sf_dir):
+    """Count and mask emails / phone numbers / IPv4s per document; the
+    md5 of the redacted text pins the exact replacement spans."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seeded = docs.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.lit(" user"), did.cast("string"), F.lit("@example.com"),
+            F.lit(" call +1-555-"), F.lpad(F.pmod(did, 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10."), F.pmod(did, 256).cast("string"),
+            F.lit(".0."), F.pmod(did * 7, 256).cast("string"),
+        ),
+    )
+    return seeded.select(
+        "doc_id",
+        P.count_matches(F.col("text2"), P.EMAIL_REGEX).alias("n_emails"),
+        P.count_matches(F.col("text2"), P.PHONE_REGEX).alias("n_phones"),
+        F.size(
+            F.regexp_extract_all(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("text2"), P.EMAIL_REGEX, "<EMAIL>"),
+                    P.PHONE_REGEX, "<PHONE>"),
+                F.lit(P.IPV4_REGEX), F.lit(0))).alias("n_ips"),
+        F.md5(P.redact_pii(F.col("text2"))).alias("redacted_md5"),
+        F.length(P.redact_pii(F.col("text2"))).alias("redacted_len"),
+    )
+
+
+ORACLES["pii_redact_docs"] = f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS text2
+  FROM documents
+), red AS (
+  SELECT doc_id, text2,
+         regexp_replace(regexp_replace(regexp_replace(text2,
+             '{P.EMAIL_REGEX}', '<EMAIL>', 'g'),
+             '{P.PHONE_REGEX}', '<PHONE>', 'g'),
+             '{P.IPV4_REGEX}', '<IP>', 'g') AS redacted
+  FROM seeded
+)
+SELECT doc_id,
+       len(regexp_extract_all(text2, '{P.EMAIL_REGEX}')) AS n_emails,
+       len(regexp_extract_all(text2, '{P.PHONE_REGEX}')) AS n_phones,
+       len(regexp_extract_all(regexp_replace(regexp_replace(text2,
+           '{P.EMAIL_REGEX}', '<EMAIL>', 'g'),
+           '{P.PHONE_REGEX}', '<PHONE>', 'g'),
+           '{P.IPV4_REGEX}')) AS n_ips,
+       md5(redacted) AS redacted_md5,
+       len(redacted) AS redacted_len
+FROM red
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality signals (Gopher-style) — integer outputs only, so the
+# downstream ratio thresholds never hit cross-engine float rounding.
+# ---------------------------------------------------------------------------
+
+
+@query("quality_repetition")
+def quality_repetition(spark, sf_dir):
+    """Per-doc repetition profile: word totals, distinct words, and the
+    most frequent word bigram (lexicographically smallest on count ties).
+    One explode + two map-side-partial aggregations; the bigram top-1 is a
+    per-doc window (doc-sized partitions, never a global sort)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.words(F.col("text")).alias("ws"))
+    base = docs.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.size(F.array_distinct("ws")).alias("n_distinct_words"),
+        T.word_shingles(F.col("ws"), 2).alias("bgs"),
+    )
+    counts = (base.select("doc_id", F.explode("bgs").alias("bg"))
+              .groupBy("doc_id", "bg").agg(F.count("*").alias("n")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("bg"))
+    top = (counts.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .select("doc_id", F.col("bg").alias("top_bigram"),
+                   F.col("n").alias("top_bigram_n")))
+    return (base.select("doc_id", "n_words", "n_distinct_words")
+            .join(top, "doc_id", "left")
+            .select("doc_id", "n_words", "n_distinct_words",
+                    F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+                    F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n")))
+
+
+ORACLES["quality_repetition"] = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), base AS (
+  SELECT doc_id, len(ws) AS n_words,
+         len(list_distinct(ws)) AS n_distinct_words,
+         CASE WHEN len(ws) >= 2
+              THEN [ws[i] || ' ' || ws[i+1] FOR i IN generate_series(1, len(ws) - 1)]
+              ELSE [] END AS bgs
+  FROM w
+), counts AS (
+  SELECT doc_id, unnest(bgs) AS bg FROM base
+), agg AS (
+  SELECT doc_id, bg, count(*) AS n FROM counts GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, bg, n,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bg ASC) AS rn
+  FROM agg
+)
+SELECT b.doc_id, b.n_words, b.n_distinct_words,
+       coalesce(t.bg, '') AS top_bigram,
+       coalesce(t.n, 0) AS top_bigram_n
+FROM base b LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination — shingle equi-join between held-out and training
+# slices.  The scale path: both sides shuffle on the shingle hash; no
+# all-pairs comparison ever materializes.
+# ---------------------------------------------------------------------------
+
+_BENCH_MOD = 29  # doc_id % 29 == 0 → the "benchmark" slice
+_CONTAM_N = 3    # word n-gram width
+
+
+@query("contamination_ngram")
+def contamination_ngram(spark, sf_dir):
+    """For each training document, how many distinct word 3-grams it
+    shares with the benchmark slice, and with how many benchmark docs.
+    Equi-join on the shingle (shuffle key = content hash), distinct
+    aggregation — the standard decontamination scan shape."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.words(F.col("text")).alias("ws"))
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            T.word_shingles(F.col("ws"), _CONTAM_N))).alias("shingle"))
+    bench = (sh.filter(F.col("doc_id") % _BENCH_MOD == 0)
+             .select(F.col("doc_id").alias("bench_id"), "shingle"))
+    train = sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return (train.join(bench, "shingle")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("shingle").alias("n_shared_shingles"),
+                 F.countDistinct("bench_id").alias("n_bench_docs")))
+
+
+ORACLES["contamination_ngram"] = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+            FOR i IN generate_series(1, len(ws) - 2)])) AS shingle
+  FROM w WHERE len(ws) >= {_CONTAM_N}
+)
+SELECT t.doc_id,
+       count(DISTINCT t.shingle) AS n_shared_shingles,
+       count(DISTINCT b.doc_id) AS n_bench_docs
+FROM sh t JOIN sh b USING (shingle)
+WHERE t.doc_id % {_BENCH_MOD} <> 0 AND b.doc_id % {_BENCH_MOD} = 0
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Passage-level exact dedup — keep-first on (doc_id, position)
+# ---------------------------------------------------------------------------
+
+_PASSAGE_WORDS = 10
+
+
+@query("dedup_passages")
+def dedup_passages(spark, sf_dir):
+    """Split each document into consecutive 10-word passages (trailing
+    partial kept), hash each, keep the first corpus-wide occurrence by
+    (doc_id, position); report per-doc passage/kept counts.  Shuffle key =
+    passage hash (content-derived, uniform); window partitions are
+    duplicate groups (tiny), never whole-corpus."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.words(F.col("text")).alias("ws"))
+    n_chunks = F.ceil(F.size("ws") / F.lit(_PASSAGE_WORDS)).cast("int")
+    # Guard n_chunks == 0: sequence(0, -1) would emit a *descending* array.
+    passages = F.when(
+        F.size("ws") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("ws"),
+                             i * _PASSAGE_WORDS + 1, _PASSAGE_WORDS)),
+        )).otherwise(F.array().cast("array<string>"))
+    chunks = docs.select(
+        "doc_id", F.posexplode(passages).alias("idx", "passage"))
+    hashed = chunks.select("doc_id", "idx", F.md5("passage").alias("h"))
+    w = Window.partitionBy("h").orderBy("doc_id", "idx")
+    kept = hashed.withColumn("rn", F.row_number().over(w))
+    return (kept.groupBy("doc_id")
+            .agg(F.count("*").alias("n_passages"),
+                 F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+                  .alias("n_kept")))
+
+
+ORACLES["dedup_passages"] = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), chunks AS (
+  SELECT doc_id,
+         unnest([array_to_string(ws[(i-1)*{_PASSAGE_WORDS}+1 : i*{_PASSAGE_WORDS}], ' ')
+                 FOR i IN generate_series(1, CAST(ceil(len(ws) / {_PASSAGE_WORDS}.0) AS BIGINT))])
+           AS passage,
+         unnest([i - 1
+                 FOR i IN generate_series(1, CAST(ceil(len(ws) / {_PASSAGE_WORDS}.0) AS BIGINT))])
+           AS idx
+  FROM w WHERE len(ws) > 0
+), hashed AS (
+  SELECT doc_id, idx, md5(passage) AS h FROM chunks
+), ranked AS (
+  SELECT doc_id, idx, h,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+  FROM hashed
+)
+SELECT doc_id, count(*) AS n_passages,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM ranked GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — greedy next-fit, per-source shards
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 1500  # chars per training sequence
+
+
+@query("pack_sequences")
+def pack_sequences(spark, sf_dir):
+    """Pack documents into ≤1500-char training sequences per source shard
+    (greedy next-fit in doc_id order — ``operators/packing.py``).  The only
+    sequential scan is within a shard; shards pack in parallel."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    packed = _pack(docs, "n_chars", "doc_id", _PACK_BUDGET, by="source")
+    return packed.select("doc_id", "source", "bin_id")
+
+
+ORACLES["pack_sequences"] = f"""
+WITH RECURSIVE seq AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), pack AS (
+  SELECT source, doc_id, n_chars, rn,
+         CAST(0 AS BIGINT) AS bin_id, n_chars AS fill
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.source, s.doc_id, s.n_chars, s.rn,
+         CASE WHEN p.fill + s.n_chars <= {_PACK_BUDGET}
+              THEN p.bin_id ELSE p.bin_id + 1 END,
+         CASE WHEN p.fill + s.n_chars <= {_PACK_BUDGET}
+              THEN p.fill + s.n_chars ELSE s.n_chars END
+  FROM pack p JOIN seq s ON s.source = p.source AND s.rn = p.rn + 1
+)
+SELECT doc_id, source, bin_id FROM pack
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-sharding + within-shard order
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+
+@query("shard_assignment")
+def shard_assignment(spark, sf_dir):
+    """Assign every document a reproducible shard and a position within
+    its shard — the deterministic global shuffle that feeds training-data
+    serving.  Shard = md5-derived (engine-portable via ascii() of the
+    first two hex chars); position = per-shard window ordered by the
+    hash.  Scale shape: windows partition by shard (n_shards partitions of
+    corpus/n_shards rows each), never one global sort."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(F.col("doc_id").cast("string"))
+    sharded = docs.select(
+        "doc_id", h.alias("h"),
+        F.pmod(F.ascii(F.substring(h, 1, 1)) * 256
+               + F.ascii(F.substring(h, 2, 1)), F.lit(_N_SHARDS))
+        .alias("shard_id"))
+    w = Window.partitionBy("shard_id").orderBy("h", "doc_id")
+    return (sharded.withColumn("pos", F.row_number().over(w))
+            .select("doc_id", "shard_id", "pos"))
+
+
+ORACLES["shard_assignment"] = f"""
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+), sharded AS (
+  SELECT doc_id, h,
+         (ascii(substr(h, 1, 1)) * 256 + ascii(substr(h, 2, 1)))
+           % {_N_SHARDS} AS shard_id
+  FROM h
+)
+SELECT doc_id, shard_id,
+       row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id) AS pos
+FROM sharded
+"""

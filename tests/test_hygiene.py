@@ -1,0 +1,131 @@
+"""Unit tests for the corpus-hygiene operators: PII redaction, sequence
+packing, passage dedup semantics, contamination join, and shard stability.
+(The six catalog queries also hash-match DuckDB in test_oracle_parity.py.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openskidata_processor_spark.functions import pii as P
+from openskidata_processor_spark.operators.packing import pack_sequences
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def _redact_one(spark, s: str) -> str:
+    df = spark.createDataFrame([(s,)], "t string")
+    return df.select(P.redact_pii(F.col("t")).alias("r")).first().r
+
+
+def test_redact_email_phone_ip(spark):
+    out = _redact_one(
+        spark, "mail a.b+c@sub.example.org or +1-555-0123 from 192.168.0.1")
+    assert out == "mail <EMAIL> or <PHONE> from <IP>"
+
+
+def test_redact_email_before_ip(spark):
+    # an address with a letter TLD is consumed whole by the email pass —
+    # the IP pass never sees its dotted prefix
+    assert _redact_one(spark, "x 10.0.0.1@example.com y") == "x <EMAIL> y"
+    # numeric-TLD "addresses" are not emails; both quads redact as IPs
+    assert _redact_one(spark, "x 10.0.0.1@4.3.2.1 y") == "x <IP>@<IP> y"
+
+
+def test_redact_counts_multiple(spark):
+    df = spark.createDataFrame([("a@b.co c@d.io",)], "t string")
+    n = df.select(
+        P.count_matches(F.col("t"), P.EMAIL_REGEX).alias("n")).first().n
+    assert n == 2
+
+
+def test_redact_clean_text_unchanged(spark):
+    s = "no pii here just plain words and numbers 42"
+    assert _redact_one(spark, s) == s
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences — greedy next-fit
+# ---------------------------------------------------------------------------
+
+PACK_SCHEMA = "doc_id long, grp string, w long"
+
+
+def _bins(rows, budget, by="grp"):
+    def run(spark):
+        df = spark.createDataFrame(rows, PACK_SCHEMA)
+        out = pack_sequences(df, "w", "doc_id", budget, by=by)
+        return {(r.grp, r.doc_id): r.bin_id for r in out.collect()}
+    return run
+
+
+def test_pack_next_fit_boundary(spark):
+    # budget 10: [4,6] fills bin 0 exactly; 1 opens bin 1
+    got = _bins([(1, "a", 4), (2, "a", 6), (3, "a", 1)], 10)(spark)
+    assert got == {("a", 1): 0, ("a", 2): 0, ("a", 3): 1}
+
+
+def test_pack_oversized_doc_gets_own_bin(spark):
+    got = _bins([(1, "a", 3), (2, "a", 99), (3, "a", 3)], 10)(spark)
+    assert got == {("a", 1): 0, ("a", 2): 1, ("a", 3): 2}
+
+
+def test_pack_groups_independent(spark):
+    got = _bins([(1, "a", 9), (2, "a", 9), (1, "b", 9), (2, "b", 1)],
+                10)(spark)
+    assert got[("a", 1)] == 0 and got[("a", 2)] == 1
+    assert got[("b", 1)] == 0 and got[("b", 2)] == 0
+
+
+def test_pack_no_group_single_scan(spark):
+    df = spark.createDataFrame([(1, "x", 5), (2, "y", 5), (3, "z", 5)],
+                               PACK_SCHEMA)
+    out = pack_sequences(df, "w", "doc_id", 10, by=None)
+    assert [r.bin_id for r in out.orderBy("doc_id").collect()] == [0, 0, 1]
+    assert "__g" not in out.columns
+
+
+def test_pack_order_is_by_order_col_not_input_order(spark):
+    got = _bins([(3, "a", 6), (1, "a", 6), (2, "a", 4)], 10)(spark)
+    # scan order 1,2,3: 6 then 4 fill bin 0; doc 3 opens bin 1
+    assert got == {("a", 1): 0, ("a", 2): 0, ("a", 3): 1}
+
+
+# ---------------------------------------------------------------------------
+# Catalog-query semantics at smoke scale
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_passages_keep_first(spark):
+    from conftest import SF_SMOKE
+    from openskidata_processor_spark.plans import QUERIES
+    out = QUERIES["dedup_passages"](spark, SF_SMOKE)
+    rows = out.collect()
+    assert all(0 <= r.n_kept <= r.n_passages for r in rows)
+    # keep-first implies the corpus-wide kept total equals the number of
+    # distinct passage hashes
+    total_kept = sum(r.n_kept for r in rows)
+    assert total_kept > 0
+
+
+def test_shard_assignment_is_stable_partition(spark):
+    from conftest import SF_SMOKE
+    from openskidata_processor_spark.plans import QUERIES
+    a = QUERIES["shard_assignment"](spark, SF_SMOKE).collect()
+    b = QUERIES["shard_assignment"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # positions within a shard are a contiguous 1..n ranking
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r.shard_id, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+
+def test_contamination_excludes_benchmark_side(spark):
+    from conftest import SF_SMOKE
+    from openskidata_processor_spark.plans import QUERIES
+    out = QUERIES["contamination_ngram"](spark, SF_SMOKE).collect()
+    assert all(r.doc_id % 29 != 0 for r in out)
+    assert all(r.n_shared_shingles >= 1 and r.n_bench_docs >= 1 for r in out)
