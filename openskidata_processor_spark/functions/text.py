@@ -33,13 +33,19 @@ def words(col: Column) -> Column:
 def word_shingles(words_col: Column, n: int = 3) -> Column:
     """Array of word n-grams ("shingles") joined by single spaces.
 
+    Built as ``arrays_zip`` of n shifted slices + one transform — O(len)
+    array work per document.  (The obvious per-index
+    ``transform(sequence, i -> concat_ws(slice(ws, i, n)))`` construction
+    measured ~15-20× slower: each element pays an interpreted slice+copy,
+    and the expression falls out of the vectorized path.)
+
     Documents shorter than ``n`` words yield an empty array (never a
     descending ``sequence`` — important under ANSI mode).
     """
+    k = F.greatest(F.size(words_col) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(words_col, i + 1, k) for i in range(n)])
     make = F.transform(
-        F.sequence(F.lit(0), F.size(words_col) - n),
-        lambda i: F.concat_ws(" ", F.slice(words_col, i + 1, n)),
-    )
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
     return F.when(F.size(words_col) >= n, make).otherwise(
         F.array().cast("array<string>")
     )

@@ -302,20 +302,17 @@ def near_dup_groups(df: DataFrame, id_col: str,
     representative (keep-first policy, matching ``exact_duplicates``).
     Documents in no pair are their own group with ``keep=true``.
 
-    Ids must be non-negative integers (they zero-pad to strings for the
-    CC operator so lexicographic min == numeric min).
+    Ids must be integers — the CC operator's numeric fast path keeps them
+    as 8-byte longs end to end (no string padding, no hash/vocab joins).
     """
     from .graph import connected_components
 
-    width = 19  # max int64 digits
-    pad = lambda c: F.lpad(c.cast("string"), width, "0")  # noqa: E731
-    edges = pairs.select(pad(F.col("id_a")).alias("src"),
-                         pad(F.col("id_b")).alias("dst"))
+    edges = pairs.select(F.col("id_a").cast("long").alias("src"),
+                         F.col("id_b").cast("long").alias("dst"))
     comp = connected_components(edges)
-    base = df.select(F.col(id_col).alias("doc_id"),
-                     pad(F.col(id_col)).alias("vertex"))
-    out = base.join(comp, "vertex", "left")
-    group = F.coalesce(F.col("component").cast("long"), F.col("doc_id"))
+    base = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    out = base.join(comp, base["doc_id"] == comp["vertex"], "left")
+    group = F.coalesce(F.col("component"), F.col("doc_id"))
     return out.select("doc_id", group.alias("group_id"),
                       (group == F.col("doc_id")).alias("keep"))
 

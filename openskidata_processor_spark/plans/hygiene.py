@@ -123,11 +123,13 @@ def quality_repetition(spark, sf_dir):
     )
     counts = (base.select("doc_id", F.explode("bgs").alias("bg"))
               .groupBy("doc_id", "bg").agg(F.count("*").alias("n")))
-    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("bg"))
-    top = (counts.withColumn("rn", F.row_number().over(w))
-           .filter(F.col("rn") == 1)
-           .select("doc_id", F.col("bg").alias("top_bigram"),
-                   F.col("n").alias("top_bigram_n")))
+    # top-1 via min(struct(-n, bg)): orders by count desc then bigram asc —
+    # a map-side-partial aggregate, no per-doc window sort, one less shuffle
+    top = (counts.groupBy("doc_id")
+           .agg(F.min(F.struct((-F.col("n")).alias("neg_n"),
+                               F.col("bg"))).alias("t"))
+           .select("doc_id", F.col("t.bg").alias("top_bigram"),
+                   (-F.col("t.neg_n")).alias("top_bigram_n")))
     return (base.select("doc_id", "n_words", "n_distinct_words")
             .join(top, "doc_id", "left")
             .select("doc_id", "n_words", "n_distinct_words",
