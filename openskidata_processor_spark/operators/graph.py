@@ -88,9 +88,18 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     for i in range(max_iterations):
         nbr = (sym.join(labels, sym["b"] == labels["v"])
                .groupBy("a").agg(F.min("c").alias("nc")))
-        new_labels = (
+        stepped = (
             labels.join(nbr, labels["v"] == nbr["a"], "left")
             .select(labels["v"], F.least(labels["c"], F.col("nc")).alias("c")))
+        # pointer-doubling shortcut: c ← min(c, label(c)).  Neighbor-min
+        # alone propagates one hop per round (O(diameter) rounds — long
+        # chains pay it in full); composing with label-of-label reaches
+        # 2^i hops by round i, so convergence is O(log diameter) shuffles.
+        lut = stepped.select(F.col("v").alias("lv"), F.col("c").alias("lc"))
+        new_labels = (
+            stepped.join(lut, stepped["c"] == lut["lv"], "left")
+            .select(stepped["v"],
+                    F.least(stepped["c"], F.col("lc")).alias("c")))
         we_persisted = False
         if (i + 1) % checkpoint_interval == 0:
             new_labels = truncate_lineage(new_labels, reliable=reliable)
