@@ -5,8 +5,9 @@
                   (one entry per SURVEY.md §2 operator class + the
                   training-data-pipeline operators).
 ``oracle_sql()``— matching DuckDB SQL for every exactly-reproducible query;
-                  approximate operators (MinHash-LSH / SimHash / LSH-ANN)
-                  are intentionally oracle-free (rows-only checks).
+                  approximate operators (MinHash-LSH / SimHash / LSH-ANN /
+                  IVF-ANN / PQ-ANN / sketches) are intentionally
+                  oracle-free (rows-only checks, recall-harness-pinned).
 """
 
 from __future__ import annotations

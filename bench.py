@@ -64,6 +64,7 @@ EXTENDED_QUERIES = [
     "dedup_passages",
     "pack_sequences",
     "shard_assignment",
+    "ann_pq_topk",
 ]
 
 

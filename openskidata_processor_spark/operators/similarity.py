@@ -281,3 +281,148 @@ def embedding_near_dup_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
         .filter(F.col("cosine_sim") > threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def _train_pq_codebooks(corpus: DataFrame, vec_col: str, m: int, k: int,
+                        sample_size: int, n_iters: int) -> np.ndarray:
+    """Per-subspace k-means codebooks on a bounded, deterministic sample.
+
+    Same bounded-driver-training pattern as ``_train_ivf_centroids`` (the
+    standard practice of published PQ implementations: train on a sample,
+    encode distributed).  Vectors are L2-normalized first so code dot
+    products approximate cosine.  Returns (m, k, dim/m) float64.
+    """
+    rows = (corpus.select(F.col(vec_col).alias("v"))
+            .orderBy(F.hash("v")).limit(sample_size).collect())
+    x = np.array([np.asarray(r.v, dtype=np.float64) for r in rows])
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = np.empty((m, k, sub))
+    for j in range(m):
+        xs = x[:, j * sub:(j + 1) * sub]
+        cents = xs[:k].copy()
+        for _ in range(n_iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def _pq_codes_udf(books: np.ndarray):
+    """Encode vectors to m uint8-range codes — one GEMM per subspace."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    m, k, sub = books.shape
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _codes(vecs: pd.Series) -> pd.Series:
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.Series([], dtype=object)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        out = np.empty((mat.shape[0], m), dtype=np.int64)
+        for j in range(m):
+            xs = mat[:, j * sub:(j + 1) * sub]
+            # argmin ||x - c||² = argmax (x·c - ||c||²/2); one GEMM
+            scores = xs @ books[j].T - 0.5 * (books[j] ** 2).sum(axis=1)
+            out[:, j] = scores.argmax(axis=1)
+        return pd.Series([row.tolist() for row in out])
+    return _codes
+
+
+def pq_ann_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                m: int = 8, n_codes: int = 32,
+                sample_size: int = 2048, n_iters: int = 8, rerank: int = 32,
+                query_id: str = "query_id", corpus_id: str = "corpus_id",
+                query_vec: str = "qvec", corpus_vec: str = "cvec") -> DataFrame:
+    """Approximate top-k via product quantization with exact re-ranking —
+    the *compressed-domain* scale path beside LSH (training-free) and IVF
+    (cell-pruned).
+
+    What PQ buys at 100 TB: the scan cost.  Each corpus vector is encoded
+    once into ``m`` small codes (m bytes instead of 4·dim — 32× smaller at
+    dim 64/m 8), and candidate scoring reads ONLY the code table: for each
+    query a (m × n_codes) ADC lookup table of subspace dot products is
+    built, and a corpus vector's approximate cosine is m table lookups.
+    The full-precision vectors are touched only for the ``rerank`` best
+    candidates per query (exact cosine, the standard ADC + rerank recipe).
+
+    Shape: one broadcast of the per-query tables into an Arrow-batched
+    scorer over the code table (no shuffle of the corpus), top-``rerank``
+    window per query, then an exact-cosine re-rank join on that small
+    candidate set.
+    """
+    books = _train_pq_codebooks(corpus, corpus_vec, m, n_codes,
+                                sample_size, n_iters)
+    codes = _pq_codes_udf(books)
+    coded = corpus.withColumn("__codes", codes(F.col(corpus_vec)))
+
+    # The query side is driver-collected to build the ADC tables — queries
+    # are ≪ corpus by contract (same rationale as the broadcast in
+    # knn_brute_force); the guard keeps an accidental corpus-sized query
+    # frame from ever collecting.
+    qrows = queries.select(F.col(query_id).alias("qid"),
+                           F.col(query_vec).alias("qv")).limit(4097).collect()
+    if len(qrows) > 4096:
+        raise ValueError("pq_ann_topk: query side exceeds 4096 rows; "
+                         "split the query set or use lsh/ivf_ann_topk")
+    qids = [r.qid for r in qrows]
+    qmat = np.array([np.asarray(r.qv, dtype=np.float64) for r in qrows])
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    sub = books.shape[2]
+    # tables[q, j, c] = dot(query_q subspace j, codeword c)
+    tables = np.stack([qmat[:, j * sub:(j + 1) * sub] @ books[j].T
+                       for j in range(books.shape[0])], axis=1)
+
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _adc_scores(code_col: pd.Series) -> pd.Series:
+        if not len(code_col):
+            return pd.Series([], dtype=object)
+        cmat = np.array([np.asarray(c, dtype=np.int64) for c in code_col])
+        # sims[q, row] = Σ_j tables[q, j, code[row, j]]
+        sims = tables[:, np.arange(cmat.shape[1])[None, :],
+                      cmat[:, :]].sum(axis=2)
+        return pd.Series([sims[:, r].tolist()
+                          for r in range(cmat.shape[0])])
+
+    qid_map = F.array(*[F.lit(q) for q in qids])
+    # scores only — the full-precision vectors do NOT ride the shuffle;
+    # they re-join below for the small re-rank candidate set.
+    scored = (coded
+              .select(F.col(corpus_id),
+                      F.posexplode(_adc_scores(F.col("__codes")))
+                      .alias("__qi", "__approx"))
+              .select(F.col(corpus_id),
+                      qid_map[F.col("__qi")].alias(query_id),
+                      F.col("__approx")))
+    w = Window.partitionBy(query_id).orderBy(F.col("__approx").desc(),
+                                             F.col(corpus_id).asc())
+    cand = (scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= max(rerank, k))
+            .select(query_id, corpus_id))
+
+    cvecs = corpus.select(F.col(corpus_id), F.col(corpus_vec))
+    qdf = queries.select(F.col(query_id), F.col(query_vec))
+    rer = (cand.join(cvecs, corpus_id).join(F.broadcast(qdf), query_id)
+           .select(F.col(query_id), F.col(corpus_id),
+                   cosine(as_double(F.col(query_vec)),
+                          as_double(F.col(corpus_vec))).alias("cosine_sim")))
+    w2 = Window.partitionBy(query_id).orderBy(F.col("cosine_sim").desc(),
+                                              F.col(corpus_id).asc())
+    return (rer.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select(query_id, "rank", corpus_id, "cosine_sim"))

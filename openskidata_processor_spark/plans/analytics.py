@@ -567,3 +567,19 @@ def ann_lsh_topk(spark, sf_dir):
     out = similarity.lsh_ann_topk(q, c, k=5, dim=64, corpus_id="neighbor_id")
     return (out.withColumn("cosine_sim", F.round("cosine_sim", 6))
                .withColumnRenamed("rank", "knn_rank"))
+
+
+@query("ann_pq_topk")
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization approximate top-5 with exact re-rank — the
+    compressed-domain ANN path (corpus scanned as m=8 uint8 codes instead
+    of 64 floats; ADC table lookups + rerank).  Approximate by design →
+    no oracle; recall@5 vs brute force asserted in tests/test_recall.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
+    out = similarity.pq_ann_topk(q, c, k=5, corpus_id="neighbor_id")
+    return (out.withColumn("cosine_sim", F.round("cosine_sim", 6))
+               .withColumnRenamed("rank", "knn_rank"))

@@ -250,3 +250,40 @@ def test_embedding_dedup_lsh_precision_random(spark):
                  threshold=0.4).collect()}
     assert found <= exact
     assert found, "bucketing must still surface some true pairs"
+
+
+def test_ann_pq_recall_at_5(spark):
+    """PQ+ADC with exact re-rank vs brute force on the driver table.
+    rerank=32 of 490 corpus vectors: the approximate ADC ordering only
+    has to land true neighbors inside the top-32 for the exact re-rank
+    to recover them, so recall is high even on near-uniform data."""
+    emb = load_table(spark, SF_T2, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
+    exact = similarity.knn_brute_force(q, c, k=5, corpus_id="neighbor_id")
+    approx = similarity.pq_ann_topk(q, c, k=5, corpus_id="neighbor_id")
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    found = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.7, f"PQ recall@5 {recall:.3f} < 0.7"
+
+
+def test_ann_pq_rerank_is_exact_cosine(spark):
+    """Whatever the ADC ordering proposes, the returned cosine_sim must be
+    the exact cosine (re-rank contract): spot-check against knn's scores
+    on the intersection."""
+    emb = load_table(spark, SF_T2, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
+    exact = {(r.query_id, r.neighbor_id): r.cosine_sim
+             for r in similarity.knn_brute_force(
+                 q, c, k=50, corpus_id="neighbor_id").collect()}
+    approx = similarity.pq_ann_topk(q, c, k=5, corpus_id="neighbor_id")
+    for r in approx.collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert abs(r.cosine_sim - exact[key]) < 1e-9, key
