@@ -583,3 +583,13 @@ def ann_pq_topk(spark, sf_dir):
     out = similarity.pq_ann_topk(q, c, k=5, corpus_id="neighbor_id")
     return (out.withColumn("cosine_sim", F.round("cosine_sim", 6))
                .withColumnRenamed("rank", "knn_rank"))
+
+
+@query("stream_enriched_rollup")
+def stream_enriched_rollup(spark, sf_dir):
+    """Stream-static enrichment join (streaming/events.py): the events
+    stream joins the broadcast customer dimension per micro-batch and
+    rolls up per market segment — drained availableNow, checked against
+    the plain batch-join oracle."""
+    from ..streaming.events import stream_static_enriched_rollup
+    return stream_static_enriched_rollup(spark, sf_dir)

@@ -335,3 +335,10 @@ FROM events, m
 WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm
 GROUP BY 1, 2
 """
+
+ORACLES["stream_enriched_rollup"] = """
+SELECT c_mktsegment, count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1
+"""

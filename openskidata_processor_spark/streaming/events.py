@@ -174,3 +174,45 @@ def stateful_user_sessions(spark: SparkSession, sf_dir: str,
          .outputMode("update").trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_static_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the standard streaming-ETL shape:
+    an unbounded event stream joins a slowly-changing dimension (here the
+    customer table, re-read each micro-batch by Spark's stream-static
+    join semantics, broadcast because it is dimension-sized) and rolls up
+    per segment.
+
+    Executed as a real streaming query (file source → stream-static inner
+    join → watermarked-free global agg → memory sink, complete mode)
+    drained with availableNow.  ``sum_cents`` uses the exact
+    floor-fixed-point pattern so the batch-twin oracle hash-matches.
+    """
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_file = f"{sf_dir}/events.parquet"
+    schema = _ntz_to_ltz(spark.read.parquet(events_file).schema)
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    if isinstance(schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    customers = F.broadcast(
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_mktsegment"))
+    agg = (
+        stream.join(customers, stream["user_id"] == customers["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.floor(F.col("value") * 100).cast("long"))
+              .alias("sum_cents"))
+    )
+    name = f"stream_enriched_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
