@@ -65,6 +65,8 @@ EXTENDED_QUERIES = [
     "pack_sequences",
     "shard_assignment",
     "ann_pq_topk",
+    "multimodal_audio_stats",
+    "stream_enriched_rollup",
 ]
 
 

@@ -186,3 +186,86 @@ def sample_frames(df: DataFrame, frame_bytes: int, every_n: int,
             yield pd.DataFrame(
                 {"id": ids, "frame_idx": idxs, "frame": frames})
     return df.mapInPandas(run, "id long, frame_idx int, frame binary")
+
+
+# ---------------------------------------------------------------------------
+# Audio: dependency-free WAV/PCM16 codec + feature extraction
+# ---------------------------------------------------------------------------
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Dependency-free RIFF/WAVE encoder (PCM16 mono) — the audio twin of
+    ``encode_png_rgb``.  Used to materialize real audio payload columns
+    from raw sample buffers; a production audio library drops in behind
+    the same signature."""
+    if samples.ndim != 1 or samples.dtype != np.int16:
+        raise ValueError("encode_wav_pcm16 expects int16 1-D samples")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
+    """Parse a RIFF/WAVE container (PCM16 mono): returns (rate, samples).
+
+    A real chunk walk — fmt and data located by scanning the chunk list,
+    unknown chunks skipped — not a fixed-offset slice, so payloads with
+    extra chunks (LIST/fact) decode correctly.  Raises ValueError on a
+    malformed container or non-PCM16 stream.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        ctype = payload[pos:pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + clen]
+        if ctype == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("short fmt chunk")
+            audio_fmt, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16])
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("only PCM16 mono supported")
+        elif ctype == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, np.frombuffer(data, dtype=np.int16)
+
+
+def audio_features(df: DataFrame, id_col: str = "id",
+                   payload_col: str = "payload") -> DataFrame:
+    """Per-asset audio features through the REAL WAV decode path:
+    (id, decoded, rate, n_samples, sum_abs, peak, n_zero_cross).
+
+    Integer-exact outputs (abs-sum instead of float RMS, crossings of the
+    x≥0 sign) so a cross-engine oracle can hash-match them.  Undecodable
+    payloads keep their row with ``decoded=false`` and null features —
+    errors surface as data, never as a failed stage (the same contract as
+    ``decode_images``)."""
+    def run(parts: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in parts:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    rate, s = decode_wav_pcm16(bytes(payload))
+                    a = s.astype(np.int64)
+                    nzc = int(np.count_nonzero(
+                        (a[1:] >= 0) != (a[:-1] >= 0))) if a.size > 1 else 0
+                    rows.append((int(rid), True, int(rate), int(a.size),
+                                 int(np.abs(a).sum()),
+                                 int(np.abs(a).max()) if a.size else 0, nzc))
+                except (ValueError, TypeError):
+                    rows.append((int(rid), False, None, None, None, None,
+                                 None))
+            yield pd.DataFrame(rows, columns=[
+                "id", "decoded", "rate", "n_samples", "sum_abs", "peak",
+                "n_zero_cross"])
+    return df.mapInPandas(
+        run, "id long, decoded boolean, rate int, n_samples long, "
+             "sum_abs long, peak long, n_zero_cross long")

@@ -862,3 +862,58 @@ ORACLES["stream_dedup_exact"] = """
 SELECT source, count(DISTINCT md5(text)) AS n_unique
 FROM documents GROUP BY source
 """
+
+
+@query("multimodal_audio_stats")
+def multimodal_audio_stats(spark, sf_dir):
+    """Audio through the REAL WAV codec: deterministic PCM16 payloads are
+    synthesized per document (sample_i = ((doc_id·7919 + i·104729) mod
+    65536) − 32768, n = 64 + doc_id mod 32), containerized with
+    ``encode_wav_pcm16``, and decoded back by the real RIFF chunk walk in
+    ``operators.multimodal.audio_features`` — so the driver-checked row
+    pins the encode∘decode identity, not a stub.  The oracle computes the
+    identical integer statistics from the generation formula directly."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import audio_features, encode_wav_pcm16
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(parts):
+        for pdf in parts:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 64 + did % 32
+                i = np.arange(n, dtype=np.int64)
+                s = ((did * 7919 + i * 104729) % 65536 - 32768).astype(
+                    np.int16)
+                ids.append(did)
+                payloads.append(encode_wav_pcm16(s, 16000))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    assets = docs.mapInPandas(synth, "id long, payload binary")
+    feats = audio_features(assets)
+    return (feats.filter(F.col("decoded"))
+            .select(F.col("id").alias("doc_id"), "n_samples", "sum_abs",
+                    "peak", "n_zero_cross"))
+
+
+ORACLES["multimodal_audio_stats"] = """
+WITH s AS (
+  SELECT doc_id,
+         [CAST(((doc_id * 7919 + i * 104729) % 65536) - 32768 AS BIGINT)
+          FOR i IN generate_series(0, 63 + doc_id % 32)] AS smp
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(smp) AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT) AS sum_abs,
+       CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak,
+       CAST(list_sum([CASE WHEN (smp[i] >= 0) <> (smp[i-1] >= 0)
+                           THEN 1 ELSE 0 END
+                      FOR i IN generate_series(2, len(smp))]) AS BIGINT)
+         AS n_zero_cross
+FROM s
+"""

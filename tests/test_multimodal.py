@@ -88,3 +88,51 @@ def test_sample_frames_stride(spark):
     assert [r.frame_idx for r in rows] == [0, 3, 6, 9]
     for r in rows:
         assert bytes(r.frame) == payload[r.frame_idx * 8:(r.frame_idx + 1) * 8]
+
+
+def test_wav_codec_identity():
+    import numpy as np
+
+    from openskidata_processor_spark.operators.multimodal import (
+        decode_wav_pcm16, encode_wav_pcm16)
+    s = (np.arange(257, dtype=np.int64) * 997 % 65536 - 32768).astype(
+        np.int16)
+    rate, out = decode_wav_pcm16(encode_wav_pcm16(s, 44100))
+    assert rate == 44100
+    assert np.array_equal(out, s)
+
+
+def test_wav_decode_skips_unknown_chunks():
+    import struct
+
+    import numpy as np
+
+    from openskidata_processor_spark.operators.multimodal import (
+        decode_wav_pcm16, encode_wav_pcm16)
+    s = np.array([1, -2, 3], dtype=np.int16)
+    b = encode_wav_pcm16(s, 8000)
+    extra = b"LIST" + struct.pack("<I", 5) + b"abcde" + b"\x00"  # odd len pad
+    b2 = b[:12] + extra + b[12:]
+    b2 = b"RIFF" + struct.pack("<I", len(b2) - 8) + b2[8:]
+    rate, out = decode_wav_pcm16(b2)
+    assert rate == 8000 and np.array_equal(out, s)
+
+
+def test_wav_decode_rejects_garbage():
+    import pytest
+
+    from openskidata_processor_spark.operators.multimodal import (
+        decode_wav_pcm16)
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(b"not audio at all")
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data
+
+
+def test_audio_features_bad_payload_surfaces_as_row(spark):
+    from openskidata_processor_spark.operators.multimodal import (
+        audio_features)
+    df = spark.createDataFrame([(1, bytearray(b"garbage"))],
+                               "id long, payload binary")
+    row = audio_features(df).first()
+    assert row.decoded is False and row.n_samples is None
