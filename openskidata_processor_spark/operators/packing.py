@@ -25,6 +25,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def next_fit_bins(weights, budget: int) -> list[int]:
+    """The pure next-fit recurrence (also the unit under the hypothesis
+    invariants in tests/test_properties.py): bin ids in scan order."""
+    bins: list[int] = []
+    bin_id, fill = 0, 0
+    for wt in weights:
+        if fill > 0 and fill + wt > budget:
+            bin_id, fill = bin_id + 1, 0
+        fill += int(wt)
+        bins.append(bin_id)
+    return bins
+
+
 def pack_sequences(
     df: DataFrame,
     weight_col: str,
@@ -49,14 +62,8 @@ def pack_sequences(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(o, kind="mergesort").reset_index(drop=True)
-        bins = []
-        bin_id, fill = 0, 0
-        for wt in pdf[w].astype("int64"):
-            if fill > 0 and fill + wt > budget:
-                bin_id, fill = bin_id + 1, 0
-            fill += wt
-            bins.append(bin_id)
-        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        pdf["bin_id"] = pd.Series(
+            next_fit_bins(pdf[w].astype("int64"), budget), dtype="int64")
         return pdf
 
     if by is None:

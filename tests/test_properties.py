@@ -122,3 +122,45 @@ def test_salted_aggregate_decomposition_property(rows):
         for k, vs in by_key.items():
             assert final[k] == {"n": len(vs), "s": sum(vs),
                                 "lo": min(vs), "hi": max(vs)}
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=0, max_size=512),
+       st.sampled_from([8000, 16000, 44100]))
+def test_wav_codec_roundtrip_property(samples, rate):
+    """WAV encode→decode is the identity for any int16 sample buffer."""
+    from openskidata_processor_spark.operators.multimodal import (
+        decode_wav_pcm16, encode_wav_pcm16)
+    s = np.array(samples, dtype=np.int16)
+    out_rate, out = decode_wav_pcm16(encode_wav_pcm16(s, rate))
+    assert out_rate == rate
+    assert np.array_equal(out, s)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(1, 40), min_size=1, max_size=60),
+       st.integers(10, 100))
+def test_next_fit_packing_invariants(weights, budget):
+    """Next-fit invariants on the OPERATOR's own recurrence (the exact
+    function pack_sequences runs per shard): bin ids are contiguous and
+    monotone in scan order; a bin only exceeds the budget when it holds a
+    single oversized document; a new bin opens only because the previous
+    could not take the document."""
+    from openskidata_processor_spark.operators.packing import next_fit_bins
+    bins = next_fit_bins(weights, budget)
+    assert bins[0] == 0
+    # monotone, steps of ≤ 1
+    for a, b in zip(bins, bins[1:]):
+        assert b in (a, a + 1)
+    fills = {}
+    for w, b in zip(weights, bins):
+        fills[b] = fills.get(b, 0) + w
+    for b, f in fills.items():
+        members = [w for w, bb in zip(weights, bins) if bb == b]
+        assert f <= budget or len(members) == 1
+    # a new bin opens only because the previous could not take the doc
+    for i in range(1, len(weights)):
+        if bins[i] != bins[i - 1]:
+            prev_fill = sum(w for w, b in zip(weights[:i], bins[:i])
+                            if b == bins[i - 1])
+            assert prev_fill + weights[i] > budget
