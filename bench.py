@@ -67,6 +67,7 @@ EXTENDED_QUERIES = [
     "ann_pq_topk",
     "multimodal_audio_stats",
     "stream_enriched_rollup",
+    "rollup_multi_granularity",
 ]
 
 

@@ -917,3 +917,44 @@ SELECT doc_id,
          AS n_zero_cross
 FROM s
 """
+
+
+@query("rollup_multi_granularity")
+def rollup_multi_granularity(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup: one pass produces
+    hourly, daily, and all-time aggregates per event type via GROUPING
+    SETS — the Expand + partial-agg machinery (each input row fans to its
+    grouping combinations map-side; partial aggregation collapses them
+    before the single shuffle).  ``gid`` disambiguates the granularity of
+    each output row; sum uses the exact floor-fixed-point pattern."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_type",
+                  F.date_trunc("hour", F.col("ts")).alias("hour"),
+                  F.to_date("ts").alias("day"),
+                  F.floor(F.col("value") * 100).cast("long").alias("cents")))
+    ev.createOrReplaceTempView("__events_mg")
+    return spark.sql("""
+        SELECT event_type, hour, day,
+               CAST(grouping(hour) * 2 + grouping(day) AS BIGINT) AS gid,
+               count(*) AS n_events,
+               sum(cents) AS sum_cents
+        FROM __events_mg
+        GROUP BY event_type, GROUPING SETS ((event_type, hour),
+                                            (event_type, day),
+                                            (event_type))
+    """)
+
+
+ORACLES["rollup_multi_granularity"] = """
+WITH src AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, CAST(ts AS DATE) AS day,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, hour, day,
+       CAST(grouping(hour) * 2 + grouping(day) AS BIGINT) AS gid,
+       count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM src
+GROUP BY GROUPING SETS ((event_type, hour), (event_type, day), (event_type))
+"""
