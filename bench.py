@@ -68,6 +68,7 @@ EXTENDED_QUERIES = [
     "multimodal_audio_stats",
     "stream_enriched_rollup",
     "rollup_multi_granularity",
+    "stream_click_attribution",
 ]
 
 

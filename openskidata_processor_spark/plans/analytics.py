@@ -593,3 +593,14 @@ def stream_enriched_rollup(spark, sf_dir):
     the plain batch-join oracle."""
     from ..streaming.events import stream_static_enriched_rollup
     return stream_static_enriched_rollup(spark, sf_dir)
+
+
+@query("stream_click_attribution")
+def stream_click_attribution(spark, sf_dir):
+    """Stream-stream inner join with event-time bounds (streaming/
+    events.py): click→purchase attribution within a 60-minute horizon,
+    per user — watermarked on both sides so click state evicts once the
+    purchase watermark passes the horizon.  Oracle: the plain batch
+    self-join with identical bounds."""
+    from ..streaming.events import stream_stream_click_purchase_join
+    return stream_stream_click_purchase_join(spark, sf_dir)

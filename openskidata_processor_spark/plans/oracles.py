@@ -342,3 +342,12 @@ SELECT c_mktsegment, count(*) AS n_events,
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1
 """
+
+ORACLES["stream_click_attribution"] = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id AS user_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTES
+"""

@@ -216,3 +216,59 @@ def stream_static_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
          .start())
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_stream_click_purchase_join(spark: SparkSession,
+                                      sf_dir: str,
+                                      horizon_minutes: int = 60) -> DataFrame:
+    """Stream-stream inner join with event-time bounds — the attribution
+    shape: each click matches the same user's purchases within
+    ``horizon_minutes`` AFTER the click.  Both sides carry watermarks and
+    the join predicate bounds purchase time to [click, click + horizon],
+    so Spark can evict click state once the purchase watermark passes the
+    horizon — bounded state on an unbounded stream, which is the whole
+    point of the operator.
+
+    Drained availableNow into a memory sink (append mode — inner
+    stream-stream joins emit each match exactly once); the batch twin is
+    the plain self-join with identical bounds.
+    """
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_file = f"{sf_dir}/events.parquet"
+    schema = _ntz_to_ltz(spark.read.parquet(events_file).schema)
+
+    def read_side():
+        s = (spark.readStream.schema(schema)
+             .option("pathGlobFilter", "events.parquet")
+             .parquet(sf_dir))
+        if isinstance(schema["ts"].dataType, LongType):
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s
+
+    clicks = (read_side().filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", "2 hours"))
+    purchases = (read_side().filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", "2 hours"))
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts")
+           <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")),
+    ).select("click_id", "purchase_id",
+             F.col("c_user").alias("user_id"))
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (joined.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
