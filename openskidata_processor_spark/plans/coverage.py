@@ -932,17 +932,12 @@ def rollup_multi_granularity(spark, sf_dir):
                   F.date_trunc("hour", F.col("ts")).alias("hour"),
                   F.to_date("ts").alias("day"),
                   F.floor(F.col("value") * 100).cast("long").alias("cents")))
-    ev.createOrReplaceTempView("__events_mg")
-    return spark.sql("""
-        SELECT event_type, hour, day,
-               CAST(grouping(hour) * 2 + grouping(day) AS BIGINT) AS gid,
-               count(*) AS n_events,
-               sum(cents) AS sum_cents
-        FROM __events_mg
-        GROUP BY event_type, GROUPING SETS ((event_type, hour),
-                                            (event_type, day),
-                                            (event_type))
-    """)
+    et, hour, day = F.col("event_type"), F.col("hour"), F.col("day")
+    return (ev.groupingSets([[et, hour], [et, day], [et]], et, hour, day)
+            .agg((F.grouping(hour) * 2 + F.grouping(day)).cast("long")
+                 .alias("gid"),
+                 F.count("*").alias("n_events"),
+                 F.sum("cents").alias("sum_cents")))
 
 
 ORACLES["rollup_multi_granularity"] = """

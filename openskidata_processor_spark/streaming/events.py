@@ -266,9 +266,19 @@ def stream_stream_click_purchase_join(spark: SparkSession,
     ).select("click_id", "purchase_id",
              F.col("c_user").alias("user_id"))
     name = f"stream_join_{uuid.uuid4().hex[:8]}"
-    q = (joined.writeStream.format("memory").queryName(name)
-         .outputMode("append")
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+    # Stream-stream joins keep TWO keyed state stores per shuffle
+    # partition; at local/bench scale the per-store fixed cost dominates,
+    # so the drain runs at a reduced partition count (state sizing is a
+    # deployment knob on a real cluster — scale it with key cardinality,
+    # not with this default).  Restored after the drain.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (joined.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
