@@ -51,6 +51,13 @@ def pack_sequences(
     group (or globally in a single group when ``by`` is None — only sane
     for small frames); ``bin_id`` restarts at 0 per group.  Returns the
     input columns plus ``bin_id``.
+
+    Parallelism equals the cardinality of ``by`` — at corpus scale pass a
+    UNIFORM shard key, not a handful of source names: compose with
+    ``shard_assignment``-style hash sharding (plans/hygiene.py) so each
+    of N shards packs independently on its own executor.  Bins never span
+    shards, which is exactly the production contract (training sequences
+    are built per output shard).
     """
     if budget <= 0:
         raise ValueError("budget must be positive")

@@ -61,3 +61,46 @@ def test_materialize_is_lazy(spark):
     assert after == before  # no job ran at barrier-creation time
     assert df.count() == 1000
     df.unpersist()
+
+
+def test_connected_components_numeric_fast_path(spark):
+    """Integral vertex ids take the no-hash path: output columns are
+    longs and the component is the numeric minimum (not a string min)."""
+    edges = spark.createDataFrame(
+        [(2, 10), (10, 3), (7, 7)], "src long, dst long")
+    out = connected_components(edges)
+    types = dict(out.dtypes)
+    assert types == {"vertex": "bigint", "component": "bigint"}
+    got = {r.vertex: r.component for r in out.collect()}
+    assert got == {2: 2, 10: 2, 3: 2, 7: 7}
+
+
+def test_connected_components_numeric_matches_string_semantics(spark):
+    """On the same graph, the numeric path groups vertices identically to
+    the string path (components compare equal as partitions)."""
+    pairs = [(1, 5), (5, 9), (20, 21), (33, 33)]
+    num = connected_components(
+        spark.createDataFrame(pairs, "src long, dst long"))
+    s = connected_components(
+        spark.createDataFrame([(f"{a:03d}", f"{b:03d}") for a, b in pairs],
+                              "src string, dst string"))
+    num_groups = {}
+    for r in num.collect():
+        num_groups.setdefault(r.component, set()).add(int(r.vertex))
+    s_groups = {}
+    for r in s.collect():
+        s_groups.setdefault(r.component, set()).add(int(r.vertex))
+    assert sorted(map(sorted, num_groups.values())) == \
+        sorted(map(sorted, s_groups.values()))
+
+
+def test_connected_components_shortcut_same_result(spark):
+    """Pointer-doubling mode returns identical components on a chain."""
+    chain = [(i, i + 1) for i in range(12)]
+    base = {(r.vertex, r.component) for r in connected_components(
+        spark.createDataFrame(chain, "src long, dst long")).collect()}
+    fast = {(r.vertex, r.component) for r in connected_components(
+        spark.createDataFrame(chain, "src long, dst long"),
+        shortcut=True).collect()}
+    assert base == fast
+    assert all(c == 0 for _, c in base)
