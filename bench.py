@@ -69,6 +69,7 @@ EXTENDED_QUERIES = [
     "stream_enriched_rollup",
     "rollup_multi_granularity",
     "stream_click_attribution",
+    "multimodal_video_stats",
 ]
 
 

@@ -953,3 +953,61 @@ SELECT event_type, hour, day,
 FROM src
 GROUP BY GROUPING SETS ((event_type, hour), (event_type, day), (event_type))
 """
+
+
+@query("multimodal_video_stats")
+def multimodal_video_stats(spark, sf_dir):
+    """Video through a REAL container: deterministic C444 YUV frames are
+    synthesized per document (plane p, frame f, pixel i →
+    (doc_id·31 + f·97 + p·53 + i·7) mod 256; 2 + doc_id mod 3 frames of
+    8×4), muxed into a standard YUV4MPEG2 stream by ``encode_y4m``, and
+    demuxed back by the real stream parser in
+    ``operators.multimodal.video_frame_stats`` (header parameter scan +
+    FRAME-marker walk) with 1-in-2 frame sampling — the driver-checked
+    row pins the mux∘demux identity, not a byte-window stub.  The oracle
+    computes identical per-frame luma stats from the formula."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import encode_y4m, video_frame_stats
+
+    W, H = 8, 4
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(parts):
+        for pdf in parts:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 2 + did % 3
+                f, p, i = np.meshgrid(np.arange(n), np.arange(3),
+                                      np.arange(H * W), indexing="ij")
+                frames = ((did * 31 + f * 97 + p * 53 + i * 7) % 256).astype(
+                    np.uint8).reshape(n, 3, H, W)
+                ids.append(did)
+                payloads.append(encode_y4m(frames))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    assets = docs.mapInPandas(synth, "id long, payload binary")
+    return (video_frame_stats(assets, every_n=2)
+            .select(F.col("id").alias("doc_id"), "frame_idx", "width",
+                    "height", "y_sum", "y_min", "y_max"))
+
+
+ORACLES["multimodal_video_stats"] = """
+WITH f AS (
+  SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 3, 2)) AS frame_idx
+  FROM documents
+), px AS (
+  SELECT doc_id, frame_idx,
+         [(doc_id * 31 + frame_idx * 97 + i * 7) % 256
+          FOR i IN generate_series(0, 31)] AS ys
+  FROM f
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       8 AS width, 4 AS height,
+       CAST(list_sum(ys) AS BIGINT) AS y_sum,
+       CAST(list_min(ys) AS INT) AS y_min,
+       CAST(list_max(ys) AS INT) AS y_max
+FROM px
+"""

@@ -136,3 +136,61 @@ def test_audio_features_bad_payload_surfaces_as_row(spark):
                                "id long, payload binary")
     row = audio_features(df).first()
     assert row.decoded is False and row.n_samples is None
+
+
+def test_y4m_codec_identity():
+    import numpy as np
+
+    from openskidata_processor_spark.operators.multimodal import (
+        decode_y4m, encode_y4m)
+    fr = (np.arange(3 * 3 * 4 * 6) * 13 % 256).astype(np.uint8).reshape(
+        3, 3, 4, 6)
+    w, h, out = decode_y4m(encode_y4m(fr))
+    assert (w, h) == (6, 4)
+    assert np.array_equal(out, fr)
+
+
+def test_y4m_decode_rejects_malformed():
+    import numpy as np
+    import pytest
+
+    from openskidata_processor_spark.operators.multimodal import (
+        decode_y4m, encode_y4m)
+    with pytest.raises(ValueError):
+        decode_y4m(b"AVI nope")
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 F25:1\n")  # missing W/H
+    # truncated last frame
+    fr = np.zeros((1, 3, 2, 2), dtype=np.uint8)
+    b = encode_y4m(fr)
+    with pytest.raises(ValueError):
+        decode_y4m(b[:-3])
+    # unsupported subsampled colorspace is refused, not mis-parsed
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C420jpeg\nFRAME\n" + b"\x00" * 6)
+
+
+def test_y4m_decode_skips_unknown_header_params():
+    import numpy as np
+
+    from openskidata_processor_spark.operators.multimodal import decode_y4m
+    fr = bytes(range(12))
+    payload = (b"YUV4MPEG2 W2 H2 F30000:1001 Ip A128:117 C444 Xcustom\n"
+               b"FRAME\n" + fr)
+    w, h, out = decode_y4m(payload)
+    assert (w, h) == (2, 2)
+    assert out.tobytes() == fr
+
+
+def test_video_frame_stats_sampling(spark):
+    import numpy as np
+
+    from openskidata_processor_spark.operators.multimodal import (
+        encode_y4m, video_frame_stats)
+    fr = np.stack([np.full((3, 2, 2), v, dtype=np.uint8)
+                   for v in (10, 20, 30, 40, 50)])
+    df = spark.createDataFrame([(7, bytearray(encode_y4m(fr)))],
+                               "id long, payload binary")
+    rows = {r.frame_idx: r for r in video_frame_stats(df, every_n=2).collect()}
+    assert set(rows) == {0, 2, 4}
+    assert rows[2].y_sum == 30 * 4 and rows[2].width == 2
