@@ -1,0 +1,99 @@
+"""Scale probe (manual, not a CI test): replicate the sf0.1 corpus 10×
+(~50k documents / 500k embedding rows, ids shifted per replica — an
+adversarial corpus where every document has 9 exact duplicates) and run
+the dedup / ANN / hygiene families end to end.
+
+Usage::
+
+    python tests/scale_probe.py [workdir]
+
+Duplication makes TRUE pair outputs grow quadratically (10 copies → 45
+intra-group pairs), so pair counts ~1000× sf0.1 are the correct answer,
+not blowup; the numbers to watch are wall times and that nothing falls
+over.  Representative run (local[32], 2026-08):
+
+    dedup_exact:             5.6s     knn_cosine:        5.1s
+    dedup_minhash_lsh:      30.7s     ann_lsh_topk:      5.1s
+    dedup_simhash:           3.8s     ann_ivf_topk:      2.9s
+    dedup_ngram_jaccard:    67.0s     ann_pq_topk:       1.9s
+    dedup_group_resolution: 74.0s     tfidf_doc_terms:   3.9s
+    dedup_embedding_lsh:    46.5s     contamination:     5.1s
+    pii/quality/passages/pack/shard: all ≤ 1.4s
+
+ngram-Jaccard is the exact-oracle twin — at real corpus scale the
+MinHash-LSH/SimHash paths (with ``max_doc_freq`` stop-shingle capping)
+are the production dedup, and PQ/IVF are the production ANN.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+
+def build(workdir: str) -> None:
+    import duckdb
+
+    os.makedirs(workdir, exist_ok=True)
+    con = duckdb.connect()
+    src = "/root/testdata/sf0.1"
+    con.execute(f"""
+      COPY (SELECT doc_id + r * 10000000 AS doc_id, text, lang, source,
+                   n_chars
+            FROM read_parquet('{src}/documents.parquet'),
+                 (SELECT unnest(generate_series(0, 9)) AS r))
+      TO '{workdir}/documents.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+      COPY (SELECT vec_id + r * 10000000 AS vec_id, embedding, label
+            FROM read_parquet('{src}/embeddings.parquet'),
+                 (SELECT unnest(generate_series(0, 9)) AS r))
+      TO '{workdir}/embeddings.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+      COPY (SELECT event_id + r * 100000000 AS event_id, ts,
+                   user_id + r * 1000000 AS user_id, event_type, value,
+                   props
+            FROM read_parquet('{src}/events.parquet'),
+                 (SELECT unnest(generate_series(0, 9)) AS r))
+      TO '{workdir}/events.parquet' (FORMAT PARQUET)""")
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"]:
+        con.execute(f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet'))"
+                    f" TO '{workdir}/{t}.parquet' (FORMAT PARQUET)")
+
+
+QUERIES_TO_PROBE = [
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_group_resolution", "knn_cosine",
+    "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "pii_redact_docs",
+    "quality_repetition", "contamination_ngram", "dedup_passages",
+    "pack_sequences", "shard_assignment", "tfidf_doc_terms",
+    "dedup_embedding_lsh",
+]
+
+
+def main() -> None:
+    workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfbig"
+    if not os.path.exists(f"{workdir}/documents.parquet"):
+        build(workdir)
+
+    from pyspark.sql import SparkSession
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from openskidata_processor_spark.plans import QUERIES
+
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "64")
+             .config("spark.driver.memory", "16g")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in QUERIES_TO_PROBE:
+        t0 = time.perf_counter()
+        n = QUERIES[name](spark, workdir).count()
+        print(f"{name}: {n} rows, {round(time.perf_counter() - t0, 1)}s",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
