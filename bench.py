@@ -70,6 +70,7 @@ EXTENDED_QUERIES = [
     "rollup_multi_granularity",
     "stream_click_attribution",
     "multimodal_video_stats",
+    "sample_temperature_mixture",
 ]
 
 

@@ -69,3 +69,61 @@ def stratified_hash_sample(df: DataFrame, key: str | Column, strata: str,
                         F.lit(_threshold(frac))).otherwise(thresh)
     key = F.col(key) if isinstance(key, str) else key
     return df.filter(_bucket(key, salt) < thresh)
+
+
+def _uniform_int(key: Column, salt: str) -> Column:
+    """Deterministic uniform integer in [0, 65535] from the md5 prefix.
+
+    Digit-by-digit hex decode via ascii() — deliberately expressible in
+    identical form on any engine (DuckDB has no hex→int conv), so
+    temperature sampling below stays exactly oracle-checkable."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+
+    def hv(i: int) -> Column:
+        a = F.ascii(F.substring(h, i, 1))
+        return a - 48 - F.when(a >= 97, F.lit(39)).otherwise(F.lit(0))
+
+    return ((hv(1) * 16 + hv(2)) * 16 + hv(3)) * 16 + hv(4)
+
+
+def temperature_mixture_sample(df: DataFrame, key: str | Column,
+                               strata: str, weight_col: str,
+                               budget_num: int, budget_den: int,
+                               alpha: float = 0.5,
+                               salt: str = "") -> DataFrame:
+    """Temperature-based source mixing — THE pretraining corpus-mixture
+    op: sampling weight of stratum ``s`` ∝ (token count T_s)^α, so α<1
+    upsamples small curated sources relative to bulk crawl.  The global
+    token budget is ``budget_num/budget_den`` of the corpus total; each
+    stratum gets budget share w_s = T_s^α / Σ T^α and keeps documents
+    with probability min(1, budget·w_s / T_s) via the stable per-key
+    hash.
+
+    Exactness: the keep decision is ONE integer inequality —
+    ``u · Σr · T_s < B · r_s · 65536`` with r_s = floor(√T_s) (α=0.5) or
+    T_s (α=1) — no float thresholds anywhere, so the identical SQL
+    reproduces the sample bit-for-bit (and the DuckDB oracle checks it).
+    Only α ∈ {0.5, 1.0} are supported for that reason.
+
+    Scale shape: one tiny per-stratum aggregate (broadcast back), then a
+    narrow filter — no shuffle of the corpus itself.
+    """
+    if alpha not in (0.5, 1.0):
+        raise ValueError("alpha must be 0.5 or 1.0 (exact integer paths)")
+    if budget_num <= 0 or budget_den <= 0:
+        raise ValueError("budget fraction must be positive")
+    key = F.col(key) if isinstance(key, str) else key
+
+    totals = (df.groupBy(strata)
+              .agg(F.sum(weight_col).cast("long").alias("__tok")))
+    r = (F.floor(F.sqrt(F.col("__tok"))).cast("long")
+         if alpha == 0.5 else F.col("__tok"))
+    s = totals.withColumn("__r", r)
+    g = s.agg(F.sum("__r").cast("long").alias("__sum_r"),
+              F.sum("__tok").cast("long").alias("__total"))
+    joined = (df.join(F.broadcast(s), strata)
+              .crossJoin(F.broadcast(g)))
+    budget = F.expr(f"__total * {budget_num} DIV {budget_den}")
+    keep = (_uniform_int(key, salt) * F.col("__sum_r") * F.col("__tok")
+            < budget * F.col("__r") * F.lit(65536))
+    return joined.filter(keep).drop("__tok", "__r", "__sum_r", "__total")

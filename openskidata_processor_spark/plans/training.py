@@ -205,3 +205,58 @@ def sketch_doc_stats(spark, sf_dir):
                  F.percentile_approx("n_chars", 0.5, 10000)
                  .alias("approx_median_chars"))
             .orderBy("lang"))
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based corpus mixing — α=0.5 source re-weighting
+# ---------------------------------------------------------------------------
+
+
+@query("sample_temperature_mixture")
+def sample_temperature_mixture(spark, sf_dir):
+    """α=0.5 temperature mixing at a 2/5 global char budget: small
+    sources are upsampled relative to bulk (weight ∝ √tokens).  The keep
+    decision is a single integer inequality (no float thresholds), so
+    the oracle reproduces the sample exactly — see
+    ``operators/sampling.py::temperature_mixture_sample``."""
+    from ..operators.sampling import temperature_mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (temperature_mixture_sample(docs, "doc_id", "source", "n_chars",
+                                       budget_num=2, budget_den=5,
+                                       alpha=0.5, salt="mix")
+            .select("doc_id", "source"))
+
+
+ORACLES["sample_temperature_mixture"] = """
+WITH t AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS tok
+  FROM documents GROUP BY source
+), s AS (
+  SELECT source, tok, CAST(floor(sqrt(tok)) AS BIGINT) AS r FROM t
+), g AS (
+  SELECT CAST(sum(r) AS BIGINT) AS sum_r,
+         CAST(sum(tok) AS BIGINT) AS total
+  FROM s
+), u AS (
+  SELECT d.doc_id, d.source, s.tok, s.r,
+         (((hv1 * 16 + hv2) * 16 + hv3) * 16 + hv4) AS uval
+  FROM documents d JOIN s USING (source),
+  LATERAL (
+    SELECT md5('mix' || CAST(d.doc_id AS VARCHAR)) AS h
+  ) m,
+  LATERAL (
+    SELECT ascii(substr(m.h, 1, 1)) - 48
+           - CASE WHEN ascii(substr(m.h, 1, 1)) >= 97 THEN 39 ELSE 0 END AS hv1,
+           ascii(substr(m.h, 2, 1)) - 48
+           - CASE WHEN ascii(substr(m.h, 2, 1)) >= 97 THEN 39 ELSE 0 END AS hv2,
+           ascii(substr(m.h, 3, 1)) - 48
+           - CASE WHEN ascii(substr(m.h, 3, 1)) >= 97 THEN 39 ELSE 0 END AS hv3,
+           ascii(substr(m.h, 4, 1)) - 48
+           - CASE WHEN ascii(substr(m.h, 4, 1)) >= 97 THEN 39 ELSE 0 END AS hv4
+  ) hx
+)
+SELECT doc_id, source
+FROM u CROSS JOIN g
+WHERE uval * g.sum_r * u.tok < (g.total * 2 // 5) * u.r * 65536
+"""

@@ -224,3 +224,44 @@ def test_sketch_doc_stats_error_bounds(spark):
         # so allow one data-point spacing on small groups: 5% relative
         assert abs(a.approx_median_chars - e.median) <= \
             max(2, 0.05 * e.median)
+
+
+# ---------------------------------------------------------------------------
+# temperature_mixture_sample
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mixture_upsamples_small_sources(spark):
+    from openskidata_processor_spark.operators.sampling import (
+        temperature_mixture_sample)
+    # big source: 2000 docs x 100 chars; small: 125 docs x 100 chars
+    rows = ([(i, "big", 100) for i in range(2000)]
+            + [(10_000 + i, "small", 100) for i in range(125)])
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    out = temperature_mixture_sample(df, "doc_id", "source", "w",
+                                     budget_num=1, budget_den=2, alpha=0.5)
+    kept = out.groupBy("source").count().collect()
+    frac = {r.source: r["count"] for r in kept}
+    # alpha=0.5 weights: sqrt(200000):sqrt(12500) = 4:1 → small source's
+    # per-doc keep rate must exceed the big source's (upsampling)
+    assert frac["small"] / 125 > frac["big"] / 2000
+    # global budget ~half the corpus weight
+    total_kept = sum(frac.values())
+    assert 0.35 * 2125 < total_kept < 0.65 * 2125
+
+
+def test_temperature_mixture_deterministic_and_exact_alpha_only(spark):
+    import pytest
+
+    from openskidata_processor_spark.operators.sampling import (
+        temperature_mixture_sample)
+    df = spark.createDataFrame([(i, "s", 10) for i in range(50)],
+                               "doc_id long, source string, w long")
+    a = {r.doc_id for r in temperature_mixture_sample(
+        df, "doc_id", "source", "w", 1, 3).collect()}
+    b = {r.doc_id for r in temperature_mixture_sample(
+        df, "doc_id", "source", "w", 1, 3).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        temperature_mixture_sample(df, "doc_id", "source", "w", 1, 3,
+                                   alpha=0.7)
