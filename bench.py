@@ -71,6 +71,7 @@ EXTENDED_QUERIES = [
     "stream_click_attribution",
     "multimodal_video_stats",
     "sample_temperature_mixture",
+    "sample_mixture_epochs",
 ]
 
 

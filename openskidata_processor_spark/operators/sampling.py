@@ -127,3 +127,50 @@ def temperature_mixture_sample(df: DataFrame, key: str | Column,
     keep = (_uniform_int(key, salt) * F.col("__sum_r") * F.col("__tok")
             < budget * F.col("__r") * F.lit(65536))
     return joined.filter(keep).drop("__tok", "__r", "__sum_r", "__total")
+
+
+def temperature_mixture_repeat(df: DataFrame, key: str | Column,
+                               strata: str, weight_col: str,
+                               budget_num: int, budget_den: int,
+                               alpha: float = 0.5,
+                               salt: str = "") -> DataFrame:
+    """Temperature mixing WITH repetition — the full pretraining
+    behavior: when a stratum's budget share exceeds its size, its
+    documents repeat (multiple epochs) instead of capping at one copy.
+
+    Per-document multiplicity is exact integer math on the rational
+    f_s = p/q (p = B·r_s, q = Σr·T_s):
+
+        copies = ⌊p/q⌋ + [u·q < (p mod q)·65536]
+
+    so E[copies] = f_s, every engine reproduces the identical copy
+    counts, and the DuckDB oracle checks them row-for-row.  Output adds
+    an ``epoch`` column (1-based copy index) so downstream shuffling
+    treats repeats as distinct rows.
+    """
+    if alpha not in (0.5, 1.0):
+        raise ValueError("alpha must be 0.5 or 1.0 (exact integer paths)")
+    key = F.col(key) if isinstance(key, str) else key
+
+    totals = (df.groupBy(strata)
+              .agg(F.sum(weight_col).cast("long").alias("__tok")))
+    r = (F.floor(F.sqrt(F.col("__tok"))).cast("long")
+         if alpha == 0.5 else F.col("__tok"))
+    s = totals.withColumn("__r", r)
+    g = s.agg(F.sum("__r").cast("long").alias("__sum_r"),
+              F.sum("__tok").cast("long").alias("__total"))
+    joined = (df.join(F.broadcast(s), strata)
+              .crossJoin(F.broadcast(g)))
+    p = F.expr(f"__total * {budget_num} DIV {budget_den}") * F.col("__r")
+    q = F.col("__sum_r") * F.col("__tok")
+    # integer ⌊p/q⌋ via pmod (both operands are exact sub-2^53 longs)
+    base = ((p - F.pmod(p, q)) / q).cast("long")
+    extra = (F.when(_uniform_int(key, salt) * q < F.pmod(p, q) * 65536,
+                    F.lit(1)).otherwise(F.lit(0)))
+    copies = (base + extra).alias("__copies")
+    out = (joined.withColumn("__copies", copies)
+           .filter(F.col("__copies") >= 1)
+           .withColumn("epoch",
+                       F.explode(F.sequence(F.lit(1), F.col("__copies"))))
+           .drop("__tok", "__r", "__sum_r", "__total", "__copies"))
+    return out

@@ -260,3 +260,59 @@ SELECT doc_id, source
 FROM u CROSS JOIN g
 WHERE uval * g.sum_r * u.tok < (g.total * 2 // 5) * u.r * 65536
 """
+
+
+@query("sample_mixture_epochs")
+def sample_mixture_epochs(spark, sf_dir):
+    """Temperature mixing WITH repetition at a 3/2 budget (150% of the
+    corpus): α=0.5 shares push small sources past one epoch, so their
+    documents repeat with exact integer multiplicities — the full
+    pretraining mixture (see
+    ``operators/sampling.py::temperature_mixture_repeat``)."""
+    from ..operators.sampling import temperature_mixture_repeat
+
+    docs = _t(spark, sf_dir, "documents")
+    return (temperature_mixture_repeat(docs, "doc_id", "source", "n_chars",
+                                       budget_num=3, budget_den=2,
+                                       alpha=0.5, salt="epochs")
+            .select("doc_id", "source", "epoch"))
+
+
+ORACLES["sample_mixture_epochs"] = """
+WITH t AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS tok
+  FROM documents GROUP BY source
+), s AS (
+  SELECT source, tok, CAST(floor(sqrt(tok)) AS BIGINT) AS r FROM t
+), g AS (
+  SELECT CAST(sum(r) AS BIGINT) AS sum_r,
+         CAST(sum(tok) AS BIGINT) AS total
+  FROM s
+), u AS (
+  SELECT d.doc_id, d.source, s.tok, s.r,
+         (((hv1 * 16 + hv2) * 16 + hv3) * 16 + hv4) AS uval
+  FROM documents d JOIN s USING (source),
+  LATERAL (
+    SELECT md5('epochs' || CAST(d.doc_id AS VARCHAR)) AS h
+  ) m,
+  LATERAL (
+    SELECT ascii(substr(m.h, 1, 1)) - 48
+           - CASE WHEN ascii(substr(m.h, 1, 1)) >= 97 THEN 39 ELSE 0 END AS hv1,
+           ascii(substr(m.h, 2, 1)) - 48
+           - CASE WHEN ascii(substr(m.h, 2, 1)) >= 97 THEN 39 ELSE 0 END AS hv2,
+           ascii(substr(m.h, 3, 1)) - 48
+           - CASE WHEN ascii(substr(m.h, 3, 1)) >= 97 THEN 39 ELSE 0 END AS hv3,
+           ascii(substr(m.h, 4, 1)) - 48
+           - CASE WHEN ascii(substr(m.h, 4, 1)) >= 97 THEN 39 ELSE 0 END AS hv4
+  ) hx
+), c AS (
+  SELECT doc_id, source,
+         ((g.total * 3 // 2) * r) // (g.sum_r * tok)
+         + CASE WHEN uval * (g.sum_r * tok)
+                     < (((g.total * 3 // 2) * r) % (g.sum_r * tok)) * 65536
+                THEN 1 ELSE 0 END AS copies
+  FROM u CROSS JOIN g
+)
+SELECT doc_id, source, CAST(unnest(generate_series(1, copies)) AS INT) AS epoch
+FROM c WHERE copies >= 1
+"""

@@ -265,3 +265,26 @@ def test_temperature_mixture_deterministic_and_exact_alpha_only(spark):
     with pytest.raises(ValueError):
         temperature_mixture_sample(df, "doc_id", "source", "w", 1, 3,
                                    alpha=0.7)
+
+
+def test_temperature_mixture_repeat_produces_epochs(spark):
+    from openskidata_processor_spark.operators.sampling import (
+        temperature_mixture_repeat)
+    rows = ([(i, "big", 100) for i in range(2000)]
+            + [(10_000 + i, "small", 100) for i in range(50)])
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    out = temperature_mixture_repeat(df, "doc_id", "source", "w",
+                                     budget_num=3, budget_den=2).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.epoch)
+    # sqrt weighting at 150% budget: the tiny source must exceed 1 epoch
+    # (some docs repeat), the big one must not dominate with repeats
+    assert max(by_src["small"]) >= 2
+    assert len(by_src["small"]) > 50  # more rows than docs → repetition
+    # epoch indexes are 1-based contiguous per doc
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r.epoch)
+    for doc, es in per_doc.items():
+        assert sorted(es) == list(range(1, len(es) + 1)), doc
