@@ -72,6 +72,7 @@ EXTENDED_QUERIES = [
     "multimodal_video_stats",
     "sample_temperature_mixture",
     "sample_mixture_epochs",
+    "stream_lake_ingest",
 ]
 
 

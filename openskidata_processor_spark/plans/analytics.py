@@ -604,3 +604,13 @@ def stream_click_attribution(spark, sf_dir):
     self-join with identical bounds."""
     from ..streaming.events import stream_stream_click_purchase_join
     return stream_stream_click_purchase_join(spark, sf_dir)
+
+
+@query("stream_lake_ingest")
+def stream_lake_ingest(spark, sf_dir):
+    """Streaming durable-sink path (streaming/events.py): events stream →
+    day-partitioned parquet lake (file-sink checkpoint, exactly-once per
+    drain) → read back → per-day rollup; oracle is the straight batch
+    aggregation, so the write→commit→read-back cycle is what's checked."""
+    from ..streaming.events import stream_lake_ingest as ingest
+    return ingest(spark, sf_dir)

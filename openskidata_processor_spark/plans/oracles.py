@@ -351,3 +351,10 @@ FROM events c JOIN events p
  AND c.event_type = 'click' AND p.event_type = 'purchase'
  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTES
 """
+
+ORACLES["stream_lake_ingest"] = """
+SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY 1, 2
+"""

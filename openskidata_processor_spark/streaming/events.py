@@ -282,3 +282,53 @@ def stream_stream_click_purchase_join(spark: SparkSession,
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
+
+
+def stream_lake_ingest(spark: SparkSession, sf_dir: str,
+                       out_dir: str | None = None) -> DataFrame:
+    """Streaming lakehouse ingest — the durable WRITE path (every other
+    streaming query here drains to a memory sink): events stream →
+    day-partitioned parquet lake with a file-sink checkpoint, exactly-once
+    per availableNow drain (the sink's transaction log makes replayed
+    batches idempotent).  Returns the per-day rollup of the files read
+    BACK from the lake, so correctness covers the full
+    write→commit→read-back cycle, not the in-flight frame.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_file = f"{sf_dir}/events.parquet"
+    schema = _ntz_to_ltz(spark.read.parquet(events_file).schema)
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    if isinstance(schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    enriched = stream.withColumn("day", F.to_date("ts"))
+
+    base = out_dir or tempfile.mkdtemp(prefix="lake_ingest_")
+    data_dir, ckpt_dir = f"{base}/data", f"{base}/ckpt"
+    try:
+        q = (enriched.writeStream.format("parquet")
+             .option("path", data_dir)
+             .option("checkpointLocation", ckpt_dir)
+             .partitionBy("day")
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        back = spark.read.parquet(data_dir)
+        out = (back.groupBy("day", "event_type")
+               .agg(F.count("*").alias("n_events"),
+                    F.sum(F.floor(F.col("value") * 100).cast("long"))
+                     .alias("sum_cents")))
+        # materialize before the lake dir is cleaned up
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        if out_dir is None:
+            shutil.rmtree(base, ignore_errors=True)
