@@ -476,8 +476,12 @@ def cluster_ski_areas(ski_areas: DataFrame, runs: DataFrame,
                F.col("__sm_acts").isNotNull(),
                F.array_sort(F.array_union("activities", "__sm_acts")))
                .otherwise(F.col("activities")))
+           # website preference (MergeSkiAreaObjects.ts:84-100): when the
+           # OSM-sourced target has its own websites, keep ONLY those —
+           # Skimap.org URLs are usually near-duplicates that can't be
+           # string-deduped; union only when the target has none.
            .withColumn("websites", F.when(
-               F.col("__sm_sites").isNotNull(),
+               F.col("__sm_sites").isNotNull() & (F.size("websites") == 0),
                F.array_sort(F.array_union("websites", "__sm_sites")))
                .otherwise(F.col("websites")))
            .drop("target_id", "__sm_name", "__sm_sources", "__sm_acts",

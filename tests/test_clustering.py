@@ -54,6 +54,31 @@ RUN_ROWS = [
     # SK1 (lon 30): unassigned run+lift near a Skimap.org point area →
     # claimed by pass-5 transitive expansion (no generated area)
     ({"piste:type": "downhill", "name": "SK1 run"}, line(30.0, 47.002, 47.004)),
+    # U1 (lon 36): unsupported-activity run (hike) + lift → NO generated
+    # area (ClusterSkiAreas.integration.test.ts:50)
+    ({"piste:type": "hike", "name": "U1 run"}, line(36.0, 47.0, 47.002)),
+    # SP1 (lon 38): lone snow park → nothing generated (:844)
+    ({"piste:type": "snow_park", "name": "SP1 park"}, line(38.0, 47.0, 47.002)),
+    # SP2 (lon 40): downhill seed + snow park 150 m away → the generated
+    # downhill area includes the snow park (:882)
+    ({"piste:type": "downhill", "name": "SP2 run"}, line(40.0, 47.0, 47.002)),
+    ({"piste:type": "snow_park", "name": "SP2 park"},
+     line(40.0, 47.0035, 47.0055)),
+    # BG1 (lon 42): downhill seed + patrolled ungroomed run (included, :961)
+    # + unpatrolled backcountry run (NOT included/claimable, :1021)
+    ({"piste:type": "downhill", "name": "BG1 run"}, line(42.0, 47.0, 47.002)),
+    ({"piste:type": "downhill", "piste:grooming": "backcountry",
+      "patrolled": "yes", "name": "BG1 patrolled"},
+     line(42.0, 47.0035, 47.0055)),
+    ({"piste:type": "downhill", "piste:grooming": "backcountry",
+      "patrolled": "no", "name": "BG1 wild"},
+     line(42.0015, 47.0, 47.002)),
+    # W1 (lon 46): run inside an OSM polygon that HAS a website; skimap
+    # area with its own website merges in → OSM website wins (:1623)
+    ({"piste:type": "downhill", "name": "W1 run"}, line(46.005, 47.005, 47.007)),
+    # W2 (lon 48): same shape but the OSM polygon has NO website → the
+    # merged area unions in the Skimap.org website
+    ({"piste:type": "downhill", "name": "W2 run"}, line(48.005, 47.005, 47.007)),
 ]
 
 LIFT_ROWS = [
@@ -64,6 +89,9 @@ LIFT_ROWS = [
     ({"aerialway": "chair_lift", "name": "S1 far"}, line(24.003, 47.0, 47.002)),
     ({"aerialway": "t-bar", "name": "A1 lift"}, line(28.001, 47.0, 47.002)),
     ({"aerialway": "t-bar", "name": "SK1 lift"}, line(30.001, 47.002, 47.004)),
+    ({"aerialway": "t-bar", "name": "U1 lift"}, line(36.001, 47.0, 47.002)),
+    ({"aerialway": "t-bar", "name": "SP2 lift"}, line(40.001, 47.0, 47.002)),
+    ({"aerialway": "t-bar", "name": "BG1 lift"}, line(42.0005, 47.0, 47.002)),
     # S2 (lon 32): 3D lift 1000→2000 m for position inference
     ({"aerialway": "chair_lift", "name": "S2 lift"}, json.dumps(
         {"type": "LineString", "coordinates": [
@@ -80,6 +108,9 @@ SPOT_ROWS = [
     # no lift within 30 m → must be removed as orphaned
     ({"aerialway": "station", "name": "Orphan station"},
      point(34.0, 47.0)),
+    # SPOT1 (lon 50): lone crossing spot, nothing near it → spots alone
+    # never create ski areas (:2973) but the spot itself survives
+    ({"piste:dismount": "yes"}, point(50.0, 47.0)),
 ]
 
 SKI_AREA_ROWS = [
@@ -93,6 +124,11 @@ SKI_AREA_ROWS = [
      polygon(22.0, 47.0, 22.01, 47.01)),
     ({"landuse": "winter_sports", "name": "R1 overlap resort"},
      polygon(26.0, 47.0, 26.01, 47.01)),
+    ({"landuse": "winter_sports", "name": "W1 resort",
+      "website": "https://osm.example/w1"},
+     polygon(46.0, 47.0, 46.01, 47.01)),
+    ({"landuse": "winter_sports", "name": "W2 resort"},
+     polygon(48.0, 47.0, 48.01, 47.01)),
 ]
 
 
@@ -121,7 +157,11 @@ def clustered(spark):
         [("sm1", "M1 skimap", "operating", ["downhill"], 1, None,
           point(20.005, 47.006)),
          ("sm2", "SK1 skimap", "operating", ["downhill"], 1, None,
-          point(30.0005, 47.003))],
+          point(30.0005, 47.003)),
+         ("sm3", "W1 skimap", "operating", ["downhill"], 1,
+          "https://skimap.example/w1", point(46.005, 47.006)),
+         ("sm4", "W2 skimap", "operating", ["downhill"], 1,
+          "https://skimap.example/w2", point(48.005, 47.006))],
         "id string, name string, status string, activities array<string>,"
         " scalerank int, official_website string, geometry string")
     osm_areas = fmt.format_ski_areas_osm(raw(spark, SKI_AREA_ROWS))
@@ -321,3 +361,62 @@ def test_covered_by_edge_crossing():
     # boundary contact is allowed (CoveredBy, not Within)
     assert covered_by(
         {"type": "LineString", "coordinates": [[0, 0], [5, 0]]}, u)
+
+
+class TestSeedingRules:
+    """Which objects may found a NEW ski area — the reference's
+    isBasisForNewSkiArea semantics (SkiAreaClusteringService.ts:282-286,
+    scenario spec ClusterSkiAreas.integration.test.ts:50,844,1021,2973)."""
+
+    def test_unsupported_activity_never_seeds(self, clustered):
+        # hike run + lift at lon 36: no generated area anywhere there
+        assert not [r for r in clustered["ski_areas"]
+                    if "U1" in (r.name or "")]
+
+    def test_lone_snow_park_never_seeds(self, clustered):
+        assert not [r for r in clustered["ski_areas"]
+                    if "SP1" in (r.name or "")]
+
+    def test_snow_park_joins_nearby_downhill_area(self, clustered):
+        park = layer_by_name(clustered["runs"], "SP2 park")
+        seed = layer_by_name(clustered["runs"], "SP2 run")
+        assert len(seed.ski_areas) == 1
+        assert list(park.ski_areas) == list(seed.ski_areas)
+
+    def test_lone_spot_never_seeds(self, clustered):
+        crossings = [r for r in clustered["spots"]
+                     if r.spot_type == "crossing"
+                     and json.loads(r.geometry)["coordinates"][0] == 50.0]
+        # the spot survives clustering but founded no ski area
+        assert len(crossings) == 1
+        assert list(crossings[0].ski_areas) == []
+
+
+class TestBackcountryRules:
+    """Unpatrolled backcountry runs have no claimable activity; patrolled
+    ones behave like normal downhill (:961 vs :1021)."""
+
+    def test_patrolled_ungroomed_included(self, clustered):
+        patrolled = layer_by_name(clustered["runs"], "BG1 patrolled")
+        seed = layer_by_name(clustered["runs"], "BG1 run")
+        assert len(seed.ski_areas) == 1
+        assert list(patrolled.ski_areas) == list(seed.ski_areas)
+
+    def test_unpatrolled_backcountry_excluded(self, clustered):
+        wild = layer_by_name(clustered["runs"], "BG1 wild")
+        assert list(wild.ski_areas) == []
+
+
+class TestMergeWebsitePreference:
+    """MergeSkiAreaObjects.ts:84-100 — OSM-sourced websites win over
+    Skimap.org near-duplicates; union only when OSM has none."""
+
+    def test_osm_website_wins(self, clustered):
+        sa = next(r for r in clustered["ski_areas"]
+                  if (r.name or "") == "W1 resort")
+        assert list(sa.websites) == ["https://osm.example/w1"]
+
+    def test_skimap_website_fills_gap(self, clustered):
+        sa = next(r for r in clustered["ski_areas"]
+                  if (r.name or "") == "W2 resort")
+        assert list(sa.websites) == ["https://skimap.example/w2"]
