@@ -79,6 +79,19 @@ RUN_ROWS = [
     # W2 (lon 48): same shape but the OSM polygon has NO website → the
     # merged area unions in the Skimap.org website
     ({"piste:type": "downhill", "name": "W2 run"}, line(48.005, 47.005, 47.007)),
+    # MX1 (lon 52, idx 20 → way 21): mixed-use run — only the supported
+    # activity seeds the generated area (:543)
+    ({"piste:type": "downhill;skitour", "name": "MX1 run"},
+     line(52.0, 47.0, 47.002)),
+    # OV1 (lon 54, ways 22/23): polygon whose in-site member is a MINORITY
+    # of member length → polygon KEPT (:2557; contrast R1's removal)
+    ({"piste:type": "downhill", "name": "OV1 insite"},
+     line(54.005, 47.005, 47.007)),
+    ({"piste:type": "downhill", "name": "OV1 free"},
+     line(54.006, 47.001, 47.007)),
+    # MS1 (lon 56, way 25): run inside an OSM polygon with TWO Skimap.org
+    # point areas nearby → both merge into the one OSM area (:1728)
+    ({"piste:type": "downhill", "name": "MS1 run"}, line(56.005, 47.005, 47.007)),
 ]
 
 LIFT_ROWS = [
@@ -92,6 +105,7 @@ LIFT_ROWS = [
     ({"aerialway": "t-bar", "name": "U1 lift"}, line(36.001, 47.0, 47.002)),
     ({"aerialway": "t-bar", "name": "SP2 lift"}, line(40.001, 47.0, 47.002)),
     ({"aerialway": "t-bar", "name": "BG1 lift"}, line(42.0005, 47.0, 47.002)),
+    ({"aerialway": "t-bar", "name": "MX1 lift"}, line(52.001, 47.0, 47.002)),
     # S2 (lon 32): 3D lift 1000→2000 m for position inference
     ({"aerialway": "chair_lift", "name": "S2 lift"}, json.dumps(
         {"type": "LineString", "coordinates": [
@@ -129,6 +143,10 @@ SKI_AREA_ROWS = [
      polygon(46.0, 47.0, 46.01, 47.01)),
     ({"landuse": "winter_sports", "name": "W2 resort"},
      polygon(48.0, 47.0, 48.01, 47.01)),
+    ({"landuse": "winter_sports", "name": "OV1 resort"},
+     polygon(54.0, 47.0, 54.01, 47.01)),
+    ({"landuse": "winter_sports", "name": "MS1 resort"},
+     polygon(56.0, 47.0, 56.01, 47.01)),
 ]
 
 
@@ -137,7 +155,9 @@ def clustered(spark):
     # site=piste relation whose member is the R1 run (way id 8)
     sites = spark.createDataFrame(
         [(900, {"site": "piste", "name": "R1 site"},
-          [{"type": "way", "ref": 8, "role": ""}])],
+          [{"type": "way", "ref": 8, "role": ""}]),
+         (901, {"site": "piste", "name": "OV1 site"},
+          [{"type": "way", "ref": 22, "role": ""}])],
         "site_id long, tags map<string,string>, "
         "members array<struct<type:string, ref:long, role:string>>")
     site_areas = fmt.format_ski_areas_sites(sites)
@@ -161,7 +181,11 @@ def clustered(spark):
          ("sm3", "W1 skimap", "operating", ["downhill"], 1,
           "https://skimap.example/w1", point(46.005, 47.006)),
          ("sm4", "W2 skimap", "operating", ["downhill"], 1,
-          "https://skimap.example/w2", point(48.005, 47.006))],
+          "https://skimap.example/w2", point(48.005, 47.006)),
+         ("sm5", "MS1 skimap A", "operating", ["downhill"], 1, None,
+          point(56.005, 47.006)),
+         ("sm6", "MS1 skimap B", "operating", ["downhill"], 1, None,
+          point(56.0055, 47.0055))],
         "id string, name string, status string, activities array<string>,"
         " scalerank int, official_website string, geometry string")
     osm_areas = fmt.format_ski_areas_osm(raw(spark, SKI_AREA_ROWS))
@@ -420,3 +444,32 @@ class TestMergeWebsitePreference:
         sa = next(r for r in clustered["ski_areas"]
                   if (r.name or "") == "W2 resort")
         assert list(sa.websites) == ["https://skimap.example/w2"]
+
+
+class TestMoreReferenceScenarios:
+    """Further ClusterSkiAreas.integration.test.ts scenarios: :543 (mixed
+    use seeds supported activity only), :2557 (insufficient site overlap
+    keeps the landuse polygon), :1728 (multiple Skimap.org areas merge
+    into one OSM area)."""
+
+    def test_mixed_use_seeds_downhill_only(self, clustered):
+        run = layer_by_name(clustered["runs"], "MX1 run")
+        assert len(run.ski_areas) == 1
+        sa = next(r for r in clustered["ski_areas"]
+                  if r.id == run.ski_areas[0])
+        assert list(sa.activities) == ["downhill"]
+
+    def test_insufficient_site_overlap_keeps_polygon(self, clustered):
+        # contrast: R1's majority-overlap polygon is removed (tested
+        # above); OV1's in-site member is a minority of member length
+        assert sa_by_name(clustered["ski_areas"], "OV1 resort")
+
+    def test_multiple_skimap_areas_merge_into_one_osm(self, clustered):
+        # both Skimap.org areas vanish as standalone areas…
+        names = {r.name for r in clustered["ski_areas"]}
+        assert "MS1 skimap A" not in names and "MS1 skimap B" not in names
+        # …and the OSM area carries both their sources
+        sa = next(r for r in clustered["ski_areas"]
+                  if (r.name or "") == "MS1 resort")
+        skimap_srcs = [s for s in sa.sources if s.type == "skimap.org"]
+        assert len(skimap_srcs) == 2
