@@ -89,9 +89,18 @@ RUN_ROWS = [
      line(54.005, 47.005, 47.007)),
     ({"piste:type": "downhill", "name": "OV1 free"},
      line(54.006, 47.001, 47.007)),
-    # MS1 (lon 56, way 25): run inside an OSM polygon with TWO Skimap.org
-    # point areas nearby → both merge into the one OSM area (:1728)
+    # MS1 (lon 56, idx 23 → way 24): run inside an OSM polygon with TWO
+    # Skimap.org point areas nearby → both merge into the OSM area (:1728)
     ({"piste:type": "downhill", "name": "MS1 run"}, line(56.005, 47.005, 47.007)),
+    # SB1 (lon 58, ways 25/26/27): site-based area — geometry comes from
+    # the member (:2230), a nearby unassociated downhill run is added
+    # (:2301), a nordic run of different activity is NOT (:2369)
+    ({"piste:type": "downhill", "name": "SB1 member"},
+     line(58.0, 47.0, 47.002)),
+    ({"piste:type": "downhill", "name": "SB1 near"},
+     line(58.0, 47.0035, 47.0055)),
+    ({"piste:type": "nordic", "name": "SB1 nordic"},
+     line(58.0015, 47.0, 47.002)),
 ]
 
 LIFT_ROWS = [
@@ -157,7 +166,11 @@ def clustered(spark):
         [(900, {"site": "piste", "name": "R1 site"},
           [{"type": "way", "ref": 8, "role": ""}]),
          (901, {"site": "piste", "name": "OV1 site"},
-          [{"type": "way", "ref": 22, "role": ""}])],
+          [{"type": "way", "ref": 22, "role": ""}]),
+         (902, {"site": "piste", "name": "Dangling site"},
+          [{"type": "way", "ref": 9999, "role": ""}]),
+         (903, {"site": "piste", "name": "SB1 site"},
+          [{"type": "way", "ref": 25, "role": ""}])],
         "site_id long, tags map<string,string>, "
         "members array<struct<type:string, ref:long, role:string>>")
     site_areas = fmt.format_ski_areas_sites(sites)
@@ -473,3 +486,33 @@ class TestMoreReferenceScenarios:
                   if (r.name or "") == "MS1 resort")
         skimap_srcs = [s for s in sa.sources if s.type == "skimap.org"]
         assert len(skimap_srcs) == 2
+
+
+class TestSiteBasedAreas:
+    """Site=piste relation ski areas (spec :2230-2437): geometry from
+    members, transitive expansion by activity, removal when empty."""
+
+    def test_site_geometry_from_member_not_placeholder(self, clustered):
+        sa = next(r for r in clustered["ski_areas"]
+                  if (r.name or "") == "SB1 site")
+        g = json.loads(sa.geometry)
+        coords = g["coordinates"]
+        flat0 = coords[0] if isinstance(coords[0], (int, float)) else \
+            coords[0][0] if isinstance(coords[0][0], (int, float)) else \
+            coords[0][0][0]
+        assert flat0 != 360  # placeholder [360, 360, …] replaced
+
+    def test_site_claims_nearby_same_activity_run(self, clustered):
+        member = layer_by_name(clustered["runs"], "SB1 member")
+        near = layer_by_name(clustered["runs"], "SB1 near")
+        assert member.ski_areas and near.ski_areas
+        assert set(near.ski_areas) & set(member.ski_areas)
+
+    def test_site_ignores_different_activity_run(self, clustered):
+        member = layer_by_name(clustered["runs"], "SB1 member")
+        nordic = layer_by_name(clustered["runs"], "SB1 nordic")
+        assert not (set(nordic.ski_areas) & set(member.ski_areas))
+
+    def test_empty_site_area_removed(self, clustered):
+        assert not [r for r in clustered["ski_areas"]
+                    if (r.name or "") == "Dangling site"]
