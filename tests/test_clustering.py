@@ -101,6 +101,9 @@ RUN_ROWS = [
      line(58.0, 47.0035, 47.0055)),
     ({"piste:type": "nordic", "name": "SB1 nordic"},
      line(58.0015, 47.0, 47.002)),
+    # ML1 (lon 60): seed run next to a MultiLineString lift (:781) whose
+    # second part has a station 10 m away (:3316)
+    ({"piste:type": "downhill", "name": "ML1 run"}, line(60.0, 47.0, 47.002)),
 ]
 
 LIFT_ROWS = [
@@ -115,6 +118,10 @@ LIFT_ROWS = [
     ({"aerialway": "t-bar", "name": "SP2 lift"}, line(40.001, 47.0, 47.002)),
     ({"aerialway": "t-bar", "name": "BG1 lift"}, line(42.0005, 47.0, 47.002)),
     ({"aerialway": "t-bar", "name": "MX1 lift"}, line(52.001, 47.0, 47.002)),
+    ({"aerialway": "t-bar", "name": "ML1 lift"}, json.dumps(
+        {"type": "MultiLineString", "coordinates": [
+            [[60.001, 47.0], [60.001, 47.001]],
+            [[60.001, 47.0012], [60.001, 47.002]]]})),
     # S2 (lon 32): 3D lift 1000→2000 m for position inference
     ({"aerialway": "chair_lift", "name": "S2 lift"}, json.dumps(
         {"type": "LineString", "coordinates": [
@@ -134,6 +141,9 @@ SPOT_ROWS = [
     # SPOT1 (lon 50): lone crossing spot, nothing near it → spots alone
     # never create ski areas (:2973) but the spot itself survives
     ({"piste:dismount": "yes"}, point(50.0, 47.0)),
+    # ML1: station 10 m from the SECOND part of the MultiLineString lift
+    ({"aerialway": "station", "name": "ML1 station"},
+     point(60.0011, 47.0018)),
 ]
 
 SKI_AREA_ROWS = [
@@ -516,3 +526,20 @@ class TestSiteBasedAreas:
     def test_empty_site_area_removed(self, clustered):
         assert not [r for r in clustered["ski_areas"]
                     if (r.name or "") == "Dangling site"]
+
+
+class TestMultiLineStringLifts:
+    """MultiLineString lifts flow through clustering and station
+    association intact (spec :781, :3316)."""
+
+    def test_multilinestring_lift_clustered(self, clustered):
+        lift = layer_by_name(clustered["lifts"], "ML1 lift")
+        run = layer_by_name(clustered["runs"], "ML1 run")
+        assert len(run.ski_areas) == 1
+        assert list(lift.ski_areas) == list(run.ski_areas)
+
+    def test_station_associates_to_multilinestring_lift(self, clustered):
+        lift = layer_by_name(clustered["lifts"], "ML1 lift")
+        station = layer_by_name(clustered["spots"], "ML1 station")
+        assert station.lift_id == lift.id
+        assert [s.id for s in lift.stations] == [station.id]
