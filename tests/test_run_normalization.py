@@ -34,7 +34,8 @@ POLY = json.dumps({"type": "Polygon", "coordinates": [
 # Scenario layout: each scenario at its own longitude band.
 S = {name: pts(float(lon)) for lon, name in enumerate(
     ["overlap", "difficulty", "opposing", "lit", "loop", "separate",
-     "dh_chain", "head_head", "degen", "junction", "partial"], start=1)}
+     "dh_chain", "head_head", "degen", "junction", "partial",
+     "cycle", "ow_cycle", "dirkeep"], start=1)}
 
 
 def scenario_rows():
@@ -49,6 +50,11 @@ def scenario_rows():
     g1, g2, g3 = S["degen"]
     y1, y2, y3 = S["junction"]
     t1, t2, t3 = S["partial"]
+    z1, z2, _ = S["cycle"]
+    zmid = (z1[0] + 0.05, z1[1] + 0.05)
+    w1, w2, _ = S["ow_cycle"]
+    wmid = (w1[0] + 0.05, w1[1] + 0.05)
+    k1, k2, _ = S["dirkeep"]
     y4 = (y2[0] + 0.5, y2[1])
     return [
         # overlap: identical geometry, names join; sources union
@@ -92,6 +98,25 @@ def scenario_rows():
         ({"piste:type": "nordic", "name": "T"}, line(t2, t3)),
         # polygon passes through untouched
         ({"piste:type": "downhill", "name": "Poly"}, POLY),
+        # cycle: three equal segments closing a triangle merge into ONE
+        # closed run (PointGraph.unit.test.ts:375 "should merge cycle")
+        ({"piste:type": "nordic", "name": "Cyc"}, line(z1, z2)),
+        ({"piste:type": "nordic", "name": "Cyc"}, line(z2, zmid)),
+        ({"piste:type": "nordic", "name": "Cyc"}, line(zmid, z1)),
+        # oneway cycle (:461): travel order must be respected around the loop
+        ({"piste:type": "downhill", "piste:oneway": "yes", "name": "OCyc"},
+         line(w1, w2)),
+        ({"piste:type": "downhill", "piste:oneway": "yes", "name": "OCyc"},
+         line(w2, wmid)),
+        ({"piste:type": "downhill", "piste:oneway": "yes", "name": "OCyc"},
+         line(wmid, w1)),
+        # dirkeep (MergeOverlappingRuns.unit.test.ts:149): oneway overlaps a
+        # non-oneway (null — nordic has no downhill oneway default) drawn in
+        # the REVERSE direction — merged run stays oneway and follows the
+        # oneway path's travel direction
+        ({"piste:type": "nordic", "piste:oneway": "yes", "name": "DK"},
+         line(k1, k2)),
+        ({"piste:type": "nordic", "name": "DK"}, line(k2, k1)),
     ]
 
 
@@ -184,3 +209,41 @@ class TestCombineRunSegments:
         out = by_name(rows, "Poly")
         assert len(out) == 1
         assert json.loads(out[0].geometry)["type"] == "Polygon"
+
+
+class TestCyclesAndDirection:
+    """PointGraph cycle merging (:375, :461) and oneway direction
+    preservation on merge (MergeOverlappingRuns.unit.test.ts:149)."""
+
+    def test_cycle_merges_to_single_closed_run(self, normalized):
+        rows, _ = normalized
+        cyc = by_name(rows, "Cyc")
+        assert len(cyc) == 1
+        coords = json.loads(cyc[0].geometry)["coordinates"]
+        assert coords[0] == coords[-1]          # closed ring
+        assert len(coords) == 4                 # 3 segments + closure
+
+    def test_oneway_cycle_respects_travel_order(self, normalized):
+        rows, _ = normalized
+        ocyc = by_name(rows, "OCyc")
+        assert len(ocyc) == 1
+        assert ocyc[0].oneway is True
+        coords = json.loads(ocyc[0].geometry)["coordinates"]
+        assert coords[0] == coords[-1]
+        # the travel sequence w1→w2→wmid→w1 must appear in forward order
+        lon = coords[0][0]  # starting vertex longitude
+        idx = {tuple(c): i for i, c in enumerate(map(tuple, coords[:-1]))}
+        w1, w2, _ = S["ow_cycle"]
+        wmid = (w1[0] + 0.05, w1[1] + 0.05)
+        i1, i2, im = idx[w1], idx[w2], idx[wmid]
+        assert (i2 - i1) % 3 == 1 and (im - i2) % 3 == 1
+
+    def test_merged_oneway_keeps_oneway_direction(self, normalized):
+        rows, _ = normalized
+        dk = by_name(rows, "DK")
+        assert len(dk) == 1
+        assert dk[0].oneway is True
+        coords = json.loads(dk[0].geometry)["coordinates"]
+        k1, k2, _ = S["dirkeep"]
+        # travel direction follows the ONEWAY path k1→k2
+        assert tuple(coords[0]) == k1 and tuple(coords[-1]) == k2
