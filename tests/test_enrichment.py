@@ -129,6 +129,23 @@ def test_snow_cover_history(spark):
     assert days_2023[7] == (50, 100)
 
 
+def test_snow_cover_cloud_pushes_to_previous_year(spark):
+    """snowCoverHistory.unit.test.ts:37 — cloud persistence on week 1
+    lands the measurement in the PREVIOUS year (day-of-year wraps)."""
+    pt = json.dumps({"type": "Point", "coordinates": [11.0, 47.0]})
+    feats = spark.createDataFrame([("f1", pt)], "id string, geometry string")
+    p = spark.range(1).select(
+        en.viirs_pixel(F.lit(11.0), F.lit(47.0)).alias("p")).first().p
+    key = ":".join(str(v) for v in p)
+    cache = spark.createDataFrame(
+        [(key, 2023, 1, 70, 3)],  # Jan 1 − 3 days = 2022-12-29 (day 363)
+        "pixel_key string, year int, week int, snow int, cloud int")
+    out = en.snow_cover_history(feats, cache).collect()[0]
+    hist = {y["year"]: [(d["day"], d["avg_snow"]) for d in y["days"]]
+            for y in out.snow_cover_history}
+    assert hist == {2022: [(363, 70)]}
+
+
 def test_elevation_profile(spark):
     # ~2.2 km line → 89 segments at 25 m target → 90 sampled heights
     line = json.dumps({"type": "LineString",
