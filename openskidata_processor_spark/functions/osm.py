@@ -16,8 +16,9 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Lifecycle prefixes, in the order the reference checks them.
-LIFECYCLE_STATES = ("abandoned", "disused", "proposed", "planned", "construction")
+# Lifecycle states, in the order the reference scans them
+# (Status.ts:62-68: disused, abandoned, proposed, planned, construction).
+LIFECYCLE_STATES = ("disused", "abandoned", "proposed", "planned", "construction")
 # Lifecycle values that the reference maps to "no feature" (unsupported).
 UNSUPPORTED_STATES = ("demolished", "removed", "razed")
 
@@ -97,55 +98,57 @@ def status_and_value(tags: Column, key: str) -> tuple[Column, Column]:
     """Reference ``getStatusAndValue`` (Status.ts:9-58): resolve the
     lifecycle status of ``key`` and the effective value.
 
-    Checks, in order:
-      1. prefixed keys   ``disused:piste:type=v``      → (disused, v)
-      2. construction    ``key=construction`` + ``construction=v``
-                                                       → (construction, v)
-      3. lifecycle tag   ``key=v`` + ``disused=yes``   → (disused, v)
-      4. plain           ``key=v``                     → (operating, v)
-    Unsupported states (demolished/removed/razed prefixes) → (null, null).
+    Exact reference branch order:
+      0. unsupported: ``key``'s own value ∈ {demolished, removed, razed}
+         or any ``<unsupported>=yes`` tag          → (null, null)
+      1. plain key PRESENT with a lifecycle value
+         (``aerialway=proposed`` + ``proposed=v``) → (proposed, v|null)
+         — the "value tagging" scheme; the prefixed form is NOT consulted,
+         so mixing ``aerialway=proposed`` with ``proposed:aerialway=v``
+         yields value null (and the feature drops downstream)
+      2. plain key PRESENT otherwise: status from the first
+         ``<state>=yes`` flag (else operating), value = plain
+      3. plain key ABSENT: first prefixed form ``state:key=v``
+                                                 → (state, v)
+      4. neither: status from ``<state>=yes`` flags (else operating),
+         value null.
     """
     plain = tag(tags, key)
 
-    status = F.lit(None).cast("string")
-    value = F.lit(None).cast("string")
-    # Unsupported prefixed forms first: they must not fall through to others.
-    unsupported = F.lit(False)
+    # isUnsupportedStatus (Status.ts:50-58)
+    unsupported = F.coalesce(plain.isin(*UNSUPPORTED_STATES), F.lit(False))
     for s in UNSUPPORTED_STATES:
-        unsupported = unsupported | tag(tags, f"{s}:{key}").isNotNull()
+        unsupported = unsupported | (tag(tags, s) == "yes")
 
-    # 1. supported lifecycle prefixes (reference order).
+    # first <state>=yes flag, reference scan order
+    flag = F.lit(None).cast("string")
+    for s in LIFECYCLE_STATES:
+        flag = F.when(flag.isNotNull(), flag).when(
+            tag(tags, s) == "yes", F.lit(s))
+    flag_status = F.coalesce(flag, F.lit("operating"))
+
+    # prefixed forms — consulted ONLY when the plain key is absent
+    pstat = F.lit(None).cast("string")
+    pval = F.lit(None).cast("string")
     for s in LIFECYCLE_STATES:
         pv = tag(tags, f"{s}:{key}")
-        status = F.when(status.isNotNull(), status).when(pv.isNotNull(), F.lit(s))
-        value = F.when(value.isNotNull(), value).when(pv.isNotNull(), pv)
+        pstat = F.when(pstat.isNotNull(), pstat).when(pv.isNotNull(), F.lit(s))
+        pval = F.when(pval.isNotNull(), pval).when(pv.isNotNull(), pv)
 
-    # 2. key=construction & construction=<v>
-    construction_v = tag(tags, "construction")
-    is_construction = plain == "construction"
-    status = F.when(status.isNotNull(), status).when(
-        is_construction & construction_v.isNotNull(), F.lit("construction"))
-    value = F.when(value.isNotNull(), value).when(
-        is_construction & construction_v.isNotNull(), construction_v)
+    plain_is_state = plain.isin(*LIFECYCLE_STATES)
+    # value-tagging lookup tags[<state>] (dynamic key; null-safe element_at)
+    value_tagged = F.element_at(tags, F.coalesce(plain, F.lit("")))
 
-    # 3. plain key with a lifecycle boolean tag (disused=yes etc.)
-    lifecycle_flag = F.lit(None).cast("string")
-    for s in LIFECYCLE_STATES:
-        lifecycle_flag = F.when(lifecycle_flag.isNotNull(), lifecycle_flag).when(
-            tag(tags, s) == "yes", F.lit(s))
-    status = F.when(status.isNotNull(), status).when(
-        plain.isNotNull() & (~is_construction) & lifecycle_flag.isNotNull(), lifecycle_flag)
-    value = F.when(value.isNotNull(), value).when(
-        plain.isNotNull() & (~is_construction) & lifecycle_flag.isNotNull(), plain)
-
-    # 4. plain operating form.
-    status = F.when(status.isNotNull(), status).when(
-        plain.isNotNull() & (~is_construction), F.lit("operating"))
-    value = F.when(value.isNotNull(), value).when(
-        plain.isNotNull() & (~is_construction), plain)
-
-    status = F.when(unsupported, F.lit(None).cast("string")).otherwise(status)
-    value = F.when(unsupported, F.lit(None).cast("string")).otherwise(value)
+    status = (F.when(unsupported, F.lit(None).cast("string"))
+               .when(plain.isNotNull() & plain_is_state, plain)
+               .when(plain.isNotNull(), flag_status)
+               .when(pstat.isNotNull(), pstat)
+               .otherwise(flag_status))
+    value = (F.when(unsupported, F.lit(None).cast("string"))
+              .when(plain.isNotNull() & plain_is_state, value_tagged)
+              .when(plain.isNotNull(), plain)
+              .when(pstat.isNotNull(), pval)
+              .otherwise(F.lit(None).cast("string")))
     return status, value
 
 

@@ -218,7 +218,14 @@ class TestFormatSkiArea:
         out = fmt.format_ski_areas_osm(raw(spark, [
             ({"landuse": "winter_sports", "sport": "soccer"}, POLY),
             ({"landuse": "winter_sports"}, POINT),
-            ({"razed:landuse": "winter_sports"}, POLY),
+            # unsupported VALUE form and <state>=yes form both drop
+            # (Status.ts isUnsupportedStatus); the razed: PREFIX form is
+            # out of the source contract — the Overpass queries
+            # (DownloadURLs.ts:40-45) fetch only the five supported
+            # prefixes, so the formatter never sees it (and Status.ts
+            # would resolve it "operating", not drop it)
+            ({"landuse": "razed"}, POLY),
+            ({"landuse": "winter_sports", "razed": "yes"}, POLY),
         ]))
         assert out.count() == 0
 
@@ -316,3 +323,49 @@ class TestSiteMembership:
                fmt.attach_site_ski_areas(runs, sites, site_areas).collect()}
         assert out["way/1"].ski_areas == [site_id]
         assert out["way/2"].ski_areas == []
+
+
+class TestStatusResolution:
+    """Exact Status.ts:9-58 branch semantics (unit spec + LiftFormatter
+    :163 'drops invalid tagging mixing lifecycle & proposed value
+    tagging')."""
+
+    def test_mixed_value_and_prefix_tagging_drops(self, spark):
+        # aerialway=proposed consumes the value-tagging branch; the
+        # prefixed proposed:aerialway is NOT consulted → value null →
+        # lift dropped
+        out = fmt.format_lifts(raw(spark, [
+            ({"aerialway": "proposed", "proposed:aerialway": "gondola"},
+             LINE)]))
+        assert out.count() == 0
+
+    def test_value_tagging_scheme(self, spark):
+        # aerialway=proposed + proposed=gondola → (proposed, gondola)
+        r = one(fmt.format_lifts(raw(spark, [
+            ({"aerialway": "proposed", "proposed": "gondola"}, LINE)])))
+        assert r.status == "proposed" and r.lift_type == "gondola"
+
+    def test_plain_key_wins_over_prefix(self, spark):
+        # plain aerialway present and not a lifecycle value → the
+        # prefixed form is ignored entirely
+        r = one(fmt.format_lifts(raw(spark, [
+            ({"aerialway": "gondola", "proposed:aerialway": "chair_lift"},
+             LINE)])))
+        assert r.status == "operating" and r.lift_type == "gondola"
+
+    def test_state_yes_flag_with_plain_value(self, spark):
+        r = one(fmt.format_lifts(raw(spark, [
+            ({"aerialway": "gondola", "disused": "yes"}, LINE)])))
+        assert r.status == "disused" and r.lift_type == "gondola"
+
+    def test_unsupported_state_yes_drops(self, spark):
+        out = fmt.format_lifts(raw(spark, [
+            ({"aerialway": "gondola", "demolished": "yes"}, LINE)]))
+        assert out.count() == 0
+
+    def test_prefix_scan_order_disused_first(self, spark):
+        # both prefixed forms present → reference scan order picks disused
+        r = one(fmt.format_lifts(raw(spark, [
+            ({"disused:aerialway": "gondola",
+              "abandoned:aerialway": "chair_lift"}, LINE)])))
+        assert r.status == "disused" and r.lift_type == "gondola"
