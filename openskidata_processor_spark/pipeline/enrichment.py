@@ -37,7 +37,7 @@ import math
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
@@ -249,18 +249,42 @@ def add_places(features: DataFrame, geocode_cache: DataFrame,
 
     ``geocode_cache``: (key geohash-6, place struct<iso3166_1, iso3166_2,
     country, region, locality>).  Sampling walks each geometry at 1 km
-    steps always keeping endpoints (GeoTransforms.ts:136-223)."""
+    steps always keeping endpoints (GeoTransforms.ts:136-223).
+
+    Dedupe key = (iso3166_1, iso3166_2, locality) exactly as
+    PlaceUtils.ts:51-69 (a deterministic min-struct pick replaces the
+    reference's insertion-order keep-first, which has no stable meaning
+    under distributed collection); sort = locality, region, country,
+    each ascending with nulls LAST (sortPlaces, PlaceUtils.ts:7-45)."""
     sample = geometry_geohashes(sample_interval_km, geohash_precision)
     keys = (features.select(F.col(id_col).alias("__fid"),
                             F.explode(sample(F.col(geometry_col)))
                             .alias("key"))
             .dropDuplicates(["__fid", "key"]))
     cache = geocode_cache.toDF("key", "place").dropDuplicates(["key"])
-    placed = (keys.join(cache, "key")
-              .groupBy("__fid")
-              # uniquePlaces key = (country, region, locality)
-              # (PlaceUtils.ts:51-69); sort = locality, region, country (O2)
-              .agg(F.array_sort(F.array_distinct(F.collect_list("place")))
+    hits = keys.join(cache, "key").select("__fid", "place")
+    w = Window.partitionBy(
+        "__fid", F.col("place.iso3166_1"), F.col("place.iso3166_2"),
+        F.col("place.locality")).orderBy(F.col("place"))
+    uniq = (hits.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+    def _nulls_last_cmp(fl, fr):
+        return (F.when(fl.isNull() & fr.isNull(), F.lit(0))
+                 .when(fl.isNull(), F.lit(1))
+                 .when(fr.isNull(), F.lit(-1))
+                 .when(fl < fr, F.lit(-1))
+                 .when(fl > fr, F.lit(1))
+                 .otherwise(F.lit(0)))
+
+    def _place_cmp(l, r):
+        c1 = _nulls_last_cmp(l["locality"], r["locality"])
+        c2 = _nulls_last_cmp(l["region"], r["region"])
+        c3 = _nulls_last_cmp(l["country"], r["country"])
+        return F.when(c1 != 0, c1).when(c2 != 0, c2).otherwise(c3)
+
+    placed = (uniq.groupBy("__fid")
+              .agg(F.array_sort(F.collect_list("place"), _place_cmp)
                    .alias("__places")))
     return (features.join(placed, features[id_col] == placed["__fid"], "left")
             .withColumn("places", F.coalesce(

@@ -353,3 +353,30 @@ def test_geocode_fetch_error_budget_abort(spark, tmp_path):
     assert fetched.count() == 0
     # 3 keys × 2 attempts (retry-once) then abort — not 10 × 2
     assert os.path.getsize(marker) == 6
+
+
+def test_add_places_sort_and_dedupe_parity(spark):
+    """PlaceUtils.ts parity: sort by locality, region, country with nulls
+    LAST; dedupe on (iso3166_1, iso3166_2, locality) — region spelling
+    variants of the same key collapse to one deterministic pick."""
+    ln = json.dumps({"type": "LineString",
+                     "coordinates": [[11.0, 47.0], [11.0, 47.05]]})
+    feats = spark.createDataFrame([("f1", ln)], "id string, geometry string")
+    keys = [r.key for r in feats.select(
+        F.explode(en.geometry_geohashes(1.0, 6)(F.col("geometry")))
+        .alias("key")).collect()]
+    assert len(keys) >= 3
+    mk = ("struct<iso3166_1:string, iso3166_2:string, country:string,"
+          " region:string, locality:string>")
+    cache = spark.createDataFrame(
+        [(keys[0], ("AT", "AT-7", "Austria", "Tyrol", "Zirl")),
+         (keys[1], ("AT", "AT-7", "Austria", None, None)),     # nulls → last
+         (keys[2], ("AT", "AT-7", "Austria", "Tirol", "Zirl"))],  # dup key3
+        f"key string, place {mk}")
+    out = en.add_places(feats, cache).collect()[0]
+    places = [(p["locality"], p["region"], p["country"])
+              for p in out.places]
+    # the two Zirl variants collapse (key: iso1, iso2, locality) to the
+    # min-struct pick ("Tirol" < "Tyrol"); the null-locality row sorts last
+    assert places == [("Zirl", "Tirol", "Austria"),
+                      (None, None, "Austria")]
