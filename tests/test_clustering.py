@@ -104,6 +104,11 @@ RUN_ROWS = [
     # ML1 (lon 60): seed run next to a MultiLineString lift (:781) whose
     # second part has a station 10 m away (:3316)
     ({"piste:type": "downhill", "name": "ML1 run"}, line(60.0, 47.0, 47.002)),
+    # NP1 (lon 62): run contained in BOTH a sub- and a super-polygon; a
+    # Skimap.org point nearby merges into BOTH areas (:1814); the run
+    # determines both polygons' activities (:2077, :1982)
+    ({"piste:type": "downhill", "name": "NP1 run"},
+     line(62.008, 47.008, 47.01)),
 ]
 
 LIFT_ROWS = [
@@ -166,6 +171,10 @@ SKI_AREA_ROWS = [
      polygon(54.0, 47.0, 54.01, 47.01)),
     ({"landuse": "winter_sports", "name": "MS1 resort"},
      polygon(56.0, 47.0, 56.01, 47.01)),
+    ({"landuse": "winter_sports", "name": "NP1 super"},
+     polygon(62.0, 47.0, 62.02, 47.02)),
+    ({"landuse": "winter_sports", "name": "NP1 sub"},
+     polygon(62.005, 47.005, 62.015, 47.015)),
 ]
 
 
@@ -208,7 +217,9 @@ def clustered(spark):
          ("sm5", "MS1 skimap A", "operating", ["downhill"], 1, None,
           point(56.005, 47.006)),
          ("sm6", "MS1 skimap B", "operating", ["downhill"], 1, None,
-          point(56.0055, 47.0055))],
+          point(56.0055, 47.0055)),
+         ("sm7", "NP1 skimap", "operating", ["downhill"], 1, None,
+          point(62.008, 47.009))],
         "id string, name string, status string, activities array<string>,"
         " scalerank int, official_website string, geometry string")
     osm_areas = fmt.format_ski_areas_osm(raw(spark, SKI_AREA_ROWS))
@@ -543,3 +554,31 @@ class TestMultiLineStringLifts:
         station = layer_by_name(clustered["spots"], "ML1 station")
         assert station.lift_id == lift.id
         assert [s.id for s in lift.stations] == [station.id]
+
+
+class TestNestedPolygons:
+    """Sub/super polygon containment (:1814, :2077, :1982): a run inside
+    both polygons joins both; the Skimap.org area merges into both; both
+    areas inherit the run's activities."""
+
+    def test_run_joins_both_nested_polygons(self, clustered):
+        run = layer_by_name(clustered["runs"], "NP1 run")
+        sup = next(r for r in clustered["ski_areas"]
+                   if (r.name or "") == "NP1 super")
+        sub = next(r for r in clustered["ski_areas"]
+                   if (r.name or "") == "NP1 sub")
+        assert set(run.ski_areas) == {sup.id, sub.id}
+
+    def test_skimap_merges_into_both_nested_polygons(self, clustered):
+        names = {r.name for r in clustered["ski_areas"]}
+        assert "NP1 skimap" not in names
+        for nm in ("NP1 super", "NP1 sub"):
+            sa = next(r for r in clustered["ski_areas"]
+                      if (r.name or "") == nm)
+            assert any(s.type == "skimap.org" for s in sa.sources), nm
+
+    def test_contained_run_determines_activities(self, clustered):
+        for nm in ("NP1 super", "NP1 sub"):
+            sa = next(r for r in clustered["ski_areas"]
+                      if (r.name or "") == nm)
+            assert list(sa.activities) == ["downhill"], nm
