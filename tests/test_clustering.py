@@ -109,6 +109,11 @@ RUN_ROWS = [
     # determines both polygons' activities (:2077, :1982)
     ({"piste:type": "downhill", "name": "NP1 run"},
      line(62.008, 47.008, 47.01)),
+    # BS1 (lon 64, way idx 29 → way 30): backcountry unpatrolled run that
+    # IS a site member — site membership bypasses the wilderness rule, so
+    # the run keeps its activities and counts in statistics (:706)
+    ({"piste:type": "downhill", "piste:grooming": "backcountry",
+      "patrolled": "no", "name": "BS1 member"}, line(64.0, 47.0, 47.002)),
 ]
 
 LIFT_ROWS = [
@@ -175,6 +180,11 @@ SKI_AREA_ROWS = [
      polygon(62.0, 47.0, 62.02, 47.02)),
     ({"landuse": "winter_sports", "name": "NP1 sub"},
      polygon(62.005, 47.005, 62.015, 47.015)),
+    # ES1 (lon 66): empty OSM polygon around a Skimap.org point — the
+    # polygon has no objects so it is removed; the Skimap.org area must
+    # NOT be merged away (:1662)
+    ({"landuse": "winter_sports", "name": "ES1 empty super"},
+     polygon(66.0, 47.0, 66.01, 47.01)),
 ]
 
 
@@ -189,7 +199,9 @@ def clustered(spark):
          (902, {"site": "piste", "name": "Dangling site"},
           [{"type": "way", "ref": 9999, "role": ""}]),
          (903, {"site": "piste", "name": "SB1 site"},
-          [{"type": "way", "ref": 25, "role": ""}])],
+          [{"type": "way", "ref": 25, "role": ""}]),
+         (904, {"site": "piste", "name": "BS1 site"},
+          [{"type": "way", "ref": 30, "role": ""}])],
         "site_id long, tags map<string,string>, "
         "members array<struct<type:string, ref:long, role:string>>")
     site_areas = fmt.format_ski_areas_sites(sites)
@@ -219,7 +231,9 @@ def clustered(spark):
          ("sm6", "MS1 skimap B", "operating", ["downhill"], 1, None,
           point(56.0055, 47.0055)),
          ("sm7", "NP1 skimap", "operating", ["downhill"], 1, None,
-          point(62.008, 47.009))],
+          point(62.008, 47.009)),
+         ("sm8", "ES1 skimap", "operating", ["downhill"], 1, None,
+          point(66.005, 47.005))],
         "id string, name string, status string, activities array<string>,"
         " scalerank int, official_website string, geometry string")
     osm_areas = fmt.format_ski_areas_osm(raw(spark, SKI_AREA_ROWS))
@@ -582,3 +596,22 @@ class TestNestedPolygons:
             sa = next(r for r in clustered["ski_areas"]
                       if (r.name or "") == nm)
             assert list(sa.activities) == ["downhill"], nm
+
+
+class TestSiteBackcountryAndEmptySuper:
+    """Site membership bypasses the wilderness rule (:706); an empty OSM
+    super-polygon never absorbs a Skimap.org area (:1662)."""
+
+    def test_backcountry_site_member_keeps_activities(self, clustered):
+        run = layer_by_name(clustered["runs"], "BS1 member")
+        assert run.ski_areas  # stays in its site area
+        sa = next(r for r in clustered["ski_areas"]
+                  if (r.name or "") == "BS1 site")
+        assert list(sa.activities) == ["downhill"]
+        assert sa.statistics is not None
+        assert sa.statistics["runs"]["by_activity"]["downhill"]            ["other"]["count"] == 1
+
+    def test_empty_super_polygon_keeps_skimap_separate(self, clustered):
+        names = {r.name for r in clustered["ski_areas"]}
+        assert "ES1 empty super" not in names  # removed (no members)
+        assert "ES1 skimap" in names           # survives standalone
