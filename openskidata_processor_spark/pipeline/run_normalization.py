@@ -271,7 +271,19 @@ def combine_segments(merged: DataFrame) -> DataFrame:
             point, cur = cands[0]
         else:  # cycle
             point = min(by_point)
-            cur = by_point[point][0]
+
+            # Deterministic first-segment choice — NOT insertion order,
+            # which follows nondeterministic row order: prefer the segment
+            # that STARTS here (for oneway cycles that is the travel
+            # direction; a backwards start would reverse a oneway loop),
+            # tie-break on the neighbor endpoint key.
+            def cand_key(i: int):
+                s = segs[i]
+                starts_here = s["start"] == point
+                other = s["end"] if starts_here else s["start"]
+                return (0 if starts_here else 1, other)
+
+            cur = min(by_point[point], key=cand_key)
         visited = set()
         path: list[list[float]] = []
         while cur is not None and cur not in visited:
