@@ -247,3 +247,21 @@ class TestCyclesAndDirection:
         k1, k2, _ = S["dirkeep"]
         # travel direction follows the ONEWAY path k1→k2
         assert tuple(coords[0]) == k1 and tuple(coords[-1]) == k2
+
+
+def test_normalization_output_independent_of_partitioning(spark):
+    """Determinism net for the row-order bug class (the oneway-cycle
+    stitch flake): the full normalize_runs output must be IDENTICAL for
+    different input partitionings/row orders."""
+    import pyspark.sql.functions as F
+
+    runs = fmt.format_runs(raw(spark, scenario_rows()))
+
+    def run_with(df):
+        rows = normalize_runs(df).collect()
+        return sorted((r.id, r.name, r.geometry, r.oneway) for r in rows)
+
+    a = run_with(runs.coalesce(1))
+    b = run_with(runs.repartition(7, F.col("geometry")))
+    c = run_with(runs.orderBy(F.desc("geometry")).repartition(3))
+    assert a == b == c
