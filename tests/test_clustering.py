@@ -189,7 +189,7 @@ SKI_AREA_ROWS = [
 
 
 @pytest.fixture(scope="module")
-def clustered(spark):
+def cluster_inputs(spark):
     # site=piste relation whose member is the R1 run (way id 8)
     sites = spark.createDataFrame(
         [(900, {"site": "piste", "name": "R1 site"},
@@ -239,7 +239,12 @@ def clustered(spark):
     osm_areas = fmt.format_ski_areas_osm(raw(spark, SKI_AREA_ROWS))
     ski_areas = (osm_areas.unionByName(fmt.format_ski_areas_skimap(skimap))
                  .unionByName(site_areas))
-    out = cluster_ski_areas(ski_areas, runs, lifts, spots)
+    return ski_areas, runs, lifts, spots
+
+
+@pytest.fixture(scope="module")
+def clustered(cluster_inputs):
+    out = cluster_ski_areas(*cluster_inputs)
     return {k: v.collect() for k, v in out.items()}
 
 
@@ -615,3 +620,24 @@ class TestSiteBackcountryAndEmptySuper:
         names = {r.name for r in clustered["ski_areas"]}
         assert "ES1 empty super" not in names  # removed (no members)
         assert "ES1 skimap" in names           # survives standalone
+
+
+def test_clustering_output_independent_of_partitioning(spark, cluster_inputs,
+                                                       clustered):
+    """Determinism net: the full clustering output must be identical when
+    every input layer arrives re-partitioned in a different row order."""
+    ski_areas, runs, lifts, spots = cluster_inputs
+    shuffled = cluster_ski_areas(
+        ski_areas.orderBy(F.desc("id")).repartition(5),
+        runs.repartition(7, F.col("geometry")),
+        lifts.coalesce(1),
+        spots.repartition(3))
+
+    def norm(rows, cols):
+        return sorted(tuple(str(r[c]) for c in cols) for r in rows)
+
+    for layer in ("ski_areas", "runs", "lifts", "spots"):
+        base_rows = clustered[layer]
+        new_rows = shuffled[layer].collect()
+        cols = sorted(set(base_rows[0].asDict().keys())) if base_rows else []
+        assert norm(base_rows, cols) == norm(new_rows, cols), layer
