@@ -196,3 +196,17 @@ def test_mapbox_contract(outputs):
     assert "downhillDistance" in resort and "vertical" in resort
     assert json.load(open(f"{out_dir}/mapboxgl_spots.geojson"))[
         "type"] == "FeatureCollection"
+
+
+def test_mapbox_polygon_areas_export_as_points(outputs):
+    """MapboxGLFormatter: polygon ski areas render as interior POINTS
+    (centralPointsInFeature — 'should export polygon ski area as point
+    geometry'); the point must fall inside the polygon's bbox."""
+    _, out_dir = outputs
+    areas = json.load(open(f"{out_dir}/mapboxgl_ski_areas.geojson"))
+    resort = next(f for f in areas["features"]
+                  if f["properties"]["name"] == "Test Resort")
+    assert resort["geometry"]["type"] in ("Point", "MultiPoint")
+    if resort["geometry"]["type"] == "Point":
+        lon, lat = resort["geometry"]["coordinates"][:2]
+        assert 11.0 <= lon <= 11.2 and 47.0 <= lat <= 47.3
