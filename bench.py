@@ -73,6 +73,8 @@ EXTENDED_QUERIES = [
     "sample_temperature_mixture",
     "sample_mixture_epochs",
     "stream_lake_ingest",
+    "vocab_top_terms",
+    "heavy_hitters_sketch",
 ]
 
 

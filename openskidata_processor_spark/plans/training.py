@@ -316,3 +316,45 @@ WITH t AS (
 SELECT doc_id, source, CAST(unnest(generate_series(1, copies)) AS INT) AS epoch
 FROM c WHERE copies >= 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters — exact vocabulary top-k + Space-Saving sketch
+# ---------------------------------------------------------------------------
+
+
+@query("vocab_top_terms")
+def vocab_top_terms(spark, sf_dir):
+    """Exact top-25 corpus terms (the vocabulary step of a tokenizer
+    pipeline): partial+final count then TakeOrderedAndProject — each
+    partition ships only its local top-k, no full sort
+    (``operators/heavyhitters.py``)."""
+    from ..operators.heavyhitters import top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_terms(docs, "text", 25)
+
+
+ORACLES["vocab_top_terms"] = """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+), counts AS (
+  SELECT term, count(*) AS n FROM toks GROUP BY term
+)
+SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 25
+"""
+
+
+@query("heavy_hitters_sketch")
+def heavy_hitters_sketch(spark, sf_dir):
+    """Space-Saving approximate top-25 with shipped error bounds —
+    bounded memory per partition + driver merge of P summaries; the
+    scale path when the vocabulary itself is too large to shuffle.
+    Approximate by design → no oracle; the bound
+    (estimate − error ≤ true ≤ estimate) and the exact-degeneration
+    property are pinned in tests/test_training_ops.py."""
+    from ..operators.heavyhitters import space_saving_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return space_saving_topk(docs, "text", 25, capacity=256)

@@ -288,3 +288,45 @@ def test_temperature_mixture_repeat_produces_epochs(spark):
         per_doc.setdefault(r.doc_id, []).append(r.epoch)
     for doc, es in per_doc.items():
         assert sorted(es) == list(range(1, len(es) + 1)), doc
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_space_saving_bound_under_eviction(spark):
+    """capacity 8 on a skewed 30-term stream forces evictions; every
+    reported term must satisfy estimate - error <= true <= estimate, and
+    the guaranteed heavy hitter (count > N/capacity) must be present."""
+    from openskidata_processor_spark.operators.heavyhitters import (
+        space_saving_topk, term_counts)
+    rows = []
+    for i in range(30):
+        reps = 200 if i == 0 else (40 if i < 5 else 3)
+        rows.extend([(f"t{i:02d} ",)] * reps)
+    df = spark.createDataFrame(rows, "text string").repartition(4)
+    truth = {r.term: r.n for r in term_counts(df, "text", "[a-z0-9]+")
+             .collect()}
+    sketch = space_saving_topk(df, "text", 10, capacity=8,
+                               pattern="[a-z0-9]+").collect()
+    assert any(r.term == "t00" for r in sketch)  # guaranteed heavy hitter
+    for r in sketch:
+        true = truth.get(r.term, 0)
+        assert r.estimate - r.error <= true <= r.estimate, \
+            (r.term, r.estimate, r.error, true)
+
+
+def test_space_saving_exact_when_capacity_covers_vocab(spark):
+    """With capacity >= vocabulary size no counter ever evicts: the
+    sketch degenerates to exact counts with zero error."""
+    from openskidata_processor_spark.operators.heavyhitters import (
+        space_saving_topk, top_terms)
+    from openskidata_processor_spark.sources.tables import load_table
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = [(r.term, r.n) for r in top_terms(docs, "text", 25).collect()]
+    sketch = [(r.term, r.estimate, r.error)
+              for r in space_saving_topk(docs, "text", 25,
+                                         capacity=256).collect()]
+    assert [(t, e) for t, e, _ in sketch] == exact
+    assert all(err == 0 for _, _, err in sketch)
