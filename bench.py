@@ -75,6 +75,7 @@ EXTENDED_QUERIES = [
     "stream_lake_ingest",
     "vocab_top_terms",
     "heavy_hitters_sketch",
+    "pack_concat_bins",
 ]
 
 

@@ -81,3 +81,27 @@ def pack_sequences(
         )
         return grouped.applyInPandas(pack, out_schema).drop("__g")
     return df.groupBy(by).applyInPandas(pack, out_schema)
+
+
+def pack_and_concat(df: DataFrame, text_col: str, weight_col: str,
+                    order_col: str, budget: int, by: str,
+                    separator: str = "\n") -> DataFrame:
+    """The full sequence-packing output: documents packed next-fit into
+    bins, then each bin's texts concatenated in scan order with
+    ``separator`` (the EOS-joint step that actually feeds a tokenizer).
+
+    Returns (``by``, bin_id, n_docs, total_weight, packed_text).  The
+    concat is a per-bin ordered aggregation (sort_array over
+    (order, text) structs — deterministic, no window), so the only
+    sequential work remains the per-shard next-fit scan."""
+    packed = pack_sequences(df, weight_col, order_col, budget, by=by)
+    entry = F.struct(F.col(order_col).alias("o"),
+                     F.col(text_col).alias("t"))
+    return (packed.groupBy(by, "bin_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col(weight_col)).cast("long").alias("total_weight"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(entry)),
+                         lambda s: s["t"]),
+                     separator).alias("packed_text")))

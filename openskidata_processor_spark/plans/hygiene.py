@@ -356,3 +356,44 @@ SELECT doc_id, shard_id,
        row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id) AS pos
 FROM sharded
 """
+
+
+@query("pack_concat_bins")
+def pack_concat_bins(spark, sf_dir):
+    """End-to-end sequence packing: next-fit bins per source, then each
+    bin's texts joined in doc order — the tokenizer-feed step
+    (``operators/packing.py::pack_and_concat``).  md5 of the packed text
+    pins the exact join; the oracle rebuilds bins with the identical
+    recursive CTE + ordered string_agg."""
+    from ..operators.packing import pack_and_concat
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text")
+    out = pack_and_concat(docs, "text", "n_chars", "doc_id",
+                          _PACK_BUDGET, by="source", separator="\n")
+    return out.select("source", "bin_id", "n_docs", "total_weight",
+                      F.md5("packed_text").alias("packed_md5"))
+
+
+ORACLES["pack_concat_bins"] = f"""
+WITH RECURSIVE seq AS (
+  SELECT source, doc_id, n_chars, text,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), pack AS (
+  SELECT source, doc_id, n_chars, text, rn,
+         CAST(0 AS BIGINT) AS bin_id, n_chars AS fill
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.source, s.doc_id, s.n_chars, s.text, s.rn,
+         CASE WHEN p.fill + s.n_chars <= {_PACK_BUDGET}
+              THEN p.bin_id ELSE p.bin_id + 1 END,
+         CASE WHEN p.fill + s.n_chars <= {_PACK_BUDGET}
+              THEN p.fill + s.n_chars ELSE s.n_chars END
+  FROM pack p JOIN seq s ON s.source = p.source AND s.rn = p.rn + 1
+)
+SELECT source, bin_id, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_weight,
+       md5(string_agg(text, chr(10) ORDER BY doc_id)) AS packed_md5
+FROM pack GROUP BY source, bin_id
+"""

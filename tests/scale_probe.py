@@ -67,8 +67,11 @@ QUERIES_TO_PROBE = [
     "dedup_ngram_jaccard", "dedup_group_resolution", "knn_cosine",
     "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "pii_redact_docs",
     "quality_repetition", "contamination_ngram", "dedup_passages",
-    "pack_sequences", "shard_assignment", "tfidf_doc_terms",
-    "dedup_embedding_lsh",
+    "pack_sequences", "pack_concat_bins", "shard_assignment",
+    "tfidf_doc_terms", "dedup_embedding_lsh", "multimodal_audio_stats",
+    "multimodal_video_stats", "rollup_multi_granularity",
+    "sample_temperature_mixture", "sample_mixture_epochs",
+    "vocab_top_terms", "heavy_hitters_sketch",
 ]
 
 
