@@ -77,22 +77,16 @@ def space_saving_topk(df: DataFrame, text_col: str, k: int,
             .withColumn("__pid", F.spark_partition_id()))
 
     def summarize(parts: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict[str, list[int]] = {}
-        pid = None
-        for pdf in parts:
-            if len(pdf) and pid is None:
-                pid = int(pdf["__pid"].iloc[0])
-            for t in pdf["term"]:
-                if t in counters:
-                    counters[t][0] += 1
-                elif len(counters) < capacity:
-                    counters[t] = [1, 0]
-                else:
-                    victim = min(counters.items(),
-                                 key=lambda kv: (kv[1][0], kv[0]))
-                    vkey, (vcount, _) = victim
-                    del counters[vkey]
-                    counters[t] = [vcount + 1, vcount]
+        pid_seen: list[int] = []
+
+        def stream():
+            for pdf in parts:  # lazy — one Arrow batch in memory at a time
+                if len(pdf) and not pid_seen:
+                    pid_seen.append(int(pdf["__pid"].iloc[0]))
+                yield from pdf["term"]
+
+        counters = _space_saving(stream(), capacity)
+        pid = pid_seen[0] if pid_seen else None
         if counters:
             # min-counter = how much an unseen term could have counted here
             floor = min(c for c, _ in counters.values()) \
