@@ -76,6 +76,7 @@ EXTENDED_QUERIES = [
     "vocab_top_terms",
     "heavy_hitters_sketch",
     "pack_concat_bins",
+    "multimodal_resize_stats",
 ]
 
 

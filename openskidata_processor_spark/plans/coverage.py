@@ -1011,3 +1011,69 @@ SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
        CAST(list_max(ys) AS INT) AS y_max
 FROM px
 """
+
+
+@query("multimodal_resize_stats")
+def multimodal_resize_stats(spark, sf_dir):
+    """The real resize kernel under the correctness gate: deterministic
+    8×4 RGB frames (pixel(y,x,c) = (doc_id·13 + y·31 + x·7 + c·3) mod
+    256) are PNG-encoded, decoded by the REAL decoder, resized 2× down
+    with the nearest-neighbor kernel (index map y→⌊y·H/OH⌋ = 2y,
+    x→2x), and reduced to integer pixel stats; the oracle computes the
+    identical stats from the formula at the sampled indices."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import (decode_images, encode_png_rgb,
+                                        resize_images)
+
+    H, W = 4, 8
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(parts):
+        for pdf in parts:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                y, x, c = np.meshgrid(np.arange(H), np.arange(W),
+                                      np.arange(3), indexing="ij")
+                arr = ((did * 13 + y * 31 + x * 7 + c * 3) % 256).astype(
+                    np.uint8)
+                ids.append(did)
+                payloads.append(encode_png_rgb(arr))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    assets = docs.mapInPandas(synth, "id long, payload binary")
+    resized = resize_images(decode_images(assets), 4, 2)
+
+    def stats(parts):
+        for pdf in parts:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if not r.decoded:
+                    continue
+                px = np.frombuffer(r.pixels, dtype=np.uint8)
+                rows.append((r.id, int(px.size),
+                             int(px.sum(dtype=np.int64)),
+                             int(px.min()), int(px.max())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_px", "px_sum", "px_min", "px_max"])
+
+    return resized.mapInPandas(
+        stats, "doc_id long, n_px long, px_sum long, px_min int, px_max int")
+
+
+ORACLES["multimodal_resize_stats"] = """
+WITH px AS (
+  SELECT doc_id,
+         [CAST((doc_id * 13 + (2 * (i // 12)) * 31
+                + (2 * ((i % 12) // 3)) * 7 + (i % 3) * 3) % 256 AS BIGINT)
+          FOR i IN generate_series(0, 23)] AS vals
+  FROM documents
+)
+SELECT doc_id, CAST(len(vals) AS BIGINT) AS n_px,
+       CAST(list_sum(vals) AS BIGINT) AS px_sum,
+       CAST(list_min(vals) AS INT) AS px_min,
+       CAST(list_max(vals) AS INT) AS px_max
+FROM px
+"""
