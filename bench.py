@@ -99,9 +99,19 @@ def main() -> None:
         run_query(spark, "a2_pricing_summary", sf_dir)
         from pyspark.sql import functions as F
 
-        _warm = F.pandas_udf(lambda x: x, "long")
+        # the warmup UDF must IMPORT the numeric stack: a bare identity
+        # UDF forks the workers but leaves numpy/pandas unimported, so the
+        # first real pandas-UDF query was charged ~32 × numpy-import (~8s
+        # observed on the minhash signature stage)
+        def _warm_fn(x):
+            import numpy as np
+            import pandas as pd  # noqa: F401
+            return type(x)(np.asarray(x, dtype="float64") * 2.0)
+
+        _warm = F.pandas_udf(_warm_fn, "double")
         par = spark.sparkContext.defaultParallelism
-        (spark.range(par * 4).repartition(par).select(_warm("id"))
+        (spark.range(par * 4).repartition(par)
+         .select(_warm(F.col("id").cast("double")))
          .write.format("noop").mode("overwrite").save())
     except Exception as exc:  # warmup failure must not kill the bench
         print(f"warmup failed: {type(exc).__name__}: {exc}", file=sys.stderr)
