@@ -17,8 +17,10 @@ a 100 TB LLM-training pipeline runs between raw crawl and tokenizer:
                             position — the "global shuffle" that precedes
                             training-data serving, expressed scale-first as
                             per-shard windows (never a single global sort)
+- ``pack_concat_bins``    : packing end-to-end — each bin's texts joined in
+                            scan order (the tokenizer-feed step)
 
-All six are exact and DuckDB-oracle-checked.  No reference counterpart
+All seven are exact and DuckDB-oracle-checked.  No reference counterpart
 (the reference is a GIS ETL); these extend the engine's training-data
 family alongside dedup/similarity/multimodal (see plans/training.py).
 """
