@@ -114,6 +114,10 @@ RUN_ROWS = [
     # the run keeps its activities and counts in statistics (:706)
     ({"piste:type": "downhill", "piste:grooming": "backcountry",
       "patrolled": "no", "name": "BS1 member"}, line(64.0, 47.0, 47.002)),
+    # NA1 (lon 68): run inside an OSM polygon; a Skimap.org area WITHOUT
+    # activities nearby still merges (empty set = wildcard, :1559)
+    ({"piste:type": "downhill", "name": "NA1 run"},
+     line(68.005, 47.005, 47.007)),
 ]
 
 LIFT_ROWS = [
@@ -185,6 +189,8 @@ SKI_AREA_ROWS = [
     # NOT be merged away (:1662)
     ({"landuse": "winter_sports", "name": "ES1 empty super"},
      polygon(66.0, 47.0, 66.01, 47.01)),
+    ({"landuse": "winter_sports", "name": "NA1 resort"},
+     polygon(68.0, 47.0, 68.01, 47.01)),
 ]
 
 
@@ -233,7 +239,9 @@ def cluster_inputs(spark):
          ("sm7", "NP1 skimap", "operating", ["downhill"], 1, None,
           point(62.008, 47.009)),
          ("sm8", "ES1 skimap", "operating", ["downhill"], 1, None,
-          point(66.005, 47.005))],
+          point(66.005, 47.005)),
+         ("sm9", "NA1 skimap", "operating", [], 1, None,
+          point(68.005, 47.006))],
         "id string, name string, status string, activities array<string>,"
         " scalerank int, official_website string, geometry string")
     osm_areas = fmt.format_ski_areas_osm(raw(spark, SKI_AREA_ROWS))
@@ -641,3 +649,13 @@ def test_clustering_output_independent_of_partitioning(spark, cluster_inputs,
         new_rows = shuffled[layer].collect()
         cols = sorted(set(base_rows[0].asDict().keys())) if base_rows else []
         assert norm(base_rows, cols) == norm(new_rows, cols), layer
+
+
+def test_skimap_without_activities_merges(clustered):
+    """A Skimap.org area with NO activities is wildcard-compatible and
+    merges into the nearby OSM area (:1559)."""
+    names = {r.name for r in clustered["ski_areas"]}
+    assert "NA1 skimap" not in names
+    sa = next(r for r in clustered["ski_areas"]
+              if (r.name or "") == "NA1 resort")
+    assert any(s.type == "skimap.org" for s in sa.sources)
