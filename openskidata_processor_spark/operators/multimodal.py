@@ -13,11 +13,14 @@ schema'd metadata and keeps every transformation distributed:
 - ``image_features`` — grid mean-pool embedding (``grid²·3`` floats), the
   cheap visual fingerprint used for embedding-dedup/ANN over images via
   the existing ``operators.similarity`` family.
-- ``sample_frames`` — 1-in-``every_n`` fixed-stride frame sampling.  A
-  real video container needs a demuxer this container doesn't have, so
-  frames are fixed-size byte windows (DOCUMENTED STUB — the partitioning,
-  fan-out shape, and schema are the real pipeline; swap the window slicer
-  for a decoder binding in production).
+- ``sample_frames_y4m`` — 1-in-``every_n`` frame sampling through the
+  REAL YUV4MPEG2 demuxer (``decode_y4m``): each kept frame row carries
+  the raw plane bytes plus an integer byte-sum checksum so a
+  cross-engine oracle can pin the demuxed content, not just the counts.
+- ``sample_frames`` — the opaque-container FALLBACK: when the payload is
+  a format with no demuxer binding, frames degrade to fixed-size byte
+  windows (DOCUMENTED STUB — the partitioning, fan-out shape, and schema
+  match ``sample_frames_y4m``; swap in a decoder binding in production).
 
 Pixel buffers travel as ``binary`` (row-major H×W×3) + shape columns, not
 nested arrays: Arrow moves one contiguous buffer per asset, and numpy
@@ -333,6 +336,41 @@ def decode_y4m(payload: bytes) -> tuple[int, int, np.ndarray]:
         pos = start + frame_len
     return w, h, np.stack(frames) if frames else np.empty(
         (0, 3, h, w), dtype=np.uint8)
+
+
+def sample_frames_y4m(df: DataFrame, every_n: int = 1,
+                      id_col: str = "id",
+                      payload_col: str = "payload") -> DataFrame:
+    """Fan a Y4M video payload out to 1-in-``every_n`` REAL frame rows.
+
+    The production frame sampler: payloads are demuxed by the actual
+    YUV4MPEG2 stream parser (``decode_y4m`` — header parameter scan +
+    FRAME-marker walk), and each kept frame row carries the raw plane
+    bytes (Y,U,V concatenated, ``w*h*3`` bytes) for downstream feature
+    extraction plus ``frame_sum``, the integer sum of those bytes — a
+    content checksum computed in the same numpy pass so correctness
+    gates can pin the demux output, not just the fan-out shape.
+    Output: (id, frame_idx, width, height, frame binary, frame_sum).
+    Undecodable payloads are absent (same candidate-set contract as
+    ``video_frame_stats``).  ``sample_frames`` below is the documented
+    opaque-container fallback with the same row shape."""
+    def run(parts: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in parts:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, frames = decode_y4m(bytes(payload))
+                except (ValueError, TypeError):
+                    continue
+                for i in range(0, frames.shape[0], every_n):
+                    buf = frames[i].tobytes()
+                    rows.append((int(rid), i, w, h, buf,
+                                 int(frames[i].sum(dtype=np.int64))))
+            yield pd.DataFrame(rows, columns=[
+                "id", "frame_idx", "width", "height", "frame", "frame_sum"])
+    return df.mapInPandas(
+        run, "id long, frame_idx int, width int, height int, "
+             "frame binary, frame_sum long")
 
 
 def video_frame_stats(df: DataFrame, every_n: int = 1,

@@ -552,42 +552,68 @@ FROM ps GROUP BY source
 
 @query("multimodal_frame_sample")
 def multimodal_frame_sample(spark, sf_dir):
-    """Frame-sampling fan-out shape (``operators.multimodal.sample_frames``
-    — fixed-stride 1-in-3 over 32-byte frame windows): per source, how
-    many frame rows the sampler emits and the payload bytes they cover.
-    The window slicer is the documented demuxer stub; the fan-out,
-    ordering, and rollup are the real pipeline and oracle-exact."""
-    from ..operators.multimodal import sample_frames
+    """Frame sampling through the REAL container path: deterministic C444
+    YUV frames (pixel(f,p,i) = (doc_id·31 + f·97 + p·53 + i·7) mod 256;
+    2 + doc_id mod 3 frames of 8×4) are muxed into a standard YUV4MPEG2
+    stream by ``encode_y4m`` and fanned out 1-in-3 by
+    ``operators.multimodal.sample_frames_y4m`` — an actual stream-header
+    + FRAME-marker demux, not a byte-window stub (that slicer,
+    ``sample_frames``, remains the documented opaque-container
+    fallback).  Each kept frame row carries the raw plane bytes and an
+    integer byte-sum checksum; the per-source rollup therefore pins the
+    demuxed CONTENT (total_frame_sum) as well as the fan-out shape,
+    against an oracle computing both from the pixel formula."""
+    import numpy as np
+    import pandas as pd
 
-    docs = _t(spark, sf_dir, "documents")
-    vids = docs.select(F.col("doc_id").alias("id"), "source",
-                       F.encode("text", "UTF-8").alias("payload"))
-    frames = sample_frames(vids, frame_bytes=32, every_n=3)
-    return (frames.join(vids.select("id", "source"), "id")
+    from ..operators.multimodal import encode_y4m, sample_frames_y4m
+
+    W, H = 8, 4
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def synth(parts):
+        for pdf in parts:
+            ids, srcs, payloads = [], [], []
+            for did, src in zip(pdf["doc_id"], pdf["source"]):
+                did = int(did)
+                n = 2 + did % 3
+                f, p, i = np.meshgrid(np.arange(n), np.arange(3),
+                                      np.arange(H * W), indexing="ij")
+                frames = ((did * 31 + f * 97 + p * 53 + i * 7) % 256).astype(
+                    np.uint8).reshape(n, 3, H, W)
+                ids.append(did)
+                srcs.append(src)
+                payloads.append(encode_y4m(frames))
+            yield pd.DataFrame(
+                {"id": ids, "source": srcs, "payload": payloads})
+
+    assets = docs.mapInPandas(synth, "id long, source string, payload binary")
+    frames = sample_frames_y4m(assets.select("id", "payload"), every_n=3)
+    return (frames.join(assets.select("id", "source"), "id")
             .groupBy("source")
             .agg(F.count("*").alias("n_frames"),
                  F.sum(F.length("frame")).alias("frame_bytes"),
-                 F.max("frame_idx").alias("max_frame_idx")))
+                 F.max("frame_idx").alias("max_frame_idx"),
+                 F.sum("frame_sum").alias("total_frame_sum")))
 
 
 ORACLES["multimodal_frame_sample"] = """
-WITH f AS (
-  SELECT source,
-         octet_length(encode(text)) // 32 AS n_frames_total
-  FROM documents),
-s AS (
-  SELECT source,
-         CASE WHEN n_frames_total > 0
-              THEN (n_frames_total + 2) // 3 ELSE 0 END AS n_kept,
-         CASE WHEN n_frames_total > 0
-              THEN ((n_frames_total - 1) // 3) * 3 END AS max_idx
+WITH d AS (
+  SELECT doc_id, source, 2 + doc_id % 3 AS n FROM documents),
+f AS (
+  SELECT doc_id, source,
+         unnest(generate_series(0, n - 1, 3)) AS fi
+  FROM d),
+b AS (
+  SELECT doc_id, source, fi,
+         [(doc_id * 31 + fi * 97 + (j // 32) * 53 + (j % 32) * 7) % 256
+          FOR j IN generate_series(0, 95)] AS bs
   FROM f)
-SELECT source, CAST(sum(n_kept) AS BIGINT) AS n_frames,
-       CAST(sum(n_kept) * 32 AS BIGINT) AS frame_bytes,
-       CAST(max(max_idx) AS INT) AS max_frame_idx
-FROM s
-WHERE n_kept > 0
-GROUP BY source
+SELECT source, count(*) AS n_frames,
+       CAST(count(*) * 96 AS BIGINT) AS frame_bytes,
+       CAST(max(fi) AS INT) AS max_frame_idx,
+       CAST(sum(list_sum(bs)) AS BIGINT) AS total_frame_sum
+FROM b GROUP BY source
 """
 
 

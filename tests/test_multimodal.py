@@ -90,6 +90,25 @@ def test_sample_frames_stride(spark):
         assert bytes(r.frame) == payload[r.frame_idx * 8:(r.frame_idx + 1) * 8]
 
 
+def test_sample_frames_y4m_real_demux(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(7, 3, 4, 6), dtype=np.uint8)
+    good = mm.encode_y4m(frames)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not a video"))],
+        "id long, payload binary")
+    rows = mm.sample_frames_y4m(df, every_n=3).collect()
+    # undecodable payload absent; 1-in-3 of 7 frames kept
+    assert sorted((r.id, r.frame_idx) for r in rows) == [(1, 0), (1, 3),
+                                                         (1, 6)]
+    for r in rows:
+        assert (r.width, r.height) == (6, 4)
+        assert bytes(r.frame) == frames[r.frame_idx].tobytes()
+        assert r.frame_sum == int(frames[r.frame_idx].sum(dtype=np.int64))
+
+
 def test_wav_codec_identity():
     import numpy as np
 

@@ -68,6 +68,30 @@ def test_query_matches_oracle(spark, oracle_con, name):
         next((a, b) for a, b in zip(left, right) if a != b)) + ")"
 
 
+def test_driver_window_is_all_oracle_backed():
+    """The correctness driver snapshots list(queries())[:50]; the curated
+    registration order must keep every one of those 50 slots oracle-backed
+    (no wasted no_oracle slot) while still exposing the full catalog."""
+    import importlib.util
+    import os
+
+    entry_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("_entry_mod", entry_path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    names = list(mod.queries())
+    sql = mod.oracle_sql()
+    assert set(names) == set(QUERIES)
+    assert set(sql) == set(ORACLES)
+    window = names[:50]
+    assert all(n in sql for n in window), [n for n in window if n not in sql]
+    # approximate-by-design queries come after every oracle-backed one
+    no_oracle = [n for n in names if n not in sql]
+    first_no_oracle = names.index(no_oracle[0])
+    assert first_no_oracle >= len(names) - len(no_oracle)
+
+
 def test_every_query_runs(spark):
     """Queries without oracles still must run and return a stable schema."""
     for name, fn in QUERIES.items():
