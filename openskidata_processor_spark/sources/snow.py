@@ -117,6 +117,49 @@ def fetch_snow_updates(misses: DataFrame, fetch_tile_week: FetchTileWeek,
             .mapInPandas(run, SNOW_ROW_DDL))
 
 
+FETCH_POLICIES = ("full", "incremental", "none")
+
+
+def fetch_snow_cover(pixels: DataFrame, cache: DataFrame,
+                     year_weeks: list[tuple[int, int]],
+                     fetch_tile_week: FetchTileWeek,
+                     policy: str = "full",
+                     is_old: Callable[[int, int], bool] | None = None
+                     ) -> DataFrame:
+    """Policy-gated snow-cover refresh → the updated cache table.
+
+    The reference's three-mode switch (Config.ts:13-17,94-103 validates
+    ``SNOW_COVER_FETCH_POLICY``; PrepareGeoJSON.ts:59-93 dispatches it;
+    fetch_snow_data.py:216-236 implements the two fetch shapes):
+
+    - ``"none"``  — skip fetching entirely; the cache is used as-is
+      (PrepareGeoJSON.ts:64 returns before spawning the fetcher).
+    - ``"incremental"`` — ``--fill-cache``: the pixel universe is the
+      pixels ALREADY IN the archive (``discover_existing_pixels``),
+      topped up with their missing weeks; newly-seen geometry pixels are
+      not fetched this run.
+    - ``"full"`` — the pixel universe comes from the runs geometry
+      (``pixels``); every unsettled (pixel, week) cell is fetched.
+
+    Both fetching modes share the miss/settlement semantics of
+    ``snow_cache_misses`` (real value or permanent 301 settles; 400/401
+    retry) and the one-HDF-per-(tile, week) batching of
+    ``fetch_snow_updates``.
+    """
+    if policy not in FETCH_POLICIES:
+        # Config.ts:99-103 raises on an unknown policy string
+        raise ValueError(
+            f"Invalid snow cover fetch policy: {policy!r}. "
+            f"Must be one of: full, incremental, none")
+    if policy == "none":
+        return cache
+    universe = (cache.select("pixel_key").distinct()
+                if policy == "incremental" else pixels)
+    misses = snow_cache_misses(universe, cache, year_weeks)
+    fetched = fetch_snow_updates(misses, fetch_tile_week, is_old=is_old)
+    return updated_snow_cache(cache, fetched)
+
+
 def updated_snow_cache(cache: DataFrame, fetched: DataFrame) -> DataFrame:
     """Cache ∪ fetched; refreshed cells (retryable codes that now have a
     real value) replace the stale row."""

@@ -101,6 +101,49 @@ def test_refetch_replaces_retryable_rows(spark, pixels):
     assert len(rows) == 1 and rows[0].snow == 55 and rows[0].cloud == 2
 
 
+def test_fetch_policy_three_modes(spark, pixels, tmp_path):
+    """Config.ts:13-17 policy switch: none = cache-only, incremental =
+    top up cached pixels only (--fill-cache), full = runs-derived pixel
+    universe.  Unknown policies raise like Config.ts:99-103."""
+    calls = tmp_path / "calls"
+
+    def fake_fetch(h, v, year, week, px):
+        with open(calls, "a") as f:
+            for row, col in px:
+                f.write(f"{h}:{v}:{col}:{row}\n")
+        return [(42, 0)] * len(px)
+
+    # cache knows one pixel (stale week 2 missing); geometry adds two more
+    cache = spark.createDataFrame(
+        [("18:4:100:200", 2023, 1, 80, 0)], sn.SNOW_ROW_DDL)
+    weeks = [(2023, 1), (2023, 2)]
+
+    out_none = sn.fetch_snow_cover(pixels, cache, weeks, fake_fetch,
+                                   policy="none")
+    assert not calls.exists()                      # no fetch at all
+    assert out_none.count() == cache.count()
+
+    out_inc = sn.fetch_snow_cover(pixels, cache, weeks, fake_fetch,
+                                  policy="incremental")
+    assert out_inc.count() == 2                    # cached pixel × 2 weeks
+    assert set(calls.read_text().splitlines()) == {"18:4:100:200"}
+    assert {(r.pixel_key, r.week) for r in out_inc.collect()} == {
+        ("18:4:100:200", 1), ("18:4:100:200", 2)}
+
+    calls.unlink()
+    out_full = sn.fetch_snow_cover(pixels, cache, weeks, fake_fetch,
+                                   policy="full")
+    assert out_full.count() == 6                   # 3 pixels × 2 weeks
+    fetched_px = set(calls.read_text().splitlines())
+    assert fetched_px == {"18:4:100:200", "18:4:101:200", "12:3:7:9"}
+    # the settled (real-value) cell was not refetched
+    kept = {(r.pixel_key, r.week): r.snow for r in out_full.collect()}
+    assert kept[("18:4:100:200", 1)] == 80
+
+    with pytest.raises(ValueError, match="Invalid snow cover fetch policy"):
+        sn.fetch_snow_cover(pixels, cache, weeks, fake_fetch, policy="auto")
+
+
 def test_produced_cache_feeds_snow_cover_history(spark):
     """End-to-end: geometry → pixels → fetch → cache → J7/A6 consumer.
     Error-code rows in the cache are transparently dropped by the
