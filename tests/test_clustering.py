@@ -118,6 +118,34 @@ RUN_ROWS = [
     # activities nearby still merges (empty set = wildcard, :1559)
     ({"piste:type": "downhill", "name": "NA1 run"},
      line(68.005, 47.005, 47.007)),
+    # AD1 (lon 70, ways 32/33): tiny OSM polygon containing one run; an
+    # ADJACENT (not contained) lift plus a run chained off the lift's far
+    # end all associate to the polygon area when no other polygon
+    # contains them (:1153)
+    ({"piste:type": "downhill", "name": "AD1 in"},
+     line(70.0005, 47.0042, 47.0048)),
+    ({"piste:type": "downhill", "name": "AD1 far"},
+     line(70.0015, 47.0018, 47.0)),
+    # SC1 (lon 74, way 34): site member run that is backcountry with NO
+    # patrolled tag — site membership bypasses the wilderness rule and
+    # the site area keeps activities [downhill] (:2684)
+    ({"piste:type": "downhill", "piste:grooming": "backcountry",
+      "name": "SC1 member"}, line(74.0, 47.0, 47.002)),
+    # SC2 (lon 76, way 35): site member run with a non-skiing use (sled)
+    # — the site=piste area is KEPT with empty activities (:2727)
+    ({"piste:type": "sled", "name": "SC2 member"}, line(76.0, 47.0, 47.002)),
+    # SC3 (lon 78, ways 36/37/38): site with two member runs; a nearby
+    # unassigned polygon run is added to the site area (:2769)
+    ({"piste:type": "downhill", "name": "SC3 member A"},
+     line(78.0, 47.0, 47.002)),
+    ({"piste:type": "downhill", "name": "SC3 member B"},
+     line(78.0005, 47.0002, 47.0022)),
+    ({"piste:type": "downhill", "name": "SC3 poly"},
+     polygon(78.002, 47.0, 78.004, 47.002)),
+    # SA1 (lon 80, way 39): generated area whose spots (station at the
+    # lift base, crossing on the run) associate to it — spots join areas
+    # but never found them (:2877)
+    ({"piste:type": "downhill", "name": "SA1 run"}, line(80.0, 47.0, 47.002)),
 ]
 
 LIFT_ROWS = [
@@ -140,6 +168,16 @@ LIFT_ROWS = [
     ({"aerialway": "chair_lift", "name": "S2 lift"}, json.dumps(
         {"type": "LineString", "coordinates": [
             [32.0, 47.0, 1000.0], [32.0, 47.002, 2000.0]]})),
+    # AD1: lift adjacent to (not contained in) the tiny AD1 polygon
+    ({"aerialway": "t-bar", "name": "AD1 lift"},
+     line(70.0015, 47.004, 47.002)),
+    # AD2: one lift per abutting polygon, both hugging the shared edge
+    ({"aerialway": "t-bar", "name": "AD2 south lift"},
+     line(72.005, 47.0095, 47.007)),
+    ({"aerialway": "t-bar", "name": "AD2 north lift"},
+     line(72.005, 47.0105, 47.013)),
+    # SA1: lift 40 m from the SA1 run (seeds the generated area)
+    ({"aerialway": "t-bar", "name": "SA1 lift"}, line(80.0005, 47.0, 47.002)),
 ]
 
 SPOT_ROWS = [
@@ -158,6 +196,11 @@ SPOT_ROWS = [
     # ML1: station 10 m from the SECOND part of the MultiLineString lift
     ({"aerialway": "station", "name": "ML1 station"},
      point(60.0011, 47.0018)),
+    # SA1: station at the lift base + crossing on the run — both get the
+    # generated area's id (:2877)
+    ({"aerialway": "station", "name": "SA1 station"},
+     point(80.0005, 47.0001)),
+    ({"piste:dismount": "yes"}, point(80.0, 47.001)),
 ]
 
 SKI_AREA_ROWS = [
@@ -191,6 +234,14 @@ SKI_AREA_ROWS = [
      polygon(66.0, 47.0, 66.01, 47.01)),
     ({"landuse": "winter_sports", "name": "NA1 resort"},
      polygon(68.0, 47.0, 68.01, 47.01)),
+    # AD1: tiny polygon — objects adjacent to it still associate (:1153)
+    ({"landuse": "winter_sports", "name": "AD1 resort"},
+     polygon(70.0, 47.004, 70.001, 47.005)),
+    # AD2: two abutting polygons sharing the lat-47.01 edge (:1263)
+    ({"landuse": "winter_sports", "name": "AD2 south"},
+     polygon(72.0, 47.0, 72.01, 47.01)),
+    ({"landuse": "winter_sports", "name": "AD2 north"},
+     polygon(72.0, 47.01, 72.01, 47.02)),
 ]
 
 
@@ -207,7 +258,14 @@ def cluster_inputs(spark):
          (903, {"site": "piste", "name": "SB1 site"},
           [{"type": "way", "ref": 25, "role": ""}]),
          (904, {"site": "piste", "name": "BS1 site"},
-          [{"type": "way", "ref": 30, "role": ""}])],
+          [{"type": "way", "ref": 30, "role": ""}]),
+         (905, {"site": "piste", "name": "SC1 site"},
+          [{"type": "way", "ref": 34, "role": ""}]),
+         (906, {"site": "piste", "name": "SC2 site"},
+          [{"type": "way", "ref": 35, "role": ""}]),
+         (907, {"site": "piste", "name": "SC3 site"},
+          [{"type": "way", "ref": 36, "role": ""},
+           {"type": "way", "ref": 37, "role": ""}])],
         "site_id long, tags map<string,string>, "
         "members array<struct<type:string, ref:long, role:string>>")
     site_areas = fmt.format_ski_areas_sites(sites)
@@ -659,3 +717,72 @@ def test_skimap_without_activities_merges(clustered):
     sa = next(r for r in clustered["ski_areas"]
               if (r.name or "") == "NA1 resort")
     assert any(s.type == "skimap.org" for s in sa.sources)
+
+
+class TestAdjacentPolygonAssociation:
+    """Polygon adjacency scenarios (:1153, :1263): objects adjacent to a
+    polygon associate with it when nothing else contains them, but a
+    contained object never leaks to an adjacent neighbor polygon."""
+
+    def test_adjacent_lift_and_chained_run_associate(self, clustered):
+        sa = next(r for r in clustered["ski_areas"]
+                  if (r.name or "") == "AD1 resort")
+        inside = layer_by_name(clustered["runs"], "AD1 in")
+        lift = layer_by_name(clustered["lifts"], "AD1 lift")
+        far = layer_by_name(clustered["runs"], "AD1 far")
+        assert list(inside.ski_areas) == [sa.id]
+        assert list(lift.ski_areas) == [sa.id]    # adjacent, not contained
+        assert list(far.ski_areas) == [sa.id]     # chained via the lift
+
+    def test_contained_lift_stays_with_its_own_polygon(self, clustered):
+        south = next(r for r in clustered["ski_areas"]
+                     if (r.name or "") == "AD2 south")
+        north = next(r for r in clustered["ski_areas"]
+                     if (r.name or "") == "AD2 north")
+        s_lift = layer_by_name(clustered["lifts"], "AD2 south lift")
+        n_lift = layer_by_name(clustered["lifts"], "AD2 north lift")
+        assert list(s_lift.ski_areas) == [south.id]
+        assert list(n_lift.ski_areas) == [north.id]
+
+
+class TestSitePisteKeepRules:
+    """site=piste areas keep limited support for edge-case members
+    (:2684, :2727) and extend to nearby unassigned runs (:2769)."""
+
+    def test_backcountry_only_site_kept_as_downhill(self, clustered):
+        sa = next(r for r in clustered["ski_areas"]
+                  if (r.name or "") == "SC1 site")
+        assert list(sa.activities) == ["downhill"]
+        run = layer_by_name(clustered["runs"], "SC1 member")
+        assert list(run.ski_areas) == [sa.id]
+
+    def test_non_skiing_site_kept_with_empty_activities(self, clustered):
+        sa = next(r for r in clustered["ski_areas"]
+                  if (r.name or "") == "SC2 site")
+        assert list(sa.activities) == []
+        run = layer_by_name(clustered["runs"], "SC2 member")
+        assert list(run.ski_areas) == [sa.id]
+
+    def test_site_extends_to_nearby_polygon_run(self, clustered):
+        sa = next(r for r in clustered["ski_areas"]
+                  if (r.name or "") == "SC3 site")
+        for nm in ("SC3 member A", "SC3 member B", "SC3 poly"):
+            run = layer_by_name(clustered["runs"], nm)
+            assert list(run.ski_areas) == [sa.id], nm
+
+
+def test_spots_associate_to_generated_area(clustered):
+    """Spots near a generated cluster join it — but never found one
+    (:2877; the founding prohibition is pinned by :2973 above)."""
+    run = layer_by_name(clustered["runs"], "SA1 run")
+    assert len(run.ski_areas) == 1
+    gen_id = run.ski_areas[0]
+    station = layer_by_name(clustered["spots"], "SA1 station")
+    crossing = next(r for r in clustered["spots"]
+                    if r.spot_type == "crossing"
+                    and json.loads(r.geometry)["coordinates"][0] == 80.0)
+    assert list(station.ski_areas) == [gen_id]
+    assert list(crossing.ski_areas) == [gen_id]
+    lift = layer_by_name(clustered["lifts"], "SA1 lift")
+    assert list(lift.ski_areas) == [gen_id]
+    assert station.lift_id == lift.id
