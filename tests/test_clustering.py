@@ -482,6 +482,27 @@ class TestHighLatitudeGrid:
         assert got == {(f"a{i}", f"b{i}") for i in range(4)}
 
 
+def test_hot_cell_salting_preserves_results(spark, monkeypatch):
+    """The 2-D salted hot-cell path must return exactly the unsalted
+    dwithin pair set (salting only re-partitions the candidate join)."""
+    from openskidata_processor_spark.pipeline import clustering as cl
+
+    rows = [(f"p{i:02d}", json.dumps(
+        {"type": "Point",
+         "coordinates": [10.0 + (i % 8) * 0.0003,
+                         47.0 + (i // 8) * 0.0003]})) for i in range(64)]
+    left = spark.createDataFrame(rows, "lid string, lgeom string")
+    right = left.toDF("rid", "rgeom")
+    base = {(r.lid, r.rid)
+            for r in cl.dwithin_pairs(left, right, 0.5).collect()}
+    monkeypatch.setattr(cl, "HOT_CELL_ROWS", 4)
+    monkeypatch.setattr(cl, "HOT_SAMPLE", 1.0)
+    salted = {(r.lid, r.rid)
+              for r in cl.dwithin_pairs(left, right, 0.5).collect()}
+    assert len(base) == 64 * 64   # the whole block is within 500 m
+    assert salted == base
+
+
 def test_covered_by_edge_crossing():
     """ST_CoveredBy parity: a segment between two interior vertices that
     exits a concave polygon (or crosses a hole) is NOT covered; boundary
