@@ -80,6 +80,27 @@ EXTENDED_QUERIES = [
 ]
 
 
+# End-to-end pipeline benchmark (the reference's primary workload is the
+# whole prepare() graph, not single operators — PerformanceMonitor.ts
+# phase timeline).  Two sizes of the synthetic resort grid; skippable via
+# SPARK_GRAFT_SKIP_E2E=1.  Measured 2026-08 (local[32]): both ~113 s —
+# wall time is fixed overhead (stage scheduling + CC rounds), so the 10×
+# number moving away from the 1× number is the regression signal for
+# superlinear per-resort cost.
+E2E_SIZES = (50, 500)
+
+
+def run_e2e_prepare(spark, n_resorts: int) -> float:
+    from openskidata_processor_spark.pipeline.prepare import prepare
+    from openskidata_processor_spark.sources.synthetic import resort_grid
+
+    t0 = time.perf_counter()
+    layers = prepare(spark, **resort_grid(spark, n_resorts))
+    for df in layers.values():
+        df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def run_query(spark, name: str, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = QUERIES[name](spark, sf_dir)
@@ -134,6 +155,15 @@ def main() -> None:
         except Exception as exc:
             extended[name] = f"ERR:{type(exc).__name__}"
             print(f"{name} failed: {exc}", file=sys.stderr)
+
+    if os.environ.get("SPARK_GRAFT_SKIP_E2E") != "1":
+        for n in E2E_SIZES:
+            key = f"e2e_prepare_{n}"
+            try:
+                extended[key] = round(run_e2e_prepare(spark, n), 3)
+            except Exception as exc:
+                extended[key] = f"ERR:{type(exc).__name__}"
+                print(f"{key} failed: {exc}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values()
                       if isinstance(v, (int, float))), 3)
