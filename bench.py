@@ -77,6 +77,7 @@ EXTENDED_QUERIES = [
     "heavy_hitters_sketch",
     "pack_concat_bins",
     "multimodal_resize_stats",
+    "kmeans_clusters",
 ]
 
 

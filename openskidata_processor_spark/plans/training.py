@@ -358,3 +358,76 @@ def heavy_hitters_sketch(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return space_saving_topk(docs, "text", 25, capacity=256)
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means over the embedding corpus (operators/kmeans.py)
+# ---------------------------------------------------------------------------
+
+@query("kmeans_clusters")
+def kmeans_clusters(spark, sf_dir):
+    """Full-corpus Lloyd's k-means (k=8, 2 iterations, deterministic
+    smallest-id init, centroids quantized to 6 decimals per update so the
+    sequential SQL twin reproduces every assignment): per-cluster sizes
+    and inertia.  The corpus never shuffles — each iteration is one
+    mapInPandas pass of per-partition partial sums merged on the driver
+    (≤ partitions × k rows), the same bounded-merge shape as the
+    Space-Saving sketch."""
+    from ..operators.kmeans import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, assign = kmeans_fit(emb, k=8, n_iter=2)
+    return (assign.groupBy("cluster")
+            .agg(F.count("*").alias("n_vectors"),
+                 F.round(F.sum("d2"), 3).alias("inertia")))
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB twin: the two Lloyd iterations unrolled.  d2 uses the same
+    v·v + c·c − 2·v·c expansion as the engine; centroids round to 6
+    decimals after init and after each elementwise mean."""
+    d2 = ("(list_inner_product({v}, {v}) + list_inner_product({c}, {c})"
+          " - 2 * list_inner_product({v}, {c}))")
+
+    def assign(src_vec, cent_table):
+        return (f"(SELECT t.cluster FROM {cent_table} t "
+                f"ORDER BY {d2.format(v=src_vec, c='t.c')}, t.cluster "
+                f"LIMIT 1)")
+
+    def recenter(assign_table, prev_table, out):
+        return f"""
+{out}_m AS (
+  SELECT cluster, i, round(avg(v[i]), 6) AS x
+  FROM {assign_table}, (SELECT unnest(generate_series(1, 64)) AS i)
+  GROUP BY cluster, i
+), {out} AS (
+  SELECT p.cluster,
+         coalesce(m.c, p.c) AS c
+  FROM {prev_table} p
+  LEFT JOIN (SELECT cluster, list(x ORDER BY i) AS c
+             FROM {out}_m GROUP BY cluster) m USING (cluster)
+)"""
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+         list_transform(v, x -> round(x, 6)) AS c
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+), a1 AS (
+  SELECT vec_id, v, {assign('e.v', 'init')} AS cluster FROM e
+),{recenter('a1', 'init', 'c1')}, a2 AS (
+  SELECT vec_id, v, {assign('e.v', 'c1')} AS cluster FROM e
+),{recenter('a2', 'c1', 'c2')}, fin AS (
+  SELECT a.cluster,
+         {d2.format(v='a.v', c='t.c')} AS d2
+  FROM (SELECT vec_id, v, {assign('e.v', 'c2')} AS cluster FROM e) a
+  JOIN c2 t USING (cluster)
+)
+SELECT cluster, count(*) AS n_vectors, round(sum(d2), 3) AS inertia
+FROM fin GROUP BY cluster
+"""
+
+
+ORACLES["kmeans_clusters"] = _kmeans_oracle()

@@ -330,3 +330,57 @@ def test_space_saving_exact_when_capacity_covers_vocab(spark):
                                          capacity=256).collect()]
     assert [(t, e) for t, e, _ in sketch] == exact
     assert all(err == 0 for _, _, err in sketch)
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (operators/kmeans.py)
+# ---------------------------------------------------------------------------
+
+def test_kmeans_partitioning_independence(spark):
+    """Centroid quantization makes the fit independent of partitioning
+    (partial-sum order must not leak into assignments)."""
+    from openskidata_processor_spark.operators.kmeans import kmeans_fit
+    from openskidata_processor_spark.sources.tables import load_table
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    c1, a1 = kmeans_fit(emb, k=4, n_iter=2)
+    c2, a2 = kmeans_fit(emb.repartition(13, "label"), k=4, n_iter=2)
+    assert np.array_equal(c1, c2)
+    r1 = sorted((r.vec_id, r.cluster) for r in a1.collect())
+    r2 = sorted((r.vec_id, r.cluster) for r in a2.collect())
+    assert r1 == r2
+    assert {r[1] for r in r1} <= set(range(4))
+    assert len(r1) == emb.count()
+
+
+def test_kmeans_converges_on_separated_blobs(spark):
+    """Three far-apart blobs: every blob lands in exactly one cluster and
+    inertia is the tight within-blob spread, not cross-blob distance."""
+    from openskidata_processor_spark.operators.kmeans import kmeans_fit
+    rows = []
+    for b, center in enumerate([0.0, 100.0, 200.0]):
+        for i in range(20):
+            vec = [center + (i % 5) * 0.01] * 4
+            # ids interleaved so smallest-id init seeds one per blob
+            rows.append((i * 10 + b, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _, assign = kmeans_fit(df, k=3, n_iter=3)
+    got = assign.collect()
+    by_blob = {}
+    for r in got:
+        by_blob.setdefault(r.vec_id % 10, set()).add(r.cluster)
+    assert all(len(cs) == 1 for cs in by_blob.values())
+    assert len(set().union(*by_blob.values())) == 3
+    assert all(r.d2 < 1.0 for r in got)
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """k exceeding the number of distinct points: surplus clusters go
+    empty and keep their (rounded) init centroid without crashing."""
+    from openskidata_processor_spark.operators.kmeans import kmeans_fit
+    rows = [(i, [float(i >= 2) * 50.0, 0.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, assign = kmeans_fit(df, k=3, n_iter=2)
+    assert cents.shape == (3, 2)
+    assert assign.count() == 4
+    # the two distinct locations dominate; all points well-assigned
+    assert all(r.d2 <= 0.25 for r in assign.collect())
