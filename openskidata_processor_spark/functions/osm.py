@@ -115,25 +115,33 @@ def status_and_value(tags: Column, key: str) -> tuple[Column, Column]:
     """
     plain = tag(tags, key)
 
+    # The scans below are higher-order-function loops over literal state
+    # arrays, NOT unrolled when-chains: the unrolled form expands to
+    # hundreds of expression nodes per call site, and with two call sites
+    # inlined into both a Filter and a Project (format_lifts) the fused
+    # whole-stage method overflowed janino's 64 KB limit — silently
+    # demoting the formatter scan to interpreted mode.  A lambda over an
+    # array codegens as one loop.  Scan order = array order, and
+    # element_at(filter(...), 1) = the reference's first match.
+    states = F.array(*[F.lit(s) for s in LIFECYCLE_STATES])
+
     # isUnsupportedStatus (Status.ts:50-58)
-    unsupported = F.coalesce(plain.isin(*UNSUPPORTED_STATES), F.lit(False))
-    for s in UNSUPPORTED_STATES:
-        unsupported = unsupported | (tag(tags, s) == "yes")
+    unsupported = (
+        F.coalesce(plain.isin(*UNSUPPORTED_STATES), F.lit(False))
+        | F.exists(F.array(*[F.lit(s) for s in UNSUPPORTED_STATES]),
+                   lambda s: F.element_at(tags, s) == "yes"))
 
     # first <state>=yes flag, reference scan order
-    flag = F.lit(None).cast("string")
-    for s in LIFECYCLE_STATES:
-        flag = F.when(flag.isNotNull(), flag).when(
-            tag(tags, s) == "yes", F.lit(s))
+    flag = F.element_at(
+        F.filter(states, lambda s: F.element_at(tags, s) == "yes"), 1)
     flag_status = F.coalesce(flag, F.lit("operating"))
 
     # prefixed forms — consulted ONLY when the plain key is absent
-    pstat = F.lit(None).cast("string")
-    pval = F.lit(None).cast("string")
-    for s in LIFECYCLE_STATES:
-        pv = tag(tags, f"{s}:{key}")
-        pstat = F.when(pstat.isNotNull(), pstat).when(pv.isNotNull(), F.lit(s))
-        pval = F.when(pval.isNotNull(), pval).when(pv.isNotNull(), pv)
+    pstat = F.element_at(
+        F.filter(states, lambda s: F.element_at(
+            tags, F.concat(s, F.lit(f":{key}"))).isNotNull()), 1)
+    pval = F.when(pstat.isNotNull(), F.element_at(
+        tags, F.concat(pstat, F.lit(f":{key}"))))
 
     plain_is_state = plain.isin(*LIFECYCLE_STATES)
     # value-tagging lookup tags[<state>] (dynamic key; null-safe element_at)

@@ -173,20 +173,21 @@ def format_runs(df: DataFrame) -> DataFrame:
         .filter(geometry_valid_udf(F.col("geometry")))
     )
 
-    exploded = kept.withColumn(
-        "geometry", F.explode(split_multi_geometry_udf(F.col("geometry"))))
-
-    return exploded.select(
-        feature_id(F.lit("run"), F.col("geometry")).alias("id"),
-        F.lit("run").alias("feature_type"),
+    # Tag-derived properties are computed BEFORE the Multi*-split: they
+    # don't depend on geometry, Multi* parts share them (so this also
+    # evaluates the tag parse once per feature, not once per part), and —
+    # decisive for codegen — a projection fused into the post-explode
+    # consume() path cannot be method-split, and this one overflows
+    # janino's 64 KB method limit there (whole stage silently falls back
+    # to interpreted mode).  Projected pre-Generate it splits fine and
+    # the run formatter stays in whole-stage codegen.
+    pre = kept.select(
         F.col("uses"),
         osm.osm_name(tags, "piste:name", "name", ref).alias("name"),
         ref.alias("ref"),
         F.coalesce(osm.tag(tags, "piste:description"),
                    osm.tag(tags, "description")).alias("description"),
         difficulty.alias("difficulty"),
-        run_difficulty_convention(F.col("geometry"))
-            .alias("difficulty_convention"),
         oneway.alias("oneway"),
         gladed.alias("gladed"),
         F.coalesce(osm.osm_boolean(tags, "piste:patrolled"),
@@ -205,6 +206,20 @@ def format_runs(df: DataFrame) -> DataFrame:
         _websites(tags).alias("websites"),
         osm.osm_first_value(tags, "wikidata").alias("wikidata_id"),
         F.col("geometry"),
+    )
+
+    exploded = pre.withColumn(
+        "geometry", F.explode(split_multi_geometry_udf(F.col("geometry"))))
+
+    return exploded.select(
+        feature_id(F.lit("run"), F.col("geometry")).alias("id"),
+        F.lit("run").alias("feature_type"),
+        "uses", "name", "ref", "description", "difficulty",
+        run_difficulty_convention(F.col("geometry"))
+            .alias("difficulty_convention"),
+        "oneway", "gladed", "patrolled", "snowmaking", "snowfarming",
+        "tunnel", "lit", "grooming", "ski_areas", "status", "sources",
+        "websites", "wikidata_id", "geometry",
     )
 
 
