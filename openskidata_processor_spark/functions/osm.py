@@ -122,7 +122,7 @@ def status_and_value(tags: Column, key: str) -> tuple[Column, Column]:
     # whole-stage method overflowed janino's 64 KB limit — silently
     # demoting the formatter scan to interpreted mode.  A lambda over an
     # array codegens as one loop.  Scan order = array order, and
-    # element_at(filter(...), 1) = the reference's first match.
+    # get(filter(...), 0) = the reference's first match (null if none).
     states = F.array(*[F.lit(s) for s in LIFECYCLE_STATES])
 
     # isUnsupportedStatus (Status.ts:50-58)
@@ -131,15 +131,18 @@ def status_and_value(tags: Column, key: str) -> tuple[Column, Column]:
         | F.exists(F.array(*[F.lit(s) for s in UNSUPPORTED_STATES]),
                    lambda s: F.element_at(tags, s) == "yes"))
 
-    # first <state>=yes flag, reference scan order
-    flag = F.element_at(
-        F.filter(states, lambda s: F.element_at(tags, s) == "yes"), 1)
+    # first <state>=yes flag, reference scan order.  F.get is 0-based and
+    # null-safe on empty arrays — element_at(..., 1) throws
+    # INVALID_ARRAY_INDEX_IN_ELEMENT_AT under Spark 4 ANSI mode whenever no
+    # state flag matches, which is the normal case for operating features.
+    flag = F.get(
+        F.filter(states, lambda s: F.element_at(tags, s) == "yes"), 0)
     flag_status = F.coalesce(flag, F.lit("operating"))
 
     # prefixed forms — consulted ONLY when the plain key is absent
-    pstat = F.element_at(
+    pstat = F.get(
         F.filter(states, lambda s: F.element_at(
-            tags, F.concat(s, F.lit(f":{key}"))).isNotNull()), 1)
+            tags, F.concat(s, F.lit(f":{key}"))).isNotNull()), 0)
     pval = F.when(pstat.isNotNull(), F.element_at(
         tags, F.concat(pstat, F.lit(f":{key}"))))
 
