@@ -32,9 +32,14 @@ from openskidata_processor_spark.plans import ORACLES, QUERIES  # noqa: E402
 # (recall-harness-pinned in pytest, timed in bench.py) come last.  The
 # full map is documented in COVERAGE.md §"Driver correctness window".
 _DRIVER_WINDOW = [
-    # relational / pipeline core
+    # relational / pipeline core (o4_union_orders rotated out for the
+    # formatter-path probe: its class is also pinned by the K5 sink tests
+    # and the identical parity check; p5_lifecycle_resolution puts the
+    # status/flag formatter semantics — the round-5 blind spot — under the
+    # driver's hard signal)
     "a2_pricing_summary", "j8_regional_revenue", "w1_top_order_per_customer",
-    "o5_customers_without_orders", "a1_merged_order_status", "o4_union_orders",
+    "o5_customers_without_orders", "a1_merged_order_status",
+    "p5_lifecycle_resolution",
     "j3_acctbal_distance_join", "a7_lineitem_dedup", "w_running_total",
     "a6_daily_event_stats", "sessionize_user_sessions",
     # specialised joins

@@ -79,8 +79,10 @@ def run_difficulty_convention(geometry_json: Column) -> Column:
     # First "number" in the coordinates array is the first position's lon;
     # second is its lat — regardless of nesting depth.
     nums = F.regexp_extract_all(first, F.lit(r"-?[0-9]+(?:\.[0-9]+)?(?:[eE]-?[0-9]+)?"), 0)
-    lon = F.element_at(nums, 1).cast("double")
-    lat = F.element_at(nums, 2).cast("double")
+    # F.get is null-safe on short/empty arrays — element_at(nums, 1) would
+    # throw under ANSI mode for a numberless coordinates string.
+    lon = F.get(nums, 0).cast("double")
+    lat = F.get(nums, 1).cast("double")
     return (F.when((lon >= 122.0) & (lon <= 154.0)
                    & (lat >= 20.0) & (lat <= 46.0), F.lit("japan"))
              .when((lon >= -180.0) & (lon < -30.0), F.lit("north_america"))

@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import osm as OSM
 from ..functions import text as T
 from ..functions import vectors as V
 from ..functions.geometry import haversine_km, make_point_in_polygon_udf
@@ -217,6 +218,55 @@ def o4_union_orders(spark, sf_dir):
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n_orders"),
              _sum_fixed(F.col("o_totalprice")).alias("total_value"))
+    )
+
+
+@query("p5_lifecycle_resolution")
+def p5_lifecycle_resolution(spark, sf_dir):
+    """P5/P6/P7 formatter-path semantics under the driver's hard signal:
+    derive OSM-style tag maps from ``part`` (12 scenarios via
+    ``p_partkey % 12``, spanning every branch of ``getStatusAndValue`` —
+    Status.ts:9-58: plain/flag/value-tagging/prefixed/unsupported/absent)
+    and resolve them with the REAL formatter functions (``functions/osm.py``)
+    — the exact path that broke at round-5 HEAD while the relational catalog
+    stayed green.  Also exercises tri-state booleans (OSMTransforms.ts:15-24),
+    lenient number coercion and localized name extraction (:37-65)."""
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    pid = F.col("p_partkey").cast("string")
+    s = F.pmod(F.col("p_partkey"), 12)
+    vid = F.concat(F.lit("v"), pid)
+    pairs = [
+        ("aerialway", F.when(s.isin(0, 1, 9), "chair_lift")
+                       .when(s.isin(2, 3, 11), "proposed")
+                       .when(s == 5, "demolished")
+                       .when(s == 6, "x")),
+        ("proposed", F.when(s == 2, vid)),
+        ("abandoned", F.when(s.isin(1, 8), "yes")),
+        ("disused", F.when(s == 9, "yes")),
+        ("construction", F.when(s == 9, "yes")),
+        ("demolished", F.when(s == 6, "yes")),
+        ("proposed:aerialway", F.when(s.isin(4, 11), vid)),
+        ("planned:aerialway", F.when(s == 10, F.concat(F.lit("b"), pid))),
+        ("construction:aerialway", F.when(s == 10, F.concat(F.lit("a"), pid))),
+        ("lit", F.when(F.pmod(s, 3) == 0, "yes").when(F.pmod(s, 3) == 1, "no")),
+        ("aerialway:capacity",
+         F.when(F.pmod(s, 4) == 0, "4").when(F.pmod(s, 4) == 1, "x")),
+        ("name", F.concat(F.lit("n"), pid)),
+        ("name:en", F.when(F.pmod(s, 2) == 0, F.concat(F.lit("e"), pid))),
+    ]
+    kvs: list = []
+    for k, v in pairs:
+        kvs += [F.lit(k), v]
+    tags = F.map_filter(F.create_map(*kvs), lambda _, v: v.isNotNull())
+    status, value = OSM.status_and_value(tags, "aerialway")
+    return part.select(
+        F.col("p_partkey").alias("id"),
+        status.alias("status"),
+        value.alias("value"),
+        OSM.osm_boolean(tags, "lit").alias("lit"),
+        OSM.osm_number(tags, "aerialway:capacity").alias("capacity"),
+        OSM.osm_name(tags, "name").alias("name"),
+        value.isNotNull().alias("kept"),
     )
 
 

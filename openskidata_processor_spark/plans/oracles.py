@@ -108,6 +108,29 @@ FROM (
 GROUP BY o_orderstatus
 """
 
+# Expected getStatusAndValue semantics per scenario, stated directly as a
+# CASE over the same derived scenario id the Spark side uses (Status.ts
+# branch order: unsupported > value-tagging > plain+flag > prefixed > flags).
+ORACLES["p5_lifecycle_resolution"] = """
+WITH t AS (SELECT p_partkey AS id, p_partkey % 12 AS s FROM part)
+SELECT id,
+       CASE WHEN s IN (5, 6) THEN NULL
+            WHEN s IN (0, 7) THEN 'operating'
+            WHEN s IN (1, 8) THEN 'abandoned'
+            WHEN s IN (2, 3, 4, 11) THEN 'proposed'
+            WHEN s = 9 THEN 'disused'
+            WHEN s = 10 THEN 'planned' END AS status,
+       CASE WHEN s IN (0, 1, 9) THEN 'chair_lift'
+            WHEN s IN (2, 4) THEN 'v' || id
+            WHEN s = 10 THEN 'b' || id END AS value,
+       CASE WHEN s % 3 = 0 THEN true WHEN s % 3 = 1 THEN false END AS lit,
+       CASE WHEN s % 4 = 0 THEN CAST(4.0 AS DOUBLE) END AS capacity,
+       CASE WHEN s % 2 = 0 THEN 'n' || id || ', e' || id
+            ELSE 'n' || id END AS name,
+       s IN (0, 1, 2, 4, 9, 10) AS kept
+FROM t
+"""
+
 ORACLES["j3_acctbal_distance_join"] = """
 SELECT c_mktsegment, count(*) AS n_pairs,
        ((2 * (CAST(sum(CAST(round(abs(c_acctbal - s_acctbal) * 100, 0) AS BIGINT))

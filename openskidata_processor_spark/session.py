@@ -25,6 +25,7 @@ def get_spark(app_name: str = "openskidata-spark", cpus: int | str | None = None
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
@@ -78,6 +79,9 @@ def prep_session(spark: SparkSession) -> SparkSession:
     an arbitrarily-configured session.  Only runtime-mutable confs here.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # ANSI mode is the tested default (Spark 4); pin it so semantics don't
+    # silently shift if the harness hands over a legacy-configured session.
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     # Parquet timestamps without the UTC flag must read as TIMESTAMP (LTZ),
     # not TIMESTAMP_NTZ: `unix_micros`/`withWatermark` reject NTZ, and with
     # the session tz pinned UTC the instant semantics are identical.
