@@ -27,10 +27,15 @@ from openskidata_processor_spark.plans import ORACLES, QUERIES  # noqa: E402
 # The correctness driver snapshots the FIRST 50 entries of ``queries()``
 # in iteration order.  This curated window puts exactly 50 oracle-backed
 # representatives (one-plus per operator family) inside it; the remaining
-# 20 oracle-backed queries are gated by the identical DuckDB check in
+# oracle-backed queries are gated by the IDENTICAL DuckDB check in
 # tests/test_oracle_parity.py, and the 8 approximate-by-design queries
 # (recall-harness-pinned in pytest, timed in bench.py) come last.  The
 # full map is documented in COVERAGE.md §"Driver correctness window".
+# Out-of-window queries are NOT soft-gated: test_oracle_parity runs in the
+# mandatory `make test` suite, so a regression there is a hard pytest
+# failure even though it won't appear in CORRECTNESS_r{N}.json — if the
+# driver window ever widens past 50, drop this curation and register in
+# natural order.
 _DRIVER_WINDOW = [
     # relational / pipeline core (o4_union_orders rotated out for the
     # formatter-path probe: its class is also pinned by the K5 sink tests

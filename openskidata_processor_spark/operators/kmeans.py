@@ -14,13 +14,19 @@ distributed:
   doubles, regardless of corpus size.
 - **Assignment is one numpy GEMM per Arrow batch** (‖v−c‖² expanded to
   v·v + c·c − 2·v·c), not a per-row loop.
-- **Deterministic and cross-engine reproducible**: init is the k
-  smallest ids' vectors; every centroid (including init) is rounded to
-  ``decimals`` after each update, so the engine's float-sum
-  nondeterminism (partial-agg order) is quantized away and a sequential
-  SQL oracle (DuckDB, unrolled iterations) reproduces every assignment
-  exactly.  Ties break to the smallest cluster index on both sides.
-  Empty clusters keep their previous (rounded) centroid.
+- **Deterministic across runs, reproducible cross-engine with high
+  probability**: init is the k smallest ids' vectors; driver-side
+  accumulation sorts each cluster's partial vectors lexicographically
+  before summing (order-independent regardless of collect order), and
+  every centroid (including init) is rounded to ``decimals`` after each
+  update so partial-agg float drift is quantized away.  Ties break to the
+  smallest cluster index on both sides.  Empty clusters keep their
+  previous (rounded) centroid.  The cross-engine (DuckDB oracle) claim is
+  PROBABILISTIC, not absolute: a mean landing within ~5e-7 of a rounding
+  boundary, or two centroids near-equidistant from a vector (BLAS GEMM vs
+  sequential-SQL distance), can still flip — measure-zero events on
+  continuous data, asserted empirically by the parity test, not
+  guaranteed by construction.
 
 Reference anchor: the engine-side twin of the reference's external
 clustering dependencies (SURVEY §2.9 uses CC for ski areas; k-means is
@@ -70,6 +76,9 @@ def kmeans_fit(df: DataFrame, k: int, n_iter: int,
     """
     seed_rows = (df.select(id_col, vec_col).orderBy(id_col).limit(k)
                  .collect())                      # bounded k-row collect
+    if not seed_rows:
+        raise ValueError("kmeans_fit: input DataFrame is empty")
+    k = min(k, len(seed_rows))                    # fewer rows than k: clamp
     C = np.round(np.stack([np.asarray(r[1], dtype=np.float64)
                            for r in seed_rows]), decimals)
 
@@ -79,9 +88,17 @@ def kmeans_fit(df: DataFrame, k: int, n_iter: int,
             f"cluster int, n long, s array<double>").collect()
         counts = np.zeros(k, dtype=np.int64)
         sums = np.zeros_like(C)
+        # Sort each cluster's partial vectors before summing so the
+        # accumulated double is independent of collect order (collect
+        # returns partitions in completion-dependent order on a cluster).
+        by_cluster: dict[int, list] = {}
         for r in partials:                        # ≤ partitions × k rows
             counts[r.cluster] += r.n
-            sums[r.cluster] += np.asarray(r.s, dtype=np.float64)
+            by_cluster.setdefault(r.cluster, []).append(
+                np.asarray(r.s, dtype=np.float64))
+        for c, vecs in by_cluster.items():
+            for v in sorted(vecs, key=lambda a: a.tobytes()):
+                sums[c] += v
         nonempty = counts > 0
         C = C.copy()
         C[nonempty] = np.round(

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 
 import pandas as pd
 
@@ -201,7 +202,15 @@ def _cover_udf(cell_deg: float, pad_cells: int, radius_km: float = 0.0):
 # detected from a fixed-seed 5% row sample so the (Python) covering-cells
 # UDF does not pay a full second pass; results are identical either way
 # (the dedup + exact predicate sit downstream of the join).
-HOT_CELL_ROWS = 8000
+#
+# Threshold sits at the MEASURED local[32] crossover (16k objects/cell:
+# salting break-even; 8k: salting ~34% slower; 24k: salting 14% faster and
+# the gap grows quadratically).  Below the crossover the SALTS× replication
+# tax outweighs the serial-task win on a single node; the
+# shuffle-disk-funneling argument for salting earlier on a real cluster is
+# plausible but unmeasured, so it does not move the default — tune via
+# OPENSKIDATA_HOT_CELL_ROWS per deployment instead.
+HOT_CELL_ROWS = int(os.environ.get("OPENSKIDATA_HOT_CELL_ROWS", "16000"))
 HOT_CELL_SALTS = 8
 HOT_SAMPLE = 0.05
 

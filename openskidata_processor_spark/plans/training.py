@@ -397,8 +397,11 @@ def _kmeans_oracle() -> str:
     def recenter(assign_table, prev_table, out):
         return f"""
 {out}_m AS (
+  -- dim derived from the data, not hardcoded: a testdata dim change must
+  -- not silently skew centroids via out-of-range v[i] NULLs
   SELECT cluster, i, round(avg(v[i]), 6) AS x
-  FROM {assign_table}, (SELECT unnest(generate_series(1, 64)) AS i)
+  FROM {assign_table},
+       (SELECT unnest(generate_series(1, (SELECT max(len(v)) FROM e))) AS i)
   GROUP BY cluster, i
 ), {out} AS (
   SELECT p.cluster,

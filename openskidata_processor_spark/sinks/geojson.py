@@ -46,10 +46,13 @@ def write_feature_jsonl(df: DataFrame, path: str,
 def write_feature_collection(df: DataFrame, path: str,
                              geometry_col: str = "geometry") -> None:
     """Single FeatureCollection file, id-ordered (reference parity)."""
+    # toLocalIterator keeps driver memory bounded to one partition at a
+    # time (single-file FC output at any layer size); prefetchPartitions
+    # overlaps the next partition's fetch job with driver-side writing.
     rows = (feature_json(df, geometry_col)
             .orderBy("__id")
             .select("feature")
-            .toLocalIterator())
+            .toLocalIterator(prefetchPartitions=True))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
         f.write('{"type":"FeatureCollection","features":[')
@@ -275,7 +278,7 @@ def write_reference_feature_collection(df: DataFrame, path: str,
                                        geometry_col: str = "geometry") -> None:
     """Single reference-contract FeatureCollection file, id-ordered."""
     rows = (reference_feature_json(df, ski_areas, geometry_col)
-            .orderBy("__id").select("feature").toLocalIterator())
+            .orderBy("__id").select("feature").toLocalIterator(prefetchPartitions=True))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
         f.write('{"type":"FeatureCollection","features":[')

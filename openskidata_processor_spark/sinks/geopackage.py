@@ -150,7 +150,7 @@ def write_geopackage(layers: dict[str, DataFrame], path: str,
                 return json.dumps(v, sort_keys=True, default=str)
             return str(v)
 
-        rows = df.select(geometry_col, *cols).toLocalIterator()
+        rows = df.select(geometry_col, *cols).toLocalIterator(prefetchPartitions=True)
         batch = []
         for r in rows:
             geom = json.loads(r[geometry_col])

@@ -7,6 +7,15 @@ below.  A regression anywhere in the 10-pass pipeline — formatter, join,
 normalization, clustering, statistics, viewport hints, any sink — flips a
 hash here.
 
+Cost profile (measured, local[8]): the pipeline executes ONCE — the output
+layers are eagerly localCheckpointed inside ``prepare`` — at ~88 s; the two
+``write_outputs`` passes (flat + reference shape) replay only sink-side
+transforms from the checkpoints (~80 s combined, dominated by fixed per-job
+overhead across ~120 tiny actions, not recompute).  Probed alternatives:
+shuffle.partitions=1 saves nothing and flips the GeoPackage hash
+(fid-assignment is partition-order-sensitive); AQE off is 1.4× SLOWER
+(coalescing pays even at this size).  Keep the session defaults.
+
 Canonicalization (why hashes are stable across runs): floats are rounded to
 6 decimals before hashing (absorbs last-ulp drift from partial-aggregate
 merge order, catches any real change ≥ 1e-6), JSON is re-dumped with sorted

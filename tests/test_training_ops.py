@@ -384,3 +384,22 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assert assign.count() == 4
     # the two distinct locations dominate; all points well-assigned
     assert all(r.d2 <= 0.25 for r in assign.collect())
+
+
+def test_kmeans_fewer_rows_than_k_clamps(spark):
+    """k > row count must clamp to the seed count, not IndexError on the
+    counts/nonempty mask mismatch; empty input raises a clear error."""
+    import pytest as _pytest
+
+    from openskidata_processor_spark.operators.kmeans import kmeans_fit
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])],
+        "vec_id long, embedding array<double>")
+    cents, assign = kmeans_fit(df, k=5, n_iter=2)
+    assert cents.shape == (2, 2)
+    rows = sorted((r.vec_id, r.cluster, r.d2) for r in assign.collect())
+    assert [(v, c) for v, c, _ in rows] == [(0, 0), (1, 1)]
+    assert all(d2 == 0.0 for _, _, d2 in rows)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="empty"):
+        kmeans_fit(empty, k=3, n_iter=1)
