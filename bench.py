@@ -78,6 +78,7 @@ EXTENDED_QUERIES = [
     "pack_concat_bins",
     "multimodal_resize_stats",
     "kmeans_clusters",
+    "bm25_topk_docs",
 ]
 
 

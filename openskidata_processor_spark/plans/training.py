@@ -184,6 +184,82 @@ WHERE tf.tf >= 3
 
 
 # ---------------------------------------------------------------------------
+# BM25 top-k retrieval — exact-integer variant (oracle-checkable)
+# ---------------------------------------------------------------------------
+
+# The benchmark-probe query set a decontamination pass would use; tiny by
+# construction, broadcast onto the posting list inside bm25_topk.
+BM25_QUERIES = [
+    (1, "spark window agg"),
+    (2, "customer order query"),
+    (3, "hash join table"),
+    (4, "slow scan vector"),
+]
+
+
+@query("bm25_topk_docs")
+def bm25_topk_docs(spark, sf_dir):
+    """Top-10 documents per probe query under exact-integer BM25
+    (operators/bm25.py): one posting-list shuffle, query terms broadcast,
+    per-term scores quantized to 1e-6 and summed as integers so the rank
+    and score are deterministic under any aggregation order."""
+    from ..operators.bm25 import bm25_topk
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(BM25_QUERIES,
+                                    "query_id int, query_text string")
+    return bm25_topk(docs, queries, k=10, variant="exact")
+
+
+def _bm25_oracle() -> str:
+    qvals = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n, sum(dl) AS t FROM dl
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), qraw(query_id, query_text) AS (VALUES {qvals}),
+q AS (
+  SELECT DISTINCT query_id,
+         unnest(regexp_extract_all(lower(query_text), '[a-z]+')) AS term
+  FROM qraw
+), cand AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(round(
+           ((2*s.n - 2*dfreq.df + 1) * (22 * s.t * tf.tf))
+           / ((2*dfreq.df + 1) * (10 * s.t * tf.tf + 3 * s.t
+                                  + 9 * dl.dl * s.n))
+           * 1000000, 0) AS BIGINT) AS s_int
+  FROM q
+  JOIN tf USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+), sc AS (
+  SELECT query_id, doc_id, sum(s_int) AS s_int
+  FROM cand GROUP BY query_id, doc_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY s_int DESC, doc_id) AS INT) AS rank,
+       doc_id,
+       s_int / 1000000.0 AS score
+FROM sc
+QUALIFY rank <= 10
+"""
+
+
+ORACLES["bm25_topk_docs"] = _bm25_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Approximate sketches — HLL distinct + t-digest median (no oracle: the
 # estimates are implementation-defined; tests/test_training_ops.py pins the
 # relative-error bound against the exact answers instead)

@@ -60,8 +60,9 @@ def test_filter_pushdown_reaches_scan(spark):
 
 def test_dimension_joins_broadcast(spark):
     """Small-dimension joins must plan as broadcast joins, not
-    shuffle/sort-merge (j1: the `sites` dim side; knn: the query side)."""
-    for name in ("j1_membership_rollup", "knn_cosine"):
+    shuffle/sort-merge (j1: the `sites` dim side; knn: the query side;
+    bm25: the exploded query-term side onto the posting list)."""
+    for name in ("j1_membership_rollup", "knn_cosine", "bm25_topk_docs"):
         plan = _plan(QUERIES[name](spark, SF_SMOKE))
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
 
