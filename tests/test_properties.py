@@ -164,3 +164,109 @@ def test_next_fit_packing_invariants(weights, budget):
             prev_fill = sum(w for w, b in zip(weights[:i], bins[:i])
                             if b == bins[i - 1])
             assert prev_fill + weights[i] > budget
+
+
+# ---------------------------------------------------------------------------
+# Geometry kernels (functions/geometry.py) — the pure-Python cores the
+# Arrow-batched spatial stages call.
+# ---------------------------------------------------------------------------
+
+_lon = st.floats(-179, 179, allow_nan=False)
+_lat = st.floats(-85, 85, allow_nan=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_lon, _lat, _lon, _lat, _lon, _lat)
+def test_haversine_is_a_metric(x1, y1, x2, y2, x3, y3):
+    from openskidata_processor_spark.functions.geometry import (
+        haversine_point_km)
+    a, b, c = [x1, y1], [x2, y2], [x3, y3]
+    assert haversine_point_km(a, a) == 0.0
+    dab = haversine_point_km(a, b)
+    assert dab >= 0.0
+    assert abs(dab - haversine_point_km(b, a)) < 1e-9
+    # triangle inequality (great-circle distance is a metric)
+    assert dab <= haversine_point_km(a, c) + haversine_point_km(c, b) + 1e-6
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(st.floats(10.0, 10.2), st.floats(46.0, 46.2)),
+                min_size=2, max_size=8),
+       st.floats(0.05, 3.0))
+def test_points_along_line_invariants(pts, interval):
+    """Endpooints always included; consecutive samples never farther apart
+    (crow-flies) than the sampling interval by more than interpolation
+    slack; every sample stays inside the line's bbox."""
+    from openskidata_processor_spark.functions.geometry import (
+        haversine_point_km, points_along_geometry)
+    coords = [[x, y] for x, y in pts]
+    geom = {"type": "LineString", "coordinates": coords}
+    out = points_along_geometry(geom, interval)
+    assert out, "sampler returned nothing"
+    r9 = lambda p: (round(p[0], 9), round(p[1], 9))
+    assert r9(out[0]) == r9(coords[0])
+    assert r9(out[-1]) in {r9(c) for c in coords} | {r9(out[-1])}
+    # last original vertex survives dedupe somewhere in the output
+    assert r9(coords[-1]) in {r9(p) for p in out}
+    xs = [c[0] for c in coords]; ys = [c[1] for c in coords]
+    for p in out:
+        assert min(xs) - 1e-9 <= p[0] <= max(xs) + 1e-9
+        assert min(ys) - 1e-9 <= p[1] <= max(ys) + 1e-9
+    for p, q in zip(out, out[1:]):
+        assert haversine_point_km(p, q) <= interval * 1.01 + 1e-6
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.integers(3, 10), st.floats(0.01, 0.5), st.floats(0, 6.28),
+       st.integers(0, 9))
+def test_point_in_convex_ring(n, radius, phase, rot):
+    """Center of a convex ring is inside; far points are outside; the
+    verdict is invariant to which vertex starts the ring."""
+    import math as m
+
+    from openskidata_processor_spark.functions.geometry import point_in_ring
+    cx, cy = 11.0, 47.0
+    ring = [[cx + radius * m.cos(phase + 2 * m.pi * i / n),
+             cy + radius * m.sin(phase + 2 * m.pi * i / n)]
+            for i in range(n)]
+    rotated = ring[rot % n:] + ring[:rot % n]
+    assert point_in_ring(cx, cy, ring)
+    assert point_in_ring(cx, cy, rotated)
+    assert not point_in_ring(cx + 3 * radius, cy, ring)
+    assert not point_in_ring(cx, cy - 3 * radius, rotated)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(st.floats(-10, 10), st.floats(40, 50)),
+                min_size=1, max_size=12),
+       st.floats(0.01, 1.0))
+def test_covering_cells_cover_every_vertex(pts, cell):
+    import math as m
+
+    from openskidata_processor_spark.functions.geometry import covering_cells
+    geom = {"type": "MultiPoint", "coordinates": [[x, y] for x, y in pts]}
+    cells = set(covering_cells(geom, cell))
+    for x, y in pts:
+        assert (m.floor(x / cell), m.floor(y / cell)) in cells
+    xs = sorted({c[0] for c in cells}); ys = sorted({c[1] for c in cells})
+    # bbox cover is a full rectangle of cells
+    assert len(cells) == len(xs) * len(ys)
+    assert xs == list(range(xs[0], xs[-1] + 1))
+    assert ys == list(range(ys[0], ys[-1] + 1))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.floats(10.0, 10.05), st.floats(46.0, 46.05),
+       st.lists(st.tuples(st.floats(10.0, 10.05), st.floats(46.0, 46.05)),
+                min_size=2, max_size=6))
+def test_snap_point_never_worse_than_vertices(px, py, pts):
+    """The snapped position is at least as close (geodesically, up to the
+    equirectangular approximation's slack) as the nearest line VERTEX."""
+    from openskidata_processor_spark.functions.geometry import (
+        haversine_point_km, snap_point_to_line)
+    coords = [[x, y] for x, y in pts]
+    geom = {"type": "LineString", "coordinates": coords}
+    snapped = snap_point_to_line([px, py], geom)
+    d_snap = haversine_point_km([px, py], snapped)
+    d_best_vertex = min(haversine_point_km([px, py], c) for c in coords)
+    assert d_snap <= d_best_vertex * 1.001 + 1e-9
