@@ -93,6 +93,13 @@ E2E_SIZES = (50, 500)
 
 
 def run_e2e_prepare(spark, n_resorts: int) -> float:
+    # Measured cost split (local[32], 50 resorts): ~40% is ONE-TIME
+    # Catalyst optimization + janino codegen of the wide formatter
+    # projections (first materialization of format_runs: 7.7 s vs 1.5 s
+    # steady-state) — a per-session cost a real deployment amortizes over
+    # hours.  Deliberately NOT warmed up away: the e2e entries stay
+    # cold-start for longitudinal comparability, and the 500/50 ratio
+    # nets the fixed cost out (ratio < 2 = flat per-resort marginal).
     from openskidata_processor_spark.pipeline.prepare import prepare
     from openskidata_processor_spark.sources.synthetic import resort_grid
 

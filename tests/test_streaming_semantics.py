@@ -61,3 +61,53 @@ def test_append_mode_emits_closed_windows_and_drops_late(spark, tmp_path):
     # [12:00) never finalizes (watermark stops at 12:15 < its 13:00 end)
     assert not any(k[0] == "2024-01-01 12:00:00" for k in rows)
     assert len(rows) == 2
+
+
+def test_lake_ingest_restart_exactly_once(spark, tmp_path):
+    """Checkpointed file-sink ingest across THREE separate availableNow
+    drains with the same checkpoint: new files land exactly once, replays
+    with no new data are no-ops, and nothing is double-committed — the
+    restart/recovery contract a durable lake pipeline needs (the
+    stream_lake_ingest catalog query covers one drain; this covers the
+    resume path)."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    data_dir = str(tmp_path / "lake")
+    ckpt_dir = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (spark.readStream
+                  .schema("ts timestamp, event_type string")
+                  .parquet(str(src)))
+        q = (stream.withColumn("day", F.to_date("ts"))
+             .writeStream.format("parquet")
+             .option("path", data_dir)
+             .option("checkpointLocation", ckpt_dir)
+             .partitionBy("day")
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        back = spark.read.parquet(data_dir)
+        return sorted((str(r["day"]), r["event_type"], r["n"]) for r in
+                      back.groupBy("day", "event_type")
+                          .agg(F.count("*").alias("n")).collect())
+
+    _write(str(src / "b1.parquet"),
+           [("2024-01-01T10:00:00", "click"),
+            ("2024-01-01T11:00:00", "click"),
+            ("2024-01-02T09:00:00", "view")], mtime=1_700_000_000)
+    assert drain() == [("2024-01-01", "click", 2), ("2024-01-02", "view", 1)]
+
+    _write(str(src / "b2.parquet"),
+           [("2024-01-01T12:00:00", "click"),
+            ("2024-01-03T08:00:00", "buy")], mtime=1_700_000_100)
+    after_two = drain()
+    assert after_two == [("2024-01-01", "click", 3),
+                         ("2024-01-02", "view", 1),
+                         ("2024-01-03", "buy", 1)]
+
+    # replay with no new input: committed batches must not re-apply
+    assert drain() == after_two
