@@ -289,8 +289,8 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
-def near_dup_groups(df: DataFrame, id_col: str,
-                    pairs: DataFrame) -> DataFrame:
+def near_dup_groups(df: DataFrame, id_col: str, pairs: DataFrame,
+                    quality_col: str | None = None) -> DataFrame:
     """Resolve near-duplicate PAIRS into dedup GROUPS — the step that
     turns any pair-producing family (ngram/minhash/simhash/embedding)
     into the actual pipeline output: which documents to keep.
@@ -298,23 +298,41 @@ def near_dup_groups(df: DataFrame, id_col: str,
     Connected components over the pair graph (near-duplication is not
     transitive, but dedup treats it as such — the standard corpus-dedup
     policy: A≈B and B≈C ⇒ {A,B,C} are one group); ``group_id`` is the
-    minimum doc id in the component, ``keep`` marks that canonical
-    representative (keep-first policy, matching ``exact_duplicates``).
-    Documents in no pair are their own group with ``keep=true``.
+    minimum doc id in the component.  ``keep`` marks the canonical
+    representative: by default the min-id document (keep-first policy,
+    matching ``exact_duplicates``); with ``quality_col``, the
+    highest-quality member instead (ties → smallest id) — the
+    keep-best policy a training pipeline uses when a quality score
+    exists.  Documents in no pair are their own group with ``keep=true``.
 
     Ids must be integers — the CC operator's numeric fast path keeps them
     as 8-byte longs end to end (no string padding, no hash/vocab joins).
+    The keep-best pass adds one map-side-combining aggregate over the
+    group table (group-count-sized) and one join back — both bounded by
+    the corpus, no quadratic stage.
     """
     from .graph import connected_components
 
     edges = pairs.select(F.col("id_a").cast("long").alias("src"),
                          F.col("id_b").cast("long").alias("dst"))
     comp = connected_components(edges)
-    base = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    cols = [F.col(id_col).cast("long").alias("doc_id")]
+    if quality_col is not None:
+        cols.append(F.col(quality_col).alias("__q"))
+    base = df.select(*cols)
     out = base.join(comp, base["doc_id"] == comp["vertex"], "left")
     group = F.coalesce(F.col("component"), F.col("doc_id"))
-    return out.select("doc_id", group.alias("group_id"),
-                      (group == F.col("doc_id")).alias("keep"))
+    if quality_col is None:
+        return out.select("doc_id", group.alias("group_id"),
+                          (group == F.col("doc_id")).alias("keep"))
+    resolved = out.select("doc_id", group.alias("group_id"), "__q")
+    # max_by over (quality, -id): highest quality wins, ties to min id
+    best = (resolved.groupBy("group_id")
+            .agg(F.max_by("doc_id", F.struct(F.col("__q"), -F.col("doc_id")))
+                 .alias("__keep_id")))
+    return (resolved.join(best, "group_id")
+            .select("doc_id", "group_id",
+                    (F.col("doc_id") == F.col("__keep_id")).alias("keep")))
 
 
 def simhash_from_hashes(hashes: Column, num_bits: int = 64) -> Column:

@@ -403,3 +403,27 @@ def test_kmeans_fewer_rows_than_k_clamps(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with _pytest.raises(ValueError, match="empty"):
         kmeans_fit(empty, k=3, n_iter=1)
+
+
+def test_near_dup_groups_keep_best_quality(spark):
+    """quality_col switches the canonical representative from min-id to
+    highest-quality (ties -> smallest id); singletons always keep."""
+    from openskidata_processor_spark.operators.dedup import near_dup_groups
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (10, 0.1)],
+        "doc_id long, quality double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+
+    first = {r.doc_id: (r.group_id, r.keep) for r in
+             near_dup_groups(docs, "doc_id", pairs).collect()}
+    assert first == {1: (1, True), 2: (1, False), 3: (1, False),
+                     4: (1, False), 10: (10, True)}
+
+    best = {r.doc_id: (r.group_id, r.keep) for r in
+            near_dup_groups(docs, "doc_id", pairs,
+                            quality_col="quality").collect()}
+    # group_id identity unchanged (min id); keep moves to quality argmax
+    # with the 0.9-tie broken to the smaller id (2, not 3)
+    assert best == {1: (1, False), 2: (1, True), 3: (1, False),
+                    4: (1, False), 10: (10, True)}
