@@ -111,3 +111,31 @@ def test_map_element_at_missing_key_null_safe(spark):
 def test_sessions_pin_ansi(spark):
     # The engine's semantics are tested under ANSI; session.py pins it.
     assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+
+
+def test_assemble_ways_degenerate_inputs_dont_throw(spark):
+    """Ways with unresolvable node refs (dropped by the inner join) or a
+    single resolvable node (dropped by the size filter) must vanish
+    cleanly — the ring-closure probe coords[0] == element_at(coords, -1)
+    is only ever evaluated on groups with >= 1 element, so ANSI mode has
+    nothing to throw on.  Pins the repo-wide element_at audit."""
+    from openskidata_processor_spark.sources.osm import assemble_ways
+    schema = ("type string, id long, lat double, lon double, "
+              "nodes array<long>, "
+              "members array<struct<type:string, ref:long, role:string>>, "
+              "tags map<string,string>")
+    elements = spark.createDataFrame([
+        ("node", 1, 47.0, 11.0, None, None, {}),
+        ("node", 2, 47.01, 11.01, None, None, {}),
+        # all refs unresolvable
+        ("way", 100, None, None, [991, 992], None, {"piste:type": "downhill"}),
+        # one resolvable node -> size-1 coords, filtered out
+        ("way", 101, None, None, [1, 993], None, {"piste:type": "downhill"}),
+        # normal 2-node way survives
+        ("way", 102, None, None, [1, 2], None, {"piste:type": "downhill"}),
+        # degenerate "closed" pair 1-1 (size 2, first == last, not polygon)
+        ("way", 103, None, None, [1, 1], None, {"landuse": "winter_sports"}),
+    ], schema)
+    out = {r.osm_id: r for r in assemble_ways(elements).collect()}
+    assert set(out) == {102, 103}
+    assert '"LineString"' in out[102].geometry
