@@ -439,7 +439,8 @@ def cluster_ski_areas(ski_areas: DataFrame, runs: DataFrame,
         "wikidata_id", "run_convention", "geometry",
         F.get_json_object("geometry", "$.type").isin("Polygon", "MultiPolygon")
             .alias("is_polygon"),
-        (F.col("sources")[0]["type"]).alias("source"))
+        # null-safe first-source probe (ANSI: [0] on empty would throw)
+        F.get(F.col("sources"), 0)["type"].alias("source"))
         .transform(_cut))
 
     # Pass 1 — site ski areas: geometry + activities from members.

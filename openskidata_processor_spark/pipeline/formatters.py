@@ -485,7 +485,9 @@ def attach_site_ski_areas(layer: DataFrame, sites: DataFrame,
     the feature layers."""
     site_ids = format_ski_areas_sites(sites).select(
         F.col("id").alias("__site_feature_id"),
-        F.col("sources")[0]["id"].alias("__site_osm_id"))
+        # F.get: formatters always emit >= 1 source, but a violated
+        # invariant must surface as a null join-miss, not an ANSI throw
+        F.get(F.col("sources"), 0)["id"].alias("__site_osm_id"))
 
     members = sites.select(
         F.concat_ws("/", F.lit("relation"), F.col("site_id"))
