@@ -73,3 +73,78 @@ def test_live_listing_probe():  # pragma: no cover
     client = nsidc.NSIDCClient(token=os.environ.get("EARTHDATA_TOKEN"))
     url = client.find_exact_url(18, 4, datetime.date(2024, 2, 1))
     assert url is None or url.endswith(".h5")
+
+
+class TestLocalHTTPArchive:
+    """The full client path against a LOCAL stdlib http.server standing in
+    for the DAAC archive: listing scrape, download, run-cache reuse,
+    unpublished-date miss, and the Authorization header — the network
+    contract tested without the network (the live probe above stays
+    env-gated for real-archive drift)."""
+
+    @pytest.fixture()
+    def archive(self, tmp_path):
+        import http.server
+        import threading
+
+        from openskidata_processor_spark.sources.nsidc import (
+            filename_pattern, week_to_date)
+
+        date = week_to_date(2024, 3)
+        name = filename_pattern(12, 4, date) + ".002.2024032104532.h5"
+        body = b"\x89HDF-fake-bytes"
+        listing = (f'<html><a href="junk.xml">x</a>'
+                   f'<a href="{name}">{name}</a></html>').encode()
+        dirpart = f"/{date.strftime('%Y.%m.%d')}/"
+        seen = {"auth": [], "paths": []}
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                seen["auth"].append(self.headers.get("Authorization"))
+                seen["paths"].append(self.path)
+                if self.path == dirpart:
+                    payload = listing
+                elif self.path == dirpart + name:
+                    payload = body
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield {"url": f"http://127.0.0.1:{srv.server_address[1]}",
+               "date": date, "name": name, "body": body, "seen": seen,
+               "cache": str(tmp_path / "cache")}
+        srv.shutdown()
+
+    def test_find_download_cache_and_miss(self, archive, tmp_path):
+        import datetime
+
+        from openskidata_processor_spark.sources.nsidc import NSIDCClient
+        os.makedirs(archive["cache"], exist_ok=True)
+        c = NSIDCClient(base_url=archive["url"], token="tok-123",
+                        cache_dir=archive["cache"], timeout_s=10)
+        url = c.find_exact_url(12, 4, archive["date"])
+        assert url is not None and url.endswith(archive["name"])
+
+        path = c.download_hdf(12, 4, archive["date"])
+        assert path is not None and os.path.basename(path) == archive["name"]
+        with open(path, "rb") as fh:
+            assert fh.read() == archive["body"]
+
+        n_before = len(archive["seen"]["paths"])
+        assert c.download_hdf(12, 4, archive["date"]) == path
+        assert len(archive["seen"]["paths"]) == n_before  # cache hit, no HTTP
+
+        # unpublished date -> listing 404 -> clean miss
+        assert c.download_hdf(12, 4, datetime.date(2024, 6, 1)) is None
+        # bearer token rode along on every request
+        assert set(archive["seen"]["auth"]) == {"Bearer tok-123"}

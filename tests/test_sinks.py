@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sqlite3
 
@@ -288,6 +289,48 @@ class TestMergeOutputs:
         (d2 / "csv" / "runs" / "part-00000.csv").write_text("other,hdr\nx,y\n")
         with pytest.raises(ValueError, match="header mismatch"):
             merge_outputs([str(d1), str(d2)], str(tmp_path / "m2"))
+
+    def test_generate_tiles_with_stub_binaries(self, tmp_path, monkeypatch):
+        """The engine side of the K4 contract — command construction, zoom
+        ranges, layer names, invocation order, produced-file list — tested
+        with PATH-stubbed tippecanoe/tile-join that log argv and touch
+        their -o target.  The real-binary test below stays env-gated; this
+        one always runs."""
+        from openskidata_processor_spark.sinks.merge import generate_tiles
+        bin_dir = tmp_path / "bin"
+        bin_dir.mkdir()
+        log = tmp_path / "argv.log"
+        stub = ("#!/bin/sh\n"
+                f"echo \"$0 $@\" >> {log}\n"
+                'prev=""\n'
+                'for a in "$@"; do\n'
+                '  if [ "$prev" = "-o" ]; then touch "$a"; fi\n'
+                '  prev="$a"\n'
+                "done\n")
+        for name in ("tippecanoe", "tile-join"):
+            sb = bin_dir / name
+            sb.write_text(stub)
+            sb.chmod(0o755)
+        monkeypatch.setenv("PATH", f"{bin_dir}:{os.environ['PATH']}")
+
+        out = tmp_path / "out"
+        out.mkdir()
+        produced = generate_tiles(str(out))
+        assert produced == [f"{out}/lifts.mbtiles", f"{out}/runs.mbtiles",
+                            f"{out}/ski_areas.mbtiles",
+                            f"{out}/openskimap.mbtiles"]
+        for f in produced:
+            assert os.path.exists(f)
+        lines = log.read_text().strip().splitlines()
+        assert len(lines) == 4
+        # zoom-range + layer contract (TilesGenerator.ts:21-58)
+        assert "-Z 5 -z 15 -l lifts" in lines[0]
+        assert "-Z 9 -z 15 -l runs" in lines[1]
+        assert "-Z 0 -z 15 -l skiareas" in lines[2]
+        assert lines[3].endswith(f"{out}/lifts.mbtiles {out}/runs.mbtiles "
+                                 f"{out}/ski_areas.mbtiles")
+        assert all("tippecanoe" in ln for ln in lines[:3])
+        assert "tile-join" in lines[3]
 
     @pytest.mark.skipif(shutil.which("tippecanoe") is None
                         or shutil.which("tile-join") is None,
