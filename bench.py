@@ -79,6 +79,7 @@ EXTENDED_QUERIES = [
     "multimodal_resize_stats",
     "kmeans_clusters",
     "bm25_topk_docs",
+    "stream_dedup_bounded",
 ]
 
 

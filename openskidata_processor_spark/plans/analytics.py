@@ -555,6 +555,17 @@ def stream_event_counts_append(spark, sf_dir):
                                         glob_filter="events.parquet")
 
 
+@query("stream_dedup_bounded")
+def stream_dedup_bounded(spark, sf_dir):
+    """Watermark-bounded streaming dedup (dropDuplicatesWithinWatermark)
+    over a self-unioned event stream: state holds a key only until the
+    watermark passes it, so a tail-follower's store is bounded by the
+    delay window, not the corpus (``streaming/events.py``,
+    ``bounded_dedup_event_counts``)."""
+    from ..streaming.events import bounded_dedup_event_counts
+    return bounded_dedup_event_counts(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Approximate operators (no SQL oracle — driver does rows-only checks)
 # ---------------------------------------------------------------------------

@@ -342,6 +342,13 @@ FROM pairs WHERE d < 100.0
 GROUP BY c_nationkey
 """
 
+# Self-union doubles every event; bounded dedup on event_id restores the
+# distinct set, so the drained result is the plain batch distinct count.
+ORACLES["stream_dedup_bounded"] = """
+SELECT event_type, count(DISTINCT event_id) AS n_unique
+FROM events GROUP BY event_type
+"""
+
 ORACLES["stream_event_counts"] = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events

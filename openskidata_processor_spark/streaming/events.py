@@ -284,6 +284,47 @@ def stream_stream_click_purchase_join(spark: SparkSession,
     return spark.table(name)
 
 
+def bounded_dedup_event_counts(spark: SparkSession, sf_dir: str,
+                               watermark: str = "2 hours") -> DataFrame:
+    """Watermark-BOUNDED streaming dedup: ``dropDuplicatesWithinWatermark``
+    keyed on (event_id) over a self-unioned event stream (every row arrives
+    twice), so the state store holds each key only until the watermark
+    passes it — the production answer to the unbounded-state caveat on
+    ``streaming/documents.py`` (plain ``dropDuplicates`` keeps ALL keys
+    forever; a 100 TB tail-follower cannot).
+
+    Output: (event_type, n_unique) — duplicates from the self-union land in
+    the same micro-batch, well inside any watermark, so the drained result
+    is exactly the batch ``count(DISTINCT event_id)`` per type
+    (DuckDB-oracle-checkable) while state stays bounded by the delay
+    window instead of the corpus.
+    """
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_file = f"{sf_dir}/events.parquet"
+    schema = _ntz_to_ltz(spark.read.parquet(events_file).schema)
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    if isinstance(schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    doubled = stream.unionByName(stream)
+    deduped = (doubled
+               .select("event_id", "event_type", "ts")
+               .withWatermark("ts", watermark)
+               .dropDuplicatesWithinWatermark(["event_id"]))
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+    name = f"stream_bdedup_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def stream_lake_ingest(spark: SparkSession, sf_dir: str,
                        out_dir: str | None = None) -> DataFrame:
     """Streaming lakehouse ingest — the durable WRITE path (every other

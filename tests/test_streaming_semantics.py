@@ -111,3 +111,52 @@ def test_lake_ingest_restart_exactly_once(spark, tmp_path):
 
     # replay with no new input: committed batches must not re-apply
     assert drain() == after_two
+
+
+def test_bounded_dedup_evicts_state_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must EVICT keys once the watermark
+    passes them — the state store after a multi-batch drain holds only the
+    tail window, not every key ever seen (the 100 TB tail-follower
+    requirement; plain dropDuplicates would hold all 60)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "events"
+    src.mkdir()
+    base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    # 3 files x 20 unique keys, one hour apart, forced mtime order
+    for b in range(3):
+        ids = list(range(b * 20, b * 20 + 20))
+        ts = [base + datetime.timedelta(hours=b, seconds=i) for i in ids]
+        pq.write_table(pa.table({
+            "event_id": pa.array(ids, type=pa.int64()),
+            "ts": pa.array(ts, type=pa.timestamp("us", tz="UTC")),
+        }), str(src / f"b{b}.parquet"))
+        os.utime(str(src / f"b{b}.parquet"),
+                 (1_700_000_000 + b, 1_700_000_000 + b))
+
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src)))
+    doubled = stream.unionByName(stream)
+    deduped = (doubled.withWatermark("ts", "10 minutes")
+               .dropDuplicatesWithinWatermark(["event_id"]))
+    q = (deduped.groupBy().agg(F.count("*").alias("n"))
+         .writeStream.format("memory").queryName("bdedup_evict")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    # correctness: every key exactly once despite the self-union
+    assert spark.table("bdedup_evict").collect()[0]["n"] == 60
+    # boundedness: dedup state kept only the un-evicted tail, not all 60
+    progress = q.recentProgress
+    state_rows = [
+        op["numRowsTotal"] for p in progress
+        for op in p["stateOperators"]
+        if "dedupe" in op.get("operatorName", "").lower()]
+    assert state_rows, "no dedupe state operator in query progress"
+    assert min(state_rows[-1:]) < 60, (
+        f"state held {state_rows} rows — no eviction happened")
