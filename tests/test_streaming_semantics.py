@@ -160,3 +160,52 @@ def test_bounded_dedup_evicts_state_across_batches(spark, tmp_path):
     assert state_rows, "no dedupe state operator in query progress"
     assert min(state_rows[-1:]) < 60, (
         f"state held {state_rows} rows — no eviction happened")
+
+
+def test_stateful_query_runs_on_rocksdb_state_store(spark, tmp_path):
+    """Production streaming state lives in the RocksDB provider (bounded
+    heap, incremental checkpoints), not the default in-memory HDFS-backed
+    store. Pin that our stateful pipeline shape actually runs on it and
+    produces identical results."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    ids = list(range(30))
+    pq.write_table(pa.table({
+        "event_id": pa.array(ids + ids, type=pa.int64()),  # dupes inline
+        "ts": pa.array([base + datetime.timedelta(seconds=i)
+                        for i in ids + ids],
+                       type=pa.timestamp("us", tz="UTC")),
+    }), str(src / "b0.parquet"))
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        stream = (spark.readStream
+                  .schema("event_id long, ts timestamp")
+                  .parquet(str(src)))
+        deduped = (stream.withWatermark("ts", "10 minutes")
+                   .dropDuplicatesWithinWatermark(["event_id"]))
+        q = (deduped.groupBy().agg(F.count("*").alias("n"))
+             .writeStream.format("memory").queryName("rocksdb_dedup")
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+        # a bad provider class fails the query at state-store init, so a
+        # clean drain with the right count IS the proof the path works
+        assert spark.table("rocksdb_dedup").collect()[0]["n"] == 30
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
