@@ -409,10 +409,22 @@ def centroid_udf(geojson: pd.Series) -> pd.Series:
         {"type": "Point", "coordinates": centroid(json.loads(s))}))
 
 
+def central_points(geom: dict[str, Any]) -> dict[str, Any]:
+    """Reference ``centralPointsInFeature`` (GeoTransforms.ts:31-82):
+    Polygon → its interior Point; MultiPolygon → MultiPoint of each member
+    polygon's interior point (NOT one collapsed point); anything else →
+    centroid Point."""
+    if geom["type"] == "MultiPolygon":
+        return {"type": "MultiPoint",
+                "coordinates": [
+                    interior_point({"type": "Polygon", "coordinates": poly})
+                    for poly in _coords_of(geom)]}
+    return {"type": "Point", "coordinates": interior_point(geom)}
+
+
 @F.pandas_udf(StringType())
 def interior_point_udf(geojson: pd.Series) -> pd.Series:
-    return geojson.map(lambda s: json.dumps(
-        {"type": "Point", "coordinates": interior_point(json.loads(s))}))
+    return geojson.map(lambda s: json.dumps(central_points(json.loads(s))))
 
 
 @F.pandas_udf(BooleanType())
