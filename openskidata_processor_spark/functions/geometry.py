@@ -143,10 +143,32 @@ def geometry_length_km(geom: dict[str, Any]) -> float:
     return 0.0
 
 
+def _positions_excluding_ring_closers(geom: dict[str, Any]):
+    """Positions with each polygon ring's closing duplicate dropped —
+    turf's ``coordAll(…, excludeWrapCoord=true)``, which turf.centroid
+    uses so the repeated first/last vertex doesn't bias the mean."""
+    t = geom["type"]
+    if t in ("Polygon", "MultiPolygon"):
+        polys = [_coords_of(geom)] if t == "Polygon" else _coords_of(geom)
+        for poly in polys:
+            for ring in poly:
+                closed = (len(ring) > 1
+                          and ring[0][:2] == ring[-1][:2])
+                yield from (ring[:-1] if closed else ring)
+    elif t == "GeometryCollection":
+        for g in geom.get("geometries", []):
+            yield from _positions_excluding_ring_closers(g)
+    else:
+        yield from iter_positions(geom)
+
+
 def centroid(geom: dict[str, Any]) -> list[float]:
-    """Mean of all vertices (turf.centroid semantics, used by the reference
-    for spot points / ski-area representative points)."""
-    pts = list(iter_positions(geom))
+    """Mean of all vertices EXCLUDING each polygon ring's closing
+    duplicate (turf.centroid semantics — GeoTransforms.unit.test.ts pins
+    the centroid of a closed unit square at [0.5, 0.5], which requires
+    dropping the wrap coordinate; used by the reference for spot points /
+    ski-area representative points)."""
+    pts = list(_positions_excluding_ring_closers(geom))
     n = len(pts)
     return [sum(p[0] for p in pts) / n, sum(p[1] for p in pts) / n]
 

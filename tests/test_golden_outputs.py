@@ -164,10 +164,12 @@ GOLDEN = {
     "ref/spots.geojson": "b386b05f3b7e71cd",
     "csv/spots": "467d7be32c873665",
     "ski_areas.geojson": "6ea5b0f2050a52f3",
-    "mapboxgl_ski_areas.geojson": "a624793e84e8d288",
+    # re-pinned (round 6): turf-exact centroid — ring closing vertex now
+    # excluded, shifting ski-area interior/centroid points
+    "mapboxgl_ski_areas.geojson": "a5d49343e2dc4b92",
     "ref/ski_areas.geojson": "8ed53d485ce1d12c",
-    "csv/ski_areas": "bfb52df9dd9b87de",
-    "openskidata.gpkg": "e3129f6ceff348c3",
+    "csv/ski_areas": "16f2c1156f7581fb",
+    "openskidata.gpkg": "30e32e217a9fadf1",
 }
 
 
