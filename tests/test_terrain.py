@@ -238,3 +238,137 @@ def test_corrupt_tile_bytes_surface_as_miss(spark, tmp_path):
     r3 = tr.fetch_elevation_tiles(misses, lambda z, x, y: tile, zooms=[12],
                                   cache_dir=cache_dir).collect()
     assert abs(r3[0].elevation - 777.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# ElevationDecoder.unit.test.ts — all 16 reference vectors
+# ---------------------------------------------------------------------------
+
+class TestDecodeMapboxElevation:
+    @pytest.mark.parametrize("rgb,expected", [
+        ((1, 134, 160), 0.0),        # sea level
+        ((0, 0, 0), -10000.0),       # encoding floor
+        ((1, 135, 0), 9.6),          # known value
+        ((2, 224, 74), 8849.0),      # Mount Everest
+    ])
+    def test_vectors(self, rgb, expected):
+        assert tr.decode_elevation(*rgb, "mapbox") == pytest.approx(
+            expected, abs=0.05)
+
+
+class TestDecodeTerrariumElevation:
+    @pytest.mark.parametrize("rgb,expected", [
+        ((128, 0, 0), 0.0),          # sea level
+        ((0, 0, 0), -32768.0),       # encoding floor
+        ((128, 10, 0), 10.0),        # known value
+        ((162, 145, 0), 8849.0),     # Mount Everest
+    ])
+    def test_vectors(self, rgb, expected):
+        assert tr.decode_elevation(*rgb, "terrarium") == pytest.approx(
+            expected, abs=0.05)
+
+
+def test_elevation_at_pixel_2x2():
+    """elevationAtPixel over a 2x2 buffer (ElevationDecoder.unit.test.ts):
+    columns alternate sea level / 9.6 m."""
+    sea, high = (1, 134, 160), (1, 135, 0)
+    arr = np.array([[sea, high], [sea, high]], dtype=np.uint8)
+    for (x, y), want in {(0, 0): 0.0, (1, 0): 9.6,
+                         (0, 1): 0.0, (1, 1): 9.6}.items():
+        r, g, b = (int(v) for v in arr[y, x])
+        assert tr.decode_elevation(r, g, b, "mapbox") == pytest.approx(
+            want, abs=0.05)
+
+
+class TestBilinearInterpolate:
+    @pytest.mark.parametrize("corners,fx,fy,expected", [
+        ((100, 200, 300, 400), 0, 0, 100),   # e00
+        ((100, 200, 300, 400), 1, 0, 200),   # e10
+        ((100, 200, 300, 400), 0, 1, 300),   # e01
+        ((100, 200, 300, 400), 1, 1, 400),   # e11
+        ((0, 10, 0, 10), 0.5, 0, 5),         # horizontal midpoint
+        ((0, 10, 20, 30), 0, 0.5, 10),       # vertical midpoint
+        ((50, 50, 50, 50), 0.3, 0.7, 50),    # constant field
+        ((0, 10, 20, 30), 0.5, 0.5, 15),     # both directions
+    ])
+    def test_vectors(self, corners, fx, fy, expected):
+        assert tr.bilinear(*corners, fx, fy) == pytest.approx(expected)
+
+
+# ---------------------------------------------------------------------------
+# TileCoordinates.unit.test.ts — all 14 reference vectors
+# ---------------------------------------------------------------------------
+
+class TestLonLatToTilePixel:
+    def test_origin_zoom0_512(self):
+        tx, ty, px, py = tr.lonlat_to_tile_pixel(0, 0, 0, 512)
+        assert (tx, ty) == (0, 0)
+        assert px == pytest.approx(256, abs=0.5)
+        assert py == pytest.approx(256, abs=0.5)
+
+    def test_known_location_zoom12_512(self):
+        tx, ty, px, py = tr.lonlat_to_tile_pixel(-84.8866, 39.1453, 12, 512)
+        assert (tx, ty) == (1082, 1563)
+        assert 0 <= px < 512 and 0 <= py < 512
+
+    def test_antimeridian_zoom1_256(self):
+        tx, ty, px, py = tr.lonlat_to_tile_pixel(180, 0, 1, 256)
+        assert tx == 2
+        assert px == pytest.approx(0, abs=0.5)
+
+    def test_extreme_latitude_clamped(self):
+        tx, ty, px, py = tr.lonlat_to_tile_pixel(0, 85, 2, 512)
+        assert (tx, ty) == (2, 0)
+        assert py >= 0
+
+    def test_fractional_pixels(self):
+        _, _, px, py = tr.lonlat_to_tile_pixel(-84.5, 39.0, 12, 512)
+        assert 0 <= px < 512 and 0 <= py < 512
+
+
+class TestInterpolationSetup:
+    def test_interior_pixel_same_tile(self):
+        corners, fx, fy = tr.interpolation_setup(1, 1, 100.3, 200.7, 2, 512)
+        assert fx == pytest.approx(0.3)
+        assert fy == pytest.approx(0.7)
+        assert corners == [(1, 1, 100, 200), (1, 1, 101, 200),
+                           (1, 1, 100, 201), (1, 1, 101, 201)]
+
+    def test_right_edge_wraps_to_next_tile(self):
+        corners, fx, fy = tr.interpolation_setup(1, 1, 511.5, 100.0, 2, 512)
+        assert fx == pytest.approx(0.5)
+        assert fy == pytest.approx(0.0)
+        assert corners == [(1, 1, 511, 100), (2, 1, 0, 100),
+                           (1, 1, 511, 101), (2, 1, 0, 101)]
+
+    def test_bottom_edge_wraps_to_next_tile(self):
+        corners, fx, fy = tr.interpolation_setup(1, 1, 100.0, 511.5, 2, 512)
+        assert fx == pytest.approx(0.0)
+        assert fy == pytest.approx(0.5)
+        assert corners == [(1, 1, 100, 511), (1, 1, 101, 511),
+                           (1, 2, 100, 0), (1, 2, 101, 0)]
+
+    def test_bottom_right_wraps_both_axes(self):
+        corners, _, _ = tr.interpolation_setup(1, 1, 511.5, 511.5, 2, 512)
+        assert corners == [(1, 1, 511, 511), (2, 1, 0, 511),
+                           (1, 2, 511, 0), (2, 2, 0, 0)]
+
+    def test_integer_pixels_zero_fractions(self):
+        _, fx, fy = tr.interpolation_setup(1, 1, 100, 200, 2, 512)
+        assert fx == 0 and fy == 0
+
+    def test_antimeridian_right_edge_wraps_to_tile0(self):
+        corners, _, _ = tr.interpolation_setup(3, 1, 511.5, 100.0, 2, 512)
+        assert corners[1][0] == 0 and corners[3][0] == 0
+        assert corners[1][2] == 0
+
+    def test_left_tile_edge_normal_operation(self):
+        corners, _, _ = tr.interpolation_setup(0, 1, 0.0, 100.0, 2, 512)
+        assert corners[0][:1] == (0,) and corners[0][2] == 0
+        assert corners[1][0] == 0 and corners[1][2] == 1
+
+    def test_null_below_world_bottom(self):
+        assert tr.interpolation_setup(1, 3, 100.0, 511.5, 2, 512) is None
+
+    def test_top_row_in_bounds(self):
+        assert tr.interpolation_setup(1, 0, 100.0, 0.0, 2, 512) is not None
