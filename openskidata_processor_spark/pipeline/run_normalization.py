@@ -166,13 +166,19 @@ def merge_segments(segments: DataFrame) -> DataFrame:
 
     # getDirectionData (MergeOverlappingRuns.ts:128-157): any oneway=false
     # → false; opposing oneway=true directions → false; agreeing
-    # oneway=true → true with that orientation; else null.
+    # oneway=true → true with that orientation; else null.  Geometry
+    # orientation follows the oneway=true runs whenever they agree — even
+    # when an explicit oneway=false forces the merged flag to false, the
+    # reference reduce keeps the oneway path's isReversed (:142-146, pinned
+    # by the unit vector at :149); only the no-oneway-info and opposing
+    # cases fall back to canonical orientation (first-seen in the
+    # reference's stream — unknowable distributed, documented deviation).
     opposing = (F.col("__n_fwd") > 0) & (F.col("__n_rev") > 0)
     oneway = (F.when(F.col("__any_false") == 1, F.lit(False))
                .when(opposing, F.lit(False))
                .when((F.col("__n_fwd") + F.col("__n_rev")) > 0, F.lit(True))
                .otherwise(F.lit(None).cast("boolean")))
-    run_reversed = (F.col("__n_rev") > 0) & (F.col("__n_fwd") == 0) & oneway
+    run_reversed = (F.col("__n_rev") > 0) & (F.col("__n_fwd") == 0)
 
     return (merged
             .withColumn("oneway", oneway)

@@ -35,7 +35,7 @@ POLY = json.dumps({"type": "Polygon", "coordinates": [
 S = {name: pts(float(lon)) for lon, name in enumerate(
     ["overlap", "difficulty", "opposing", "lit", "loop", "separate",
      "dh_chain", "head_head", "degen", "junction", "partial",
-     "cycle", "ow_cycle", "dirkeep"], start=1)}
+     "cycle", "ow_cycle", "dirkeep", "dkfalse"], start=1)}
 
 
 def scenario_rows():
@@ -117,6 +117,15 @@ def scenario_rows():
         ({"piste:type": "nordic", "piste:oneway": "yes", "name": "DK"},
          line(k1, k2)),
         ({"piste:type": "nordic", "name": "DK"}, line(k2, k1)),
+        # dkfalse (MergeOverlappingRuns.unit.test.ts:139,149): an explicit
+        # oneway=no overlapping a oneway=yes drawn in reverse — the merged
+        # flag is FALSE (false wins over true) but the geometry still
+        # follows the ONEWAY path's travel direction (getDirectionData
+        # keeps the true run's isReversed in the mixed reduce branches)
+        ({"piste:type": "nordic", "piste:oneway": "yes", "name": "DKF"},
+         line(*S["dkfalse"][:2])),
+        ({"piste:type": "nordic", "piste:oneway": "no", "name": "DKF"},
+         line(S["dkfalse"][1], S["dkfalse"][0])),
     ]
 
 
@@ -247,6 +256,35 @@ class TestCyclesAndDirection:
         k1, k2, _ = S["dirkeep"]
         # travel direction follows the ONEWAY path k1→k2
         assert tuple(coords[0]) == k1 and tuple(coords[-1]) == k2
+
+    def test_explicit_not_oneway_wins_but_direction_follows_oneway(
+            self, normalized):
+        """MergeOverlappingRuns.unit.test.ts:139 (true+false → false) and
+        :149 (geometry keeps the oneway path's travel direction)."""
+        rows, _ = normalized
+        dkf = by_name(rows, "DKF")
+        assert len(dkf) == 1
+        assert dkf[0].oneway is False
+        coords = json.loads(dkf[0].geometry)["coordinates"]
+        k1, k2, _ = S["dkfalse"]
+        assert tuple(coords[0]) == k1 and tuple(coords[-1]) == k2
+
+
+def test_duplicated_sources_unique_on_merge(spark):
+    """MergeOverlappingRuns.unit.test.ts:57 — merging two features that
+    share a source keeps one copy of it (sources union by struct
+    equality, not concatenation)."""
+    from test_formatters import RAW_SCHEMA
+    geom = line(*pts(90.0)[:2])
+    df = spark.createDataFrame(
+        [("way", 1, {"piste:type": "nordic", "name": "A"}, geom),
+         ("way", 1, {"piste:type": "nordic", "name": "B"}, geom)],
+        RAW_SCHEMA)
+    out = normalize_runs(fmt.format_runs(df)).collect()
+    assert len(out) == 1
+    assert out[0].name == "A, B"
+    assert [s.asDict() for s in out[0].sources] == [
+        {"type": "openstreetmap", "id": "way/1"}]
 
 
 def test_normalization_output_independent_of_partitioning(spark):
