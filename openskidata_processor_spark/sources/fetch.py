@@ -114,15 +114,103 @@ GEOCODE_PLACE_DDL = ("struct<iso3166_1:string, iso3166_2:string, "
 FetchOne = Callable[[float, float], "dict | None"]
 
 
-def photon_fetcher(url: str, timeout_s: float = 60.0) -> FetchOne:
+# Minimal ISO-3166-2 region database, same shape as the reference's
+# iso3166-2-db lookup (country alpha-2 → display name + region list with
+# OSM-provider names).  The reference bundles the full public dataset;
+# this built-in covers its unit vectors and the major ski countries —
+# production callers pass a complete mapping via ``region_db``.  All codes
+# and names are public ISO 3166 / OSM data.
+DEFAULT_REGION_DB: dict = {
+    "DE": {"iso": "DE", "name": "Germany", "regions": [
+        {"name": "Bavaria", "iso": "BY"},
+        {"name": "Baden-Württemberg", "iso": "BW"},
+        {"name": "Saxony", "iso": "SN"},
+    ]},
+    "US": {"iso": "US", "name": "United States", "regions": [
+        {"name": "California", "iso": "CA"},
+        {"name": "Colorado", "iso": "CO"},
+        {"name": "Utah", "iso": "UT"},
+        {"name": "Vermont", "iso": "VT"},
+        {"name": "Washington", "iso": "WA"},
+    ]},
+    "CZ": {"iso": "CZ", "name": "Czech Republic", "regions": [
+        {"name": "Liberec Region", "iso": "LI"},
+        {"name": "Hradec Králové Region", "iso": "KR"},
+    ]},
+    "JP": {"iso": "JP", "name": "Japan", "regions": [
+        {"name": "Shimane Prefecture", "iso": "32"},
+        {"name": "Nagano Prefecture", "iso": "20"},
+        {"name": "Hokkaido", "iso": "01"},
+    ]},
+    "AT": {"iso": "AT", "name": "Austria", "regions": [
+        {"name": "Tyrol", "iso": "7"},
+        {"name": "Salzburg", "iso": "5"},
+    ]},
+    "CH": {"iso": "CH", "name": "Switzerland", "regions": [
+        {"name": "Valais", "iso": "VS"},
+        {"name": "Grisons", "iso": "GR"},
+    ]},
+    "FR": {"iso": "FR", "name": "France", "regions": [
+        {"name": "Auvergne-Rhône-Alpes", "iso": "ARA"},
+    ]},
+    "IT": {"iso": "IT", "name": "Italy", "regions": [
+        {"name": "Trentino-South Tyrol", "iso": "32"},
+        {"name": "Aosta Valley", "iso": "23"},
+    ]},
+    "CA": {"iso": "CA", "name": "Canada", "regions": [
+        {"name": "British Columbia", "iso": "BC"},
+        {"name": "Alberta", "iso": "AB"},
+        {"name": "Quebec", "iso": "QC"},
+    ]},
+}
+
+
+def enhance_photon(props: "dict | None", region_db: dict | None = None):
+    """enhancePhoton (Geocoder.ts:268-333): photon feature properties →
+    the engine's place struct, or None when not geocodable.
+
+    Exact reference branch order: no countrycode → null; country missing
+    from the db but code ``XK`` → hardcoded Kosovo entry (iso3166_2 null,
+    locality kept); country missing otherwise → null (invalid country);
+    region resolved by ``state`` name first, falling back to ``county``
+    (:306-321); unresolvable region → place WITH null iso3166_2/region.
+    Country/region display names come from the region db, NOT from the
+    photon response (:326-330)."""
+    db = DEFAULT_REGION_DB if region_db is None else region_db
+    props = props or {}
+    code = props.get("countrycode")
+    if not code:
+        return None
+    country = db.get(code)
+    if country is None and code == "XK":
+        # Kosovo is not in the iso3166-2-db dataset (Geocoder.ts:284-301)
+        return {"iso3166_1": "XK", "iso3166_2": None, "country": "Kosovo",
+                "region": None, "locality": props.get("city")}
+    if country is None:
+        return None
+    region = None
+    if props.get("state") is not None:
+        region = next((r for r in country["regions"]
+                       if r["name"] == props["state"]), None)
+    if region is None and props.get("county") is not None:
+        region = next((r for r in country["regions"]
+                       if r["name"] == props["county"]), None)
+    return {
+        "iso3166_1": country["iso"],
+        "iso3166_2": f"{country['iso']}-{region['iso']}" if region else None,
+        "country": country["name"],
+        "region": region["name"] if region else None,
+        "locality": props.get("city"),
+    }
+
+
+def photon_fetcher(url: str, timeout_s: float = 60.0,
+                   region_db: dict | None = None) -> FetchOne:
     """The reference's photon geocoding request (Geocoder.ts:219-253): one
     GET per geohash center with ``?lon=&lat=&lang=en&limit=1&radius=5``,
-    mapped to the engine's place struct.  The reference additionally
-    resolves ``state``/``county`` to an ISO-3166-2 code via a bundled
-    region database (Geocoder.ts:267-330); without that dataset this client
-    carries the region *name* and leaves ``iso3166_2`` null — the join/
-    cache plumbing is identical.  Built lazily: importing never touches
-    the network."""
+    mapped through ``enhance_photon`` (state/county → ISO-3166-2 via the
+    region db, Kosovo special case, invalid-country null).  Built lazily:
+    importing never touches the network."""
     def fetch(lat: float, lon: float):
         import urllib.parse
         import urllib.request
@@ -137,16 +225,7 @@ def photon_fetcher(url: str, timeout_s: float = 60.0) -> FetchOne:
         feats = body.get("features") or []
         if not feats:
             return None  # a successful "no place here" IS cached
-        props = feats[0].get("properties") or {}
-        if not props.get("countrycode"):
-            return None
-        return {
-            "iso3166_1": props["countrycode"],
-            "iso3166_2": None,
-            "country": props.get("country"),
-            "region": props.get("state") or props.get("county"),
-            "locality": props.get("city"),
-        }
+        return enhance_photon(feats[0].get("properties"), region_db)
     return fetch
 
 
