@@ -169,7 +169,10 @@ GOLDEN = {
     "mapboxgl_ski_areas.geojson": "a5d49343e2dc4b92",
     "ref/ski_areas.geojson": "8ed53d485ce1d12c",
     "csv/ski_areas": "16f2c1156f7581fb",
-    "openskidata.gpkg": "30e32e217a9fadf1",
+    # re-pinned (round 6): reference GPKG layout — geometry-type-suffixed
+    # tables, Polygon→MultiPolygon upgrade, ski-area point+multipolygon
+    # dual export, typed per-feature-type column schemas
+    "openskidata.gpkg": "832364f3b3eac792",
 }
 
 

@@ -104,8 +104,15 @@ def test_geopackage_output(outputs):
     con = sqlite3.connect(f"{out_dir}/openskidata.gpkg")
     tables = {r[0] for r in con.execute(
         "SELECT table_name FROM gpkg_contents")}
-    assert tables == {"runs", "lifts", "spots", "ski_areas"}
-    n, = con.execute("SELECT count(*) FROM runs").fetchone()
+    # geometry-type-suffixed tables + the ski-area centroid point layer
+    # (GeoPackageWriter.ts:534-585)
+    assert "runs_linestring" in tables
+    assert "lifts_linestring" in tables
+    assert "spots_point" in tables
+    assert "ski_areas_point" in tables
+    assert not any(t.endswith("_polygon") and not t.endswith("_multipolygon")
+                   for t in tables)
+    n, = con.execute("SELECT count(*) FROM runs_linestring").fetchone()
     assert n == 2
 
 

@@ -189,15 +189,17 @@ class TestGeoPackage:
         con = sqlite3.connect(path)
         tables = {r[0] for r in con.execute(
             "SELECT table_name FROM gpkg_contents")}
-        assert tables == {"runs"}
-        n, = con.execute("SELECT count(*) FROM runs").fetchone()
+        # geometry-type-suffixed tables (GeoPackageWriter.ts:576-585)
+        assert tables == {"runs_linestring"}
+        n, = con.execute("SELECT count(*) FROM runs_linestring").fetchone()
         assert n == 2
-        blob, = con.execute("SELECT geom FROM runs LIMIT 1").fetchone()
+        blob, = con.execute(
+            "SELECT geom FROM runs_linestring LIMIT 1").fetchone()
         assert blob[:2] == b"GP"          # gpkg magic
         assert blob[8] == 1               # little-endian wkb
         assert int.from_bytes(blob[9:13], "little") == 2  # LineString
 
-    def test_ski_area_centroid_export(self, spark, tmp_path):
+    def test_ski_area_dual_export(self, spark, tmp_path):
         poly = json.dumps({"type": "Polygon", "coordinates": [
             [[11.0, 47.0], [11.1, 47.0], [11.1, 47.1], [11.0, 47.0]]]})
         areas = fmt.format_ski_areas_osm(raw(spark, [
@@ -205,8 +207,16 @@ class TestGeoPackage:
         path = str(tmp_path / "sa.gpkg")
         geopackage.write_geopackage({"ski_areas": areas}, path)
         con = sqlite3.connect(path)
-        blob, = con.execute("SELECT geom FROM ski_areas").fetchone()
+        tables = {r[0] for r in con.execute(
+            "SELECT table_name FROM gpkg_contents")}
+        # centroid point layer + multipolygon layer, never _polygon
+        # (GeoPackageWriter.unit.test.ts:151-205)
+        assert tables == {"ski_areas_point", "ski_areas_multipolygon"}
+        blob, = con.execute("SELECT geom FROM ski_areas_point").fetchone()
         assert int.from_bytes(blob[9:13], "little") == 1  # Point
+        blob, = con.execute(
+            "SELECT geom FROM ski_areas_multipolygon").fetchone()
+        assert int.from_bytes(blob[9:13], "little") == 6  # MultiPolygon
 
     def test_merge_ignores_duplicates(self, spark, runs, tmp_path):
         p1, p2 = str(tmp_path / "a.gpkg"), str(tmp_path / "b.gpkg")
@@ -215,7 +225,7 @@ class TestGeoPackage:
         out = str(tmp_path / "merged.gpkg")
         geopackage.merge_geopackages([p1, p2], out)
         con = sqlite3.connect(out)
-        n, = con.execute("SELECT count(*) FROM runs").fetchone()
+        n, = con.execute("SELECT count(*) FROM runs_linestring").fetchone()
         assert n == 4  # INSERT OR IGNORE keeps by rowid; no constraint dupes
 
 
