@@ -134,6 +134,19 @@ class TestFormatRun:
         assert all(json.loads(r.geometry)["type"] == "LineString" for r in rows)
         assert rows[0].id != rows[1].id  # per-part content-hash ids
 
+    def test_splits_multipolygon(self, spark):
+        # RunFormatter.unit.test.ts:310 — MultiPolygon runs split into
+        # separate Polygon features sharing properties
+        mp = json.dumps({"type": "MultiPolygon", "coordinates": [
+            [[[11.0, 47.0], [11.1, 47.0], [11.1, 47.1], [11.0, 47.0]]],
+            [[[12.0, 48.0], [12.1, 48.0], [12.1, 48.1], [12.0, 48.0]]]]})
+        rows = fmt.format_runs(raw(spark, [
+            ({"piste:type": "downhill", "name": "Bowl"}, mp)])).collect()
+        assert len(rows) == 2
+        assert all(json.loads(r.geometry)["type"] == "Polygon" for r in rows)
+        assert all(r.name == "Bowl" for r in rows)
+        assert rows[0].id != rows[1].id
+
     def test_difficulty_convention_by_location(self, spark):
         na_line = json.dumps({"type": "LineString",
                               "coordinates": [[-120.0, 40.0], [-120.1, 40.1]]})
@@ -199,6 +212,25 @@ class TestFormatLift:
         r = one(fmt.format_lifts(raw(spark, [
             ({"aerialway": "chair_lift", "access": "private"}, LINE)])))
         assert r.access == "private"
+
+    def test_localized_names_joined_base_first(self, spark):
+        # LiftFormatter.unit.test.ts:50 — "name, name:en" in key order
+        r = one(fmt.format_lifts(raw(spark, [
+            ({"aerialway": "chair_lift", "name": "Nom de la téléski",
+              "name:en": "Lift name"}, LINE)])))
+        assert r.name == "Nom de la téléski, Lift name"
+        r2 = one(fmt.format_lifts(raw(spark, [
+            ({"aerialway": "chair_lift", "name": "Lift name",
+              "name:en": "Lift name"}, LINE)])))
+        assert r2.name == "Lift name"
+
+    def test_stations_initialized_empty(self, spark):
+        # LiftFormatter.unit.test.ts:220 — stations starts [] (filled by
+        # the clustering association pass), access null without a tag
+        r = one(fmt.format_lifts(raw(spark, [
+            ({"aerialway": "chair_lift"}, LINE)])))
+        assert list(r.stations) == []
+        assert r.access is None
 
 
 # ---------------------------------------------------------------------------
