@@ -90,6 +90,41 @@ def test_multipolygon_relation_ring_stitching(assembled):
     assert len(ring) == 5
 
 
+def test_two_ring_relation_with_tagged_members(spark):
+    """OSMToGeoJSONConverter.unit.test.ts:4-302 — a multipolygon relation
+    whose members are two open stitching ways plus a closed tagged way:
+    the relation resolves to a MultiPolygon with BOTH rings, and member
+    ways with their own tags remain standalone features."""
+    elements = spark.createDataFrame([
+        node(1, 0.0, 0.0), node(2, 0.0, 1.0), node(3, 1.0, 1.0),
+        node(4, 2.0, 2.0), node(5, 2.0, 3.0), node(6, 3.0, 3.0),
+        way(1001, [1, 2], {"natural": "wood"}),
+        way(1002, [2, 3, 1], {"natural": "wood"}),
+        way(1003, [4, 5, 6, 4], {"natural": "wood",
+                                 "landuse": "winter_sports"}),
+        rel(10001, [{"type": "way", "ref": 1001, "role": "outer"},
+                    {"type": "way", "ref": 1002, "role": "outer"},
+                    {"type": "way", "ref": 1003, "role": "outer"}],
+            {"type": "multipolygon", "landuse": "winter_sports"}),
+    ], SCHEMA)
+    feats = {(r.osm_type, r.osm_id): r
+             for r in assemble_osm_features(elements).collect()}
+
+    g = json.loads(feats[("relation", 10001)].geometry)
+    assert g["type"] == "MultiPolygon"
+    assert len(g["coordinates"]) == 2
+    rings = sorted((len(poly[0]) for poly in g["coordinates"]))
+    assert rings == [4, 4]  # triangle rings, each closed
+    for poly in g["coordinates"]:
+        assert poly[0][0] == poly[0][-1]
+
+    # tagged member ways stay standalone: the closed area way as Polygon,
+    # the open ways as LineStrings
+    assert json.loads(feats[("way", 1003)].geometry)["type"] == "Polygon"
+    assert json.loads(feats[("way", 1001)].geometry)["type"] == "LineString"
+    assert json.loads(feats[("way", 1002)].geometry)["type"] == "LineString"
+
+
 def test_site_relations_shape(assembled):
     _, sites = assembled
     assert len(sites) == 1
