@@ -1,7 +1,8 @@
-"""Utility entry points — parity with the reference's operational scripts
-(``src/scripts/clear_cache.ts``, ``debug_geocode.ts``,
-``extract_tiles.ts``).  A user migrating from the reference finds the
-same three tools, re-expressed over this engine's substrate:
+"""Operational entry points — parity with the reference's ``src/scripts/``
+surface (``clear_cache.ts``, ``debug_geocode.ts``, ``extract_tiles.ts``,
+``download.ts``, ``prepare_geojson.ts``, ``cluster_ski_areas.ts``,
+``merge_outputs.ts``).  A user migrating from the reference finds the
+same tools, re-expressed over this engine's substrate:
 
 - **clear_cache** — the reference deletes rows from the Postgres
   ``{prefix}*_cache`` tables after a per-table prompt
@@ -161,6 +162,32 @@ def extract_tiles(mbtiles_path: str, out_dir: str) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# prepare / download / merge-outputs / tiles (the pipeline entry scripts)
+# ---------------------------------------------------------------------------
+
+def run_prepare(spark, landing_dir: str, out_dir: str,
+                checkpoint_dir: str | None = None,
+                geopackage: bool = True,
+                reference_shape: bool = False) -> dict:
+    """``prepare_geojson.ts`` + ``cluster_ski_areas.ts`` in one command:
+    landing files → assembled elements → formatted/normalized/clustered
+    layers → every sink format under ``out_dir``.  (The reference splits
+    prepare and cluster only because its accumulator pipeline streams
+    through an intermediate file set; one Spark DAG subsumes both.)"""
+    from .pipeline.prepare import prepare_from_elements, write_outputs
+    from .sources.landing import read_osm_elements, read_skimap_areas
+
+    elements = read_osm_elements(spark, landing_dir)
+    skimap = read_skimap_areas(
+        spark, os.path.join(landing_dir, "input_skimap_ski_areas.geojson"))
+    layers = prepare_from_elements(spark, elements, skimap,
+                                   checkpoint_dir=checkpoint_dir)
+    write_outputs(layers, out_dir, geopackage=geopackage,
+                  reference_shape=reference_shape)
+    return {name: df.count() for name, df in layers.items()}
+
+
+# ---------------------------------------------------------------------------
 # argv entry point
 # ---------------------------------------------------------------------------
 
@@ -185,6 +212,31 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("mbtiles")
     t.add_argument("out_dir")
 
+    d = sub.add_parser("download",
+                       help="fetch Overpass + Skimap.org landing files")
+    d.add_argument("landing_dir")
+    d.add_argument("--bbox", nargs=4, type=float, default=None,
+                   metavar=("S", "W", "N", "E"))
+    d.add_argument("--endpoint",
+                   default="https://overpass-api.de/api/interpreter")
+
+    pr = sub.add_parser("prepare",
+                        help="landing files → all output formats")
+    pr.add_argument("landing_dir")
+    pr.add_argument("out_dir")
+    pr.add_argument("--checkpoint-dir", default=None)
+    pr.add_argument("--no-geopackage", action="store_true")
+    pr.add_argument("--reference-shape", action="store_true",
+                    help="write the reference's exported property contract")
+
+    m = sub.add_parser("merge-outputs",
+                       help="merge output dirs (geojson/csv/gpkg/mbtiles)")
+    m.add_argument("output_dir")
+    m.add_argument("input_dirs", nargs="+")
+
+    ti = sub.add_parser("tiles", help="run tippecanoe/tile-join over outputs")
+    ti.add_argument("out_dir")
+
     args = p.parse_args(argv)
     if args.cmd == "extract-tiles":
         print(json.dumps(extract_tiles(args.mbtiles, args.out_dir)))
@@ -203,6 +255,31 @@ def main(argv: list[str] | None = None) -> int:
         rep = clear_cache(get_spark("clear-cache"), args.root,
                           tables=args.table, ttl_ms=args.ttl_ms)
         print(json.dumps(rep, indent=2))
+        return 0
+    if args.cmd == "download":
+        from .sources.download import download_all
+        bbox = tuple(args.bbox) if args.bbox else None
+        out = download_all(args.landing_dir, bbox=bbox,
+                           endpoint=args.endpoint)
+        print(json.dumps(out, indent=2))
+        return 0
+    if args.cmd == "prepare":
+        from .session import get_spark
+        counts = run_prepare(get_spark("prepare"), args.landing_dir,
+                             args.out_dir,
+                             checkpoint_dir=args.checkpoint_dir,
+                             geopackage=not args.no_geopackage,
+                             reference_shape=args.reference_shape)
+        print(json.dumps(counts, indent=2))
+        return 0
+    if args.cmd == "merge-outputs":
+        from .sinks.merge import merge_outputs
+        print(json.dumps(merge_outputs(args.input_dirs, args.output_dir),
+                         indent=2))
+        return 0
+    if args.cmd == "tiles":
+        from .sinks.merge import generate_tiles
+        print(json.dumps(generate_tiles(args.out_dir)))
         return 0
     return 1
 

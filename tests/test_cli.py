@@ -140,3 +140,113 @@ class TestExtractTiles:
         assert cli.main(["extract-tiles", mb, out]) == 0
         assert json.loads(capsys.readouterr().out)["tiles"] == 2
         assert os.path.exists(f"{out}/metadata.json")
+
+
+class TestLandingAndPrepareCLI:
+    """download landing-file readers + the prepare/merge-outputs/tiles
+    subcommands (src/scripts/download.ts, prepare_geojson.ts,
+    cluster_ski_areas.ts, merge_outputs.ts parity)."""
+
+    def _landing(self, tmp_path):
+        import json as _json
+        d = str(tmp_path / "landing")
+        os.makedirs(d, exist_ok=True)
+        shared_nodes = [
+            {"type": "node", "id": 1, "lat": 47.0, "lon": 11.0},
+            {"type": "node", "id": 2, "lat": 47.0, "lon": 11.01},
+            {"type": "node", "id": 3, "lat": 47.01, "lon": 11.01},
+            {"type": "node", "id": 4, "lat": 47.01, "lon": 11.0},
+        ]
+        runs = {"version": 0.6, "elements": shared_nodes + [
+            {"type": "node", "id": 5, "lat": 47.002, "lon": 11.002},
+            {"type": "node", "id": 6, "lat": 47.006, "lon": 11.004},
+            {"type": "way", "id": 101, "nodes": [5, 6],
+             "tags": {"piste:type": "downhill", "name": "Home Run",
+                      "piste:difficulty": "easy"}},
+        ]}
+        # ski_areas dump repeats the shared nodes — reader must dedupe
+        areas = {"version": 0.6, "elements": shared_nodes + [
+            {"type": "way", "id": 100, "nodes": [1, 2, 3, 4, 1],
+             "tags": {"landuse": "winter_sports", "name": "Test Resort"}},
+        ]}
+        with open(f"{d}/input_runs.osmjson", "w") as f:
+            _json.dump(runs, f)
+        with open(f"{d}/input_ski_areas.osmjson", "w") as f:
+            _json.dump(areas, f)
+        with open(f"{d}/input_skimap_ski_areas.geojson", "w") as f:
+            _json.dump({"type": "FeatureCollection", "features": [
+                {"type": "Feature",
+                 "properties": {"id": "sk1", "name": "Skimap Resort",
+                                "status": "operating",
+                                "activities": ["downhill"],
+                                "scalerank": 1,
+                                "official_website": "https://example.com"},
+                 "geometry": {"type": "Point",
+                              "coordinates": [13.0, 46.0]}}]}, f)
+        return d
+
+    def test_read_osm_elements_dedupes_shared(self, spark, tmp_path):
+        from openskidata_processor_spark.sources.landing import \
+            read_osm_elements
+        d = self._landing(tmp_path)
+        els = read_osm_elements(spark, d)
+        nodes = els.filter("type = 'node'").collect()
+        assert len(nodes) == 6  # 4 shared (deduped) + 2 run nodes
+        assert els.filter("type = 'way'").count() == 2
+
+    def test_read_skimap_areas(self, spark, tmp_path):
+        from openskidata_processor_spark.sources.landing import \
+            read_skimap_areas
+        d = self._landing(tmp_path)
+        rows = read_skimap_areas(
+            spark, f"{d}/input_skimap_ski_areas.geojson").collect()
+        assert len(rows) == 1
+        assert rows[0].name == "Skimap Resort"
+        assert json.loads(rows[0].geometry) == {
+            "coordinates": [13.0, 46.0], "type": "Point"}
+        # missing file → empty frame, pipeline runs OSM-only
+        empty = read_skimap_areas(spark, f"{d}/nope.geojson")
+        assert empty.count() == 0
+
+    def test_prepare_subcommand_end_to_end(self, spark, tmp_path, capsys):
+        d = self._landing(tmp_path)
+        out = str(tmp_path / "out")
+        assert cli.main(["prepare", d, out]) == 0
+        counts = json.loads(capsys.readouterr().out)
+        assert counts["runs"] == 1
+        assert counts["ski_areas"] >= 2  # OSM resort + Skimap resort
+        assert os.path.exists(f"{out}/runs.geojson")
+        assert os.path.exists(f"{out}/openskidata.gpkg")
+        fc = json.load(open(f"{out}/ski_areas.geojson"))
+        names = {f["properties"]["name"] for f in fc["features"]}
+        assert {"Test Resort", "Skimap Resort"} <= names
+
+    def test_merge_outputs_subcommand(self, tmp_path, capsys):
+        a, b, out = (str(tmp_path / n) for n in ("a", "b", "merged"))
+        for d in (a, b):
+            os.makedirs(d)
+            with open(f"{d}/runs.geojson", "w") as f:
+                json.dump({"type": "FeatureCollection", "features": [
+                    {"type": "Feature", "properties": {"id": d[-1]},
+                     "geometry": {"type": "Point",
+                                  "coordinates": [0, 0]}}]}, f)
+        assert cli.main(["merge-outputs", out, a, b]) == 0
+        rep = json.loads(capsys.readouterr().out)
+        assert rep["geojson"] >= 1
+        fc = json.load(open(f"{out}/runs.geojson"))
+        assert len(fc["features"]) == 2
+
+    def test_download_wiring(self, monkeypatch, capsys):
+        calls = {}
+
+        def fake_download_all(landing_dir, bbox=None, endpoint=None):
+            calls["args"] = (landing_dir, bbox, endpoint)
+            return {"runs": f"{landing_dir}/input_runs.osmjson"}
+
+        import openskidata_processor_spark.sources.download as dl
+        monkeypatch.setattr(dl, "download_all", fake_download_all)
+        assert cli.main(["download", "/tmp/landing", "--bbox", "45", "5",
+                         "48", "12"]) == 0
+        assert calls["args"] == ("/tmp/landing", (45.0, 5.0, 48.0, 12.0),
+                                 "https://overpass-api.de/api/interpreter")
+        assert "input_runs" in capsys.readouterr().out
