@@ -270,3 +270,74 @@ def test_snap_point_never_worse_than_vertices(px, py, pts):
     d_snap = haversine_point_km([px, py], snapped)
     d_best_vertex = min(haversine_point_km([px, py], c) for c in coords)
     assert d_snap <= d_best_vertex * 1.001 + 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.floats(-180, 180), st.floats(-90, 90)),
+                min_size=3, max_size=12, unique=True))
+def test_centroid_excludes_ring_closer(ring_pts):
+    """For any polygon ring, the centroid equals the plain mean of the
+    ring WITHOUT its closing duplicate (turf's excludeWrapCoord), and is
+    invariant to whether the input ring is explicitly closed."""
+    from openskidata_processor_spark.functions.geometry import centroid
+
+    open_ring = [list(p) for p in ring_pts]
+    closed_ring = open_ring + [open_ring[0]]
+    open_poly = {"type": "Polygon", "coordinates": [open_ring]}
+    closed_poly = {"type": "Polygon", "coordinates": [closed_ring]}
+
+    expect = [sum(p[0] for p in open_ring) / len(open_ring),
+              sum(p[1] for p in open_ring) / len(open_ring)]
+    got_closed = centroid(closed_poly)
+    got_open = centroid(open_poly)
+    assert got_closed == got_open
+    assert abs(got_closed[0] - expect[0]) < 1e-9
+    assert abs(got_closed[1] - expect[1]) < 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.floats(-180, 180), st.floats(-90, 90)),
+                min_size=2, max_size=12))
+def test_centroid_linestring_keeps_every_vertex(pts):
+    """LineStrings average ALL vertices including duplicates — the wrap
+    exclusion applies only to polygon rings (turf coordEach)."""
+    from openskidata_processor_spark.functions.geometry import centroid
+
+    coords = [list(p) for p in pts]
+    got = centroid({"type": "LineString", "coordinates": coords})
+    assert abs(got[0] - sum(c[0] for c in coords) / len(coords)) < 1e-9
+    assert abs(got[1] - sum(c[1] for c in coords) / len(coords)) < 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.sampled_from(["DE", "US", "CZ", "JP", "XX", "XK", None]),
+       st.one_of(st.none(), st.text(max_size=12)),
+       st.one_of(st.none(), st.text(max_size=12)),
+       st.one_of(st.none(), st.text(max_size=12)))
+def test_enhance_photon_total_and_consistent(code, state, county, city):
+    """enhance_photon never raises, returns None exactly for missing/
+    unknown country codes (except Kosovo), and any returned iso3166_2 is
+    '<country>-<region>' for a region actually in the db."""
+    from openskidata_processor_spark.sources.fetch import (DEFAULT_REGION_DB,
+                                                           enhance_photon)
+
+    props = {k: v for k, v in [("countrycode", code), ("state", state),
+                               ("county", county), ("city", city)]
+             if v is not None}
+    out = enhance_photon(props)
+    if code is None or (code not in DEFAULT_REGION_DB and code != "XK"):
+        assert out is None
+        return
+    assert out is not None
+    assert out["locality"] == city
+    if code == "XK":
+        assert out["iso3166_1"] == "XK" and out["iso3166_2"] is None
+        return
+    assert out["iso3166_1"] == code
+    if out["iso3166_2"] is not None:
+        prefix, riso = out["iso3166_2"].split("-", 1)
+        assert prefix == code
+        entry = next(r for r in DEFAULT_REGION_DB[code]["regions"]
+                     if r["iso"] == riso)
+        assert out["region"] == entry["name"]
+        assert entry["name"] in (state, county)
