@@ -29,7 +29,7 @@ from ..operators.barrier import truncate_lineage
 from ..sources.osm import assemble_osm_features, site_relations
 from . import formatters as fmt
 from .clustering import cluster_ski_areas
-from .enrichment import add_elevation
+from .enrichment import add_elevation, add_elevation_profile
 from .run_normalization import normalize_runs
 
 
@@ -71,8 +71,13 @@ def prepare(spark: SparkSession,
         "intermediate_ski_areas")
 
     if elevation_caches:
-        runs = checkpoint(add_elevation(runs, *elevation_caches),
-                          "runs_elevation")
+        # 3D geometries + the run elevation profile (Elevation.ts
+        # enhanceFeature: profile attaches during the same enrichment
+        # pass; all-miss caches leave a null profile and 2D coords)
+        runs = checkpoint(
+            add_elevation_profile(add_elevation(runs, *elevation_caches),
+                                  *elevation_caches),
+            "runs_elevation")
         lifts = checkpoint(add_elevation(lifts, *elevation_caches),
                            "lifts_elevation")
         spots = checkpoint(add_elevation(spots, *elevation_caches),

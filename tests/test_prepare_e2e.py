@@ -217,3 +217,95 @@ def test_mapbox_polygon_areas_export_as_points(outputs):
     if resort["geometry"]["type"] == "Point":
         lon, lat = resort["geometry"]["coordinates"][:2]
         assert 11.0 <= lon <= 11.2 and 47.0 <= lat <= 47.3
+
+
+class TestPrepareWithElevation:
+    """PrepareGeoJSONWithElevation.int.test.ts shape: the full pipeline
+    with elevation caches — 3D geometries, run elevation profiles, and
+    graceful 2D completion when every lookup misses (server-failure
+    vector)."""
+
+    @pytest.fixture(scope="class")
+    def elevated(self, spark, tmp_path_factory):
+        from openskidata_processor_spark.pipeline.enrichment import \
+            geohash_encode
+        from openskidata_processor_spark.pipeline.prepare import \
+            prepare_from_elements
+
+        elements = spark.createDataFrame([
+            node(1, 11.0, 47.0), node(2, 11.01, 47.0),
+            node(3, 11.01, 47.01), node(4, 11.0, 47.01),
+            node(5, 11.002, 47.002), node(6, 11.004, 47.006),
+            node(7, 11.003, 47.002), node(8, 11.005, 47.006),
+            way(100, [1, 2, 3, 4, 1], {"landuse": "winter_sports",
+                                       "name": "Test Resort"}),
+            way(101, [5, 6], {"piste:type": "downhill", "name": "Home Run"}),
+            way(102, [7, 8], {"aerialway": "chair_lift", "name": "Quad"}),
+        ], SCHEMA)
+        skimap = spark.createDataFrame(
+            [], "id string, name string, status string,"
+            " activities array<string>, scalerank int,"
+            " official_website string, geometry string")
+
+        # a dense synthetic DEM: every geohash-10 cell in the resort bbox
+        # maps to a deterministic elevation (lat-derived, so the run's two
+        # endpoints differ)
+        cells = {}
+        lat = 46.999
+        while lat < 47.012:
+            lon = 10.999
+            while lon < 11.012:
+                cells[geohash_encode(lon, lat, 10)] = round(
+                    1000 + (lat - 47.0) * 100000, 1)
+                lon += 0.00004
+            lat += 0.00004
+        cache = spark.createDataFrame(
+            list(cells.items()), "key string, elevation double")
+        layers = prepare_from_elements(spark, elements, skimap,
+                                       elevation_caches=[cache])
+        return {k: v.collect() for k, v in layers.items()}
+
+    def test_run_geometry_is_3d_with_profile(self, elevated):
+        run = next(r for r in elevated["runs"] if r.name == "Home Run")
+        coords = json.loads(run.geometry)["coordinates"]
+        assert all(len(c) == 3 for c in coords)
+        # lat-derived DEM: higher latitude → higher elevation
+        assert coords[1][2] > coords[0][2]
+        prof = run.elevation_profile
+        assert prof is not None
+        assert prof.target_resolution == 25
+        assert 0 < prof.resolution <= 25
+        assert len(prof.heights) >= 2
+        assert prof.heights[0] == pytest.approx(coords[0][2], abs=6.0)
+        assert prof.heights[-1] == pytest.approx(coords[-1][2], abs=6.0)
+
+    def test_lift_and_spot_geometry_is_3d(self, elevated):
+        lift = next(r for r in elevated["lifts"] if r.name == "Quad")
+        assert all(len(c) == 3
+                   for c in json.loads(lift.geometry)["coordinates"])
+
+    def test_viewport_hint_elevation_aware(self, elevated):
+        run = next(r for r in elevated["runs"] if r.name == "Home Run")
+        # 3D geometry → bearing computed (downhill direction exists)
+        assert run.viewport_hint.bearing is not None
+
+    def test_all_miss_cache_completes_2d(self, spark):
+        from openskidata_processor_spark.pipeline.prepare import \
+            prepare_from_elements
+        elements = spark.createDataFrame([
+            node(5, 11.002, 47.002), node(6, 11.004, 47.006),
+            way(101, [5, 6], {"piste:type": "downhill", "name": "Home Run"}),
+        ], SCHEMA)
+        skimap = spark.createDataFrame(
+            [], "id string, name string, status string,"
+            " activities array<string>, scalerank int,"
+            " official_website string, geometry string")
+        empty_cache = spark.createDataFrame(
+            [], "key string, elevation double")
+        layers = prepare_from_elements(spark, elements, skimap,
+                                       elevation_caches=[empty_cache])
+        run = next(r for r in layers["runs"].collect()
+                   if r.name == "Home Run")
+        coords = json.loads(run.geometry)["coordinates"]
+        assert all(len(c) == 2 for c in coords)
+        assert run.elevation_profile is None
