@@ -417,3 +417,50 @@ class TestCSVReferenceVectors:
             "https://openskimap.org/?obj=test-lift,test-lift,LineString,"
             "20.100000,10.100000,test-ski-area,"
             "https://www.openstreetmap.org/123,")
+
+
+    def test_ski_area_vector(self, spark):
+        stats_ddl = (
+            "struct<"
+            "runs: struct<by_activity: map<string, map<string, "
+            "struct<count:bigint, length_in_km:double,"
+            " snowmaking_length_in_km:double,"
+            " snowfarming_length_in_km:double,"
+            " combined_elevation_change:double, min_elevation:double,"
+            " max_elevation:double>>>>,"
+            "lifts: struct<by_type: map<string, struct<count:bigint,"
+            " length_in_km:double, combined_elevation_change:double,"
+            " min_elevation:double, max_elevation:double>>>,"
+            "min_elevation: double, max_elevation: double>")
+        schema = ("id string, name string, status string,"
+                  " activities array<string>, run_convention string,"
+                  " wikidata_id string, websites array<string>,"
+                  " places array<struct<iso3166_1:string, iso3166_2:string,"
+                  " country:string, region:string, locality:string>>,"
+                  " sources array<struct<type:string, id:string>>,"
+                  f" statistics {stats_ddl}, geometry string")
+        geom = json.dumps({"type": "Point", "coordinates": [10.0, 20.0]})
+        run_measures = lambda n, km: (n, km, 0.0, 0.0, 0.0, 0.0, 0.0)  # noqa: E731
+        areas = spark.createDataFrame([(
+            "test-ski-area", "Test Ski Area", "operating",
+            ["downhill", "nordic"], "europe", None,
+            ["https://testskiarea.com"],
+            [("US", "US-CO", "United States", "Colorado", "Vail")],
+            [("openstreetmap", "123"), ("skimap.org", "456")],
+            (({"downhill": {"novice": run_measures(2, 5.0),
+                            "intermediate": run_measures(5, 10.0)},
+               "nordic": {"novice": run_measures(1, 8.0)}},),
+             ({"chair_lift": (3, 3.5, 0.0, 0.0, 0.0),
+               "gondola": (1, 2.0, 0.0, 0.0, 0.0)},),
+             1200.0, 2400.0),
+            geom)], schema)
+        line = self._row_line(csvsink.ski_area_csv(areas).collect()[0])
+        # CSVFormatter.unit.test.ts:103-106 inline snapshot — note
+        # surface_lifts_count is EMPTY (no surface lifts), not 0
+        assert line == (
+            "Test Ski Area,United States,Colorado,Vail,operating,yes,yes,"
+            "15,8,1200,1200,2400,4,,europe,,https://testskiarea.com,"
+            "https://openskimap.org/?obj=test-ski-area,test-ski-area,Point,"
+            "20.000000,10.000000,"
+            "https://www.openstreetmap.org/123 "
+            "https://www.skimap.org/SkiAreas/view/456")
