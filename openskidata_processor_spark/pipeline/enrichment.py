@@ -322,30 +322,132 @@ def viirs_pixel(lon: Column, lat: Column) -> Column:
     return F.array(h, v, col, row)
 
 
+def _sinusoidal(p: list[float]) -> tuple[float, float]:
+    lon_r, lat_r = math.radians(p[0]), math.radians(p[1])
+    return (SPHERE_RADIUS_M * lon_r * math.cos(lat_r),
+            SPHERE_RADIUS_M * lat_r)
+
+
+def _sin_to_pixel(x: float, y: float) -> tuple[int, int, int, int]:
+    h = max(0, min(35, math.floor((x + GLOBAL_HALF_WIDTH) / TILE_SIZE_M)))
+    v = max(0, min(17, math.floor((GLOBAL_HALF_HEIGHT - y) / TILE_SIZE_M)))
+    tile_left = h * TILE_SIZE_M - GLOBAL_HALF_WIDTH
+    tile_top = GLOBAL_HALF_HEIGHT - v * TILE_SIZE_M
+    c = max(0, min(PIXELS_PER_TILE - 1,
+                   math.floor((x - tile_left) / PIXEL_SIZE_M)))
+    r = max(0, min(PIXELS_PER_TILE - 1,
+                   math.floor((tile_top - y) / PIXEL_SIZE_M)))
+    return h, v, c, r
+
+
+def _seg_box_intersects(x1, y1, x2, y2, minx, miny, maxx, maxy) -> bool:
+    """Liang–Barsky segment/axis-aligned-box test (touching counts, like
+    turf booleanIntersects)."""
+    dx, dy = x2 - x1, y2 - y1
+    t0, t1 = 0.0, 1.0
+    for p, q in ((-dx, x1 - minx), (dx, maxx - x1),
+                 (-dy, y1 - miny), (dy, maxy - y1)):
+        if p == 0:
+            if q < 0:
+                return False
+        else:
+            r = q / p
+            if p < 0:
+                t0 = max(t0, r)
+            else:
+                t1 = min(t1, r)
+            if t0 > t1:
+                return False
+    return True
+
+
+def _square_intersects_geom(minx, miny, maxx, maxy, geom_type: str,
+                            paths: list[list[tuple[float, float]]],
+                            polygons: list[list[list[list[float]]]]) -> bool:
+    """Pixel square vs sinusoidal-plane geometry, turf booleanIntersects
+    semantics (VIIRSPixelExtractor.ts:172-202): any boundary segment
+    crossing the square, or the square lying inside a polygon."""
+    for path in paths:
+        for (x1, y1), (x2, y2) in zip(path, path[1:]):
+            if _seg_box_intersects(x1, y1, x2, y2, minx, miny, maxx, maxy):
+                return True
+        if len(path) == 1:  # Point geometry
+            x, y = path[0]
+            if minx <= x <= maxx and miny <= y <= maxy:
+                return True
+    if geom_type in ("Polygon", "MultiPolygon"):
+        # no boundary crossing: square is fully inside or fully outside —
+        # one corner decides
+        for poly in polygons:
+            if geo.point_in_polygon(minx, miny, poly):
+                return True
+    return False
+
+
 def geometry_viirs_pixels(geometry_col: Column) -> Column:
-    """Distinct pixels covering a geometry's positions (the vertex subset
-    of the reference's rasterization — the centroid fallback guarantees a
-    non-empty set, VIIRSPixelExtractor.ts:258-338)."""
+    """Distinct pixels whose 375 m squares intersect the geometry — the
+    reference's full bbox-scan rasterization in the sinusoidal plane
+    (VIIRSPixelExtractor.ts:258-338): transform to sinusoidal, iterate
+    candidate pixels over the bounds (±1 pad), keep squares that
+    intersect (boundary touch or interior containment); the centroid
+    fallback guarantees a non-empty set."""
     @F.pandas_udf(ArrayType(ArrayType(StringType())))
     def _pixels(gj: pd.Series) -> pd.Series:
         def compute(s):
             g = json.loads(s)
+            positions = [_sinusoidal(p) for p in geo.iter_positions(g)]
+            if not positions:
+                return []
+            gtype = g.get("type")
+            paths = [[_sinusoidal(p) for p in path]
+                     for path in geo.iter_paths(g)]
+            if gtype == "Point":
+                paths = [positions]
+            polygons = []
+            if gtype == "Polygon":
+                polygons = [[[list(_sinusoidal(p)) for p in ring]
+                             for ring in g["coordinates"]]]
+            elif gtype == "MultiPolygon":
+                polygons = [[[list(_sinusoidal(p)) for p in ring]
+                             for ring in poly] for poly in g["coordinates"]]
+
+            minx = min(x for x, _ in positions)
+            maxx = max(x for x, _ in positions)
+            miny = min(y for _, y in positions)
+            maxy = max(y for _, y in positions)
+            h0, v0, _, _ = _sin_to_pixel(minx, maxy)   # top-left
+            h1, v1, _, _ = _sin_to_pixel(maxx, miny)   # bottom-right
+
             out = set()
-            for p in geo.iter_positions(g):
-                lon_r, lat_r = math.radians(p[0]), math.radians(p[1])
-                x = SPHERE_RADIUS_M * lon_r * math.cos(lat_r)
-                y = SPHERE_RADIUS_M * lat_r
-                h = max(0, min(35, math.floor((x + GLOBAL_HALF_WIDTH)
-                                              / TILE_SIZE_M)))
-                v = max(0, min(17, math.floor((GLOBAL_HALF_HEIGHT - y)
-                                              / TILE_SIZE_M)))
-                tile_left = h * TILE_SIZE_M - GLOBAL_HALF_WIDTH
-                tile_top = GLOBAL_HALF_HEIGHT - v * TILE_SIZE_M
-                c = max(0, min(PIXELS_PER_TILE - 1,
-                               math.floor((x - tile_left) / PIXEL_SIZE_M)))
-                r = max(0, min(PIXELS_PER_TILE - 1,
-                               math.floor((tile_top - y) / PIXEL_SIZE_M)))
-                out.add((h, v, c, r))
+            for h in range(h0, h1 + 1):
+                for v in range(v0, v1 + 1):
+                    tile_left = h * TILE_SIZE_M - GLOBAL_HALF_WIDTH
+                    tile_top = GLOBAL_HALF_HEIGHT - v * TILE_SIZE_M
+                    c0 = max(0, math.floor((minx - tile_left)
+                                           / PIXEL_SIZE_M) - 1)
+                    c1 = min(PIXELS_PER_TILE - 1,
+                             math.floor((maxx - tile_left)
+                                        / PIXEL_SIZE_M) + 1)
+                    r0 = max(0, math.floor((tile_top - maxy)
+                                           / PIXEL_SIZE_M) - 1)
+                    r1 = min(PIXELS_PER_TILE - 1,
+                             math.floor((tile_top - miny)
+                                        / PIXEL_SIZE_M) + 1)
+                    for r in range(r0, r1 + 1):
+                        for c in range(c0, c1 + 1):
+                            px = tile_left + (c + 0.5) * PIXEL_SIZE_M
+                            py = tile_top - (r + 0.5) * PIXEL_SIZE_M
+                            if _square_intersects_geom(
+                                    px - PIXEL_SIZE_M / 2,
+                                    py - PIXEL_SIZE_M / 2,
+                                    px + PIXEL_SIZE_M / 2,
+                                    py + PIXEL_SIZE_M / 2,
+                                    gtype, paths, polygons):
+                                out.add((h, v, c, r))
+            if not out:
+                # centroid fallback — the BBOX center in sinusoidal space
+                # (getGeometryCentroid, :244-252)
+                out.add(_sin_to_pixel((minx + maxx) / 2, (miny + maxy) / 2))
             return [[str(a) for a in t] for t in sorted(out)]
         return gj.map(compute)
     return _pixels(geometry_col)

@@ -380,3 +380,73 @@ def test_add_places_sort_and_dedupe_parity(spark):
     # min-struct pick ("Tirol" < "Tyrol"); the null-locality row sorts last
     assert places == [("Zirl", "Tirol", "Austria"),
                       (None, None, "Austria")]
+
+
+class TestViirsRasterization:
+    """VIIRSPixelExtractor.unit.test.ts vectors over the full bbox-scan
+    rasterizer (pixel squares intersecting the geometry, not just its
+    vertices)."""
+
+    def _pixels(self, spark, geom):
+        rows = spark.createDataFrame(
+            [(json.dumps(geom),)], "geometry string").select(
+            en.geometry_viirs_pixels(F.col("geometry")).alias("p")).first().p
+        return {tuple(int(v) for v in t) for t in rows}
+
+    def test_polygon_covers_interior(self, spark):
+        # ~1.1 km square at the equator ≈ 3×3 pixels at 375 m — the
+        # interior pixel has no vertex on it, so vertex-only extraction
+        # would miss it
+        poly = {"type": "Polygon", "coordinates": [[
+            [0.0, 0.0], [0.01, 0.0], [0.01, 0.01], [0.0, 0.01],
+            [0.0, 0.0]]]}
+        pixels = self._pixels(spark, poly)
+        assert len(pixels) >= 9
+        # every vertex pixel is included (squares touching the boundary)
+        for lon, lat in [(0.0, 0.0), (0.01, 0.0), (0.01, 0.01),
+                         (0.0, 0.01)]:
+            vp = spark.range(1).select(en.viirs_pixel(
+                F.lit(lon), F.lit(lat)).alias("p")).first().p
+            assert tuple(int(v) for v in vp) in pixels
+        for h, v, c, r in pixels:
+            assert 0 <= h <= 35 and 0 <= v <= 17
+            assert 0 <= c < 3000 and 0 <= r < 3000
+
+    def test_linestring_covers_path(self, spark):
+        line = {"type": "LineString",
+                "coordinates": [[-74.0, 40.7], [-73.9, 40.8]]}
+        pixels = self._pixels(spark, line)
+        # a ~14 km diagonal crosses ≥ 20 pixels — endpoints included
+        assert len(pixels) >= 20
+        for lon, lat in line["coordinates"]:
+            vp = spark.range(1).select(en.viirs_pixel(
+                F.lit(lon), F.lit(lat)).alias("p")).first().p
+            assert tuple(int(v) for v in vp) in pixels
+
+    def test_tiny_polygon_yields_at_least_one(self, spark):
+        tiny = {"type": "Polygon", "coordinates": [[
+            [0.0, 0.0], [0.00001, 0.0], [0.00001, 0.00001],
+            [0.0, 0.00001], [0.0, 0.0]]]}
+        pixels = self._pixels(spark, tiny)
+        assert len(pixels) >= 1
+
+    def test_point_is_single_pixel(self, spark):
+        pt = {"type": "Point", "coordinates": [11.0, 47.0]}
+        pixels = self._pixels(spark, pt)
+        vp = spark.range(1).select(en.viirs_pixel(
+            F.lit(11.0), F.lit(47.0)).alias("p")).first().p
+        assert pixels == {tuple(int(v) for v in vp)}
+
+    def test_polygon_hole_boundary_still_covered(self, spark):
+        # ring with a hole: hole boundary pixels intersect the polygon's
+        # covered region (squares straddle the hole edge)
+        poly = {"type": "Polygon", "coordinates": [
+            [[0.0, 0.0], [0.02, 0.0], [0.02, 0.02], [0.0, 0.02],
+             [0.0, 0.0]],
+            [[0.008, 0.008], [0.012, 0.008], [0.012, 0.012],
+             [0.008, 0.012], [0.008, 0.008]]]}
+        with_hole = self._pixels(spark, poly)
+        solid = self._pixels(spark, {
+            "type": "Polygon", "coordinates": [poly["coordinates"][0]]})
+        assert with_hole <= solid
+        assert len(with_hole) >= 16
