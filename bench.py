@@ -68,6 +68,7 @@ EXTENDED_QUERIES = [
     "multimodal_audio_stats",
     "stream_enriched_rollup",
     "rollup_multi_granularity",
+    "r4_viirs_rasterize_points",
     "stream_click_attribution",
     "multimodal_video_stats",
     "sample_temperature_mixture",

@@ -161,3 +161,73 @@ SELECT p_partkey,
        r * 256 + g + b / 256.0 - 32768.0 AS elev_terrarium
 FROM ch
 """
+
+
+# ---------------------------------------------------------------------------
+# R4 — the full rasterizer path over Point geometries
+# (VIIRSPixelExtractor.ts:258-338 via pipeline.enrichment.geometry_viirs_pixels)
+# ---------------------------------------------------------------------------
+
+@query("r4_viirs_rasterize_points")
+def r4_viirs_rasterize_points(spark, sf_dir):
+    """Point features through the geometry RASTERIZER (JSON parse →
+    sinusoidal transform → bbox scan → pixel-square intersection), rolled
+    up per tile.  For a point strictly inside a pixel the rasterizer must
+    emit exactly that pixel, so the floor-math oracle is exact.  The
+    0.0123/0.0071 offsets keep every synthetic point off pixel-boundary
+    coordinates (e.g. lat 0.0 lies exactly on the v=8/9 tile edge, where
+    square-touch semantics would return both neighbors)."""
+    from ..pipeline.enrichment import geometry_viirs_pixels
+
+    part = _t(spark, sf_dir, "part")
+    lon = (F.col("p_partkey") % 3600) / F.lit(10.0) - F.lit(180.0) \
+        + F.lit(0.0123)
+    lat = ((F.col("p_partkey") * 7) % 1600) / F.lit(10.0) - F.lit(80.0) \
+        + F.lit(0.0071)
+    geom = F.concat(F.lit('{"coordinates":['), lon.cast("string"),
+                    F.lit(","), lat.cast("string"),
+                    F.lit('],"type":"Point"}'))
+    px = F.explode(geometry_viirs_pixels(geom)).alias("px")
+    return (part.select(px)
+            .select(F.col("px")[0].cast("int").alias("h"),
+                    F.col("px")[1].cast("int").alias("v"),
+                    F.col("px")[2].cast("int").alias("col"),
+                    F.col("px")[3].cast("int").alias("row"))
+            .groupBy("h", "v")
+            .agg(F.count("*").alias("n_pixels"),
+                 F.min("col").alias("min_col"),
+                 F.max("row").alias("max_row")))
+
+
+ORACLES["r4_viirs_rasterize_points"] = f"""
+WITH pts AS (
+  SELECT (p_partkey % 3600) / 10.0 - 180.0 + 0.0123 AS lon,
+         ((p_partkey * 7) % 1600) / 10.0 - 80.0 + 0.0071 AS lat
+  FROM part),
+xy AS (
+  SELECT {SPHERE_RADIUS_M!r} * radians(lon) * cos(radians(lat)) AS x,
+         {SPHERE_RADIUS_M!r} * radians(lat) AS y
+  FROM pts),
+px AS (
+  SELECT CAST(greatest(0, least(35,
+           floor((x + {GLOBAL_HALF_WIDTH!r}) / {TILE_SIZE_M!r}))) AS INT) AS h,
+         CAST(greatest(0, least(17,
+           floor(({GLOBAL_HALF_HEIGHT!r} - y) / {TILE_SIZE_M!r}))) AS INT) AS v,
+         x, y
+  FROM xy),
+cr AS (
+  SELECT h, v,
+         CAST(greatest(0, least({PIXELS_PER_TILE - 1},
+           floor((x - (CAST(h AS DOUBLE) * {TILE_SIZE_M!r}
+                       - {GLOBAL_HALF_WIDTH!r})) / {PIXEL_SIZE_M!r})))
+           AS INT) AS col,
+         CAST(greatest(0, least({PIXELS_PER_TILE - 1},
+           floor((({GLOBAL_HALF_HEIGHT!r}
+                   - CAST(v AS DOUBLE) * {TILE_SIZE_M!r}) - y)
+                 / {PIXEL_SIZE_M!r})))
+           AS INT) AS row
+  FROM px)
+SELECT h, v, count(*) AS n_pixels,
+       min(col) AS min_col, max(row) AS max_row
+FROM cr GROUP BY h, v
+"""
