@@ -81,6 +81,8 @@ EXTENDED_QUERIES = [
     "kmeans_clusters",
     "bm25_topk_docs",
     "stream_dedup_bounded",
+    "semdedup_keep",
+    "lm_perplexity_docs",
 ]
 
 

@@ -458,20 +458,18 @@ def kmeans_clusters(spark, sf_dir):
                  F.round(F.sum("d2"), 3).alias("inertia")))
 
 
-def _kmeans_oracle() -> str:
-    """DuckDB twin: the two Lloyd iterations unrolled.  d2 uses the same
-    v·v + c·c − 2·v·c expansion as the engine; centroids round to 6
-    decimals after init and after each elementwise mean."""
-    d2 = ("(list_inner_product({v}, {v}) + list_inner_product({c}, {c})"
+_KM_D2 = ("(list_inner_product({v}, {v}) + list_inner_product({c}, {c})"
           " - 2 * list_inner_product({v}, {c}))")
 
-    def assign(src_vec, cent_table):
-        return (f"(SELECT t.cluster FROM {cent_table} t "
-                f"ORDER BY {d2.format(v=src_vec, c='t.c')}, t.cluster "
-                f"LIMIT 1)")
 
-    def recenter(assign_table, prev_table, out):
-        return f"""
+def _km_assign(src_vec: str, cent_table: str) -> str:
+    return (f"(SELECT t.cluster FROM {cent_table} t "
+            f"ORDER BY {_KM_D2.format(v=src_vec, c='t.c')}, t.cluster "
+            f"LIMIT 1)")
+
+
+def _km_recenter(assign_table: str, prev_table: str, out: str) -> str:
+    return f"""
 {out}_m AS (
   -- dim derived from the data, not hardcoded: a testdata dim change must
   -- not silently skew centroids via out-of-range v[i] NULLs
@@ -487,21 +485,31 @@ def _kmeans_oracle() -> str:
              FROM {out}_m GROUP BY cluster) m USING (cluster)
 )"""
 
+
+def _km_chain(k: int = 8) -> str:
+    """The shared DuckDB Lloyd chain (two iterations unrolled): CTEs
+    ``e`` (double vectors), ``init``, ``a1``/``c1``, ``a2``/``c2``.
+    d2 uses the same v·v + c·c − 2·v·c expansion as the engine; centroids
+    round to 6 decimals after init and after each elementwise mean."""
     return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), init AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
          list_transform(v, x -> round(x, 6)) AS c
-  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
 ), a1 AS (
-  SELECT vec_id, v, {assign('e.v', 'init')} AS cluster FROM e
-),{recenter('a1', 'init', 'c1')}, a2 AS (
-  SELECT vec_id, v, {assign('e.v', 'c1')} AS cluster FROM e
-),{recenter('a2', 'c1', 'c2')}, fin AS (
+  SELECT vec_id, v, {_km_assign('e.v', 'init')} AS cluster FROM e
+),{_km_recenter('a1', 'init', 'c1')}, a2 AS (
+  SELECT vec_id, v, {_km_assign('e.v', 'c1')} AS cluster FROM e
+),{_km_recenter('a2', 'c1', 'c2')}"""
+
+
+def _kmeans_oracle() -> str:
+    return f"""{_km_chain()}, fin AS (
   SELECT a.cluster,
-         {d2.format(v='a.v', c='t.c')} AS d2
-  FROM (SELECT vec_id, v, {assign('e.v', 'c2')} AS cluster FROM e) a
+         {_KM_D2.format(v='a.v', c='t.c')} AS d2
+  FROM (SELECT vec_id, v, {_km_assign('e.v', 'c2')} AS cluster FROM e) a
   JOIN c2 t USING (cluster)
 )
 SELECT cluster, count(*) AS n_vectors, round(sum(d2), 3) AS inertia
@@ -510,3 +518,99 @@ FROM fin GROUP BY cluster
 
 
 ORACLES["kmeans_clusters"] = _kmeans_oracle()
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup via k-means cluster pruning
+# ---------------------------------------------------------------------------
+
+
+@query("semdedup_keep")
+def semdedup_keep(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embedding corpus: the
+    deterministic k-means fit (k=8, 2 iterations) bounds the pairwise
+    cosine search to within-cluster, then each near-duplicate
+    neighborhood (rounded cosine ≥ τ) keeps its preference-minimum
+    (closest to centroid, ties to smaller id).  One corpus shuffle on
+    ``cluster``; the quadratic is cluster-bounded — raise k to shrink it
+    (``operators/semdedup.py``).  τ = 0.30 is calibrated to the synthetic
+    corpus (64-d near-orthogonal gaussians top out at cosine ≈ 0.5, no
+    planted twins): it prunes the top ~1% most-similar pairs, the same
+    percentile the paper's ε targets on real embeddings."""
+    from ..operators.semdedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(emb, k=8, n_iter=2, tau=0.30)
+
+
+def _semdedup_oracle(tau: float = 0.30) -> str:
+    cos = ("round(list_inner_product(f.v, g.v)"
+           " / (sqrt(list_inner_product(f.v, f.v))"
+           " * sqrt(list_inner_product(g.v, g.v))), 6)")
+    return f"""{_km_chain()}, fin AS (
+  SELECT a.vec_id, a.v, a.cluster,
+         round({_KM_D2.format(v='a.v', c='t.c')}, 6) AS d2r
+  FROM (SELECT vec_id, v, {_km_assign('e.v', 'c2')} AS cluster FROM e) a
+  JOIN c2 t USING (cluster)
+)
+SELECT f.vec_id, f.cluster,
+       NOT EXISTS (
+         SELECT 1 FROM fin g
+         WHERE g.cluster = f.cluster AND g.vec_id <> f.vec_id
+           AND {cos} >= {tau}
+           AND (g.d2r < f.d2r
+                OR (g.d2r = f.d2r AND g.vec_id < f.vec_id))
+       ) AS keep
+FROM fin f
+"""
+
+
+ORACLES["semdedup_keep"] = _semdedup_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity scoring — the CCNet/FineWeb quality signal
+# ---------------------------------------------------------------------------
+
+
+@query("lm_perplexity_docs")
+def lm_perplexity_docs(spark, sf_dir):
+    """Mean ln P(w|prev) per document under a corpus-trained add-½
+    smoothed bigram LM (the perplexity quality filter: CCNet scores web
+    text with a trusted-corpus LM and drops the high-perplexity tail).
+    Pure Catalyst — explode + two vocabulary-bounded aggregations + one
+    posting-list join (``operators/lm_score.py``)."""
+    from ..operators.lm_score import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob(docs)
+
+
+ORACLES["lm_perplexity_docs"] = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
+  FROM documents
+), pairs AS (
+  SELECT doc_id,
+         CASE WHEN u.i = 1 THEN '<s>' ELSE ts[u.i - 1] END AS prev,
+         ts[u.i] AS w
+  FROM tok,
+  LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) u
+), big AS (
+  SELECT prev, w, count(*) AS cb FROM pairs GROUP BY prev, w
+), ctx AS (
+  SELECT prev, count(*) AS cp FROM pairs GROUP BY prev
+), voc AS (
+  SELECT count(DISTINCT w) AS v FROM pairs
+), scored AS (
+  SELECT p.doc_id,
+         ln(CAST(b.cb * 2 + 1 AS DOUBLE) / (c.cp * 2 + voc.v)) AS logp
+  FROM pairs p
+  JOIN big b USING (prev, w)
+  JOIN ctx c USING (prev)
+  CROSS JOIN voc
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(sum(logp) / count(*), 4) AS avg_logp
+FROM scored GROUP BY doc_id
+"""

@@ -417,8 +417,15 @@ def write_geopackage(layers: dict[str, DataFrame], path: str,
         tables = _LayerTables(con, cols, coltypes)
         is_ski_area = ski_area_centroids and ftype == "ski_area"
 
-        rows = df.select(geometry_col, *cols).toLocalIterator(
-            prefetchPartitions=True)
+        out = df.select(geometry_col, *cols)
+        if "feature_id" in cols:
+            # O1 ordered-export contract (same as the GeoJSON sink): fid
+            # assignment follows the content-hash id order, not upstream
+            # task-completion order — without this, partial-aggregate
+            # partition layout under load leaks into the fids and the
+            # byte-level output is not reproducible across runs.
+            out = out.orderBy("feature_id")
+        rows = out.toLocalIterator(prefetchPartitions=True)
         for r in rows:
             geom = json.loads(r[geometry_col])
             values = tuple(_encode(r[c]) for c in cols)

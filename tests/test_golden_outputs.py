@@ -12,9 +12,11 @@ layers are eagerly localCheckpointed inside ``prepare`` — at ~88 s; the two
 ``write_outputs`` passes (flat + reference shape) replay only sink-side
 transforms from the checkpoints (~80 s combined, dominated by fixed per-job
 overhead across ~120 tiny actions, not recompute).  Probed alternatives:
-shuffle.partitions=1 saves nothing and flips the GeoPackage hash
-(fid-assignment is partition-order-sensitive); AQE off is 1.4× SLOWER
+shuffle.partitions=1 saves nothing; AQE off is 1.4× SLOWER
 (coalescing pays even at this size).  Keep the session defaults.
+GeoPackage fids are id-ordered at the sink (round 6) so partition layout
+no longer reaches the gpkg hash at all — the earlier pin hashed
+task-completion-order fids and flaked under concurrent load.
 
 Canonicalization (why hashes are stable across runs): floats are rounded to
 6 decimals before hashing (absorbs last-ulp drift from partial-aggregate
@@ -169,10 +171,12 @@ GOLDEN = {
     "mapboxgl_ski_areas.geojson": "a5d49343e2dc4b92",
     "ref/ski_areas.geojson": "8ed53d485ce1d12c",
     "csv/ski_areas": "16f2c1156f7581fb",
-    # re-pinned (round 6): reference GPKG layout — geometry-type-suffixed
+    # re-pinned (round 6, twice): reference GPKG layout (geometry-type
     # tables, Polygon→MultiPolygon upgrade, ski-area point+multipolygon
-    # dual export, typed per-feature-type column schemas
-    "openskidata.gpkg": "832364f3b3eac792",
+    # dual export, typed schemas), then the O1 id-ordered fid contract —
+    # the old pin hashed fids assigned in task-completion order, which
+    # flaked under concurrent load (one full-suite run in 20+ was enough)
+    "openskidata.gpkg": "d94f2dcbf7e6ce59",
 }
 
 

@@ -427,3 +427,148 @@ def test_near_dup_groups_keep_best_quality(spark):
     # with the 0.9-tie broken to the smaller id (2, not 3)
     assert best == {1: (1, False), 2: (1, True), 3: (1, False),
                     4: (1, False), 10: (10, True)}
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — k-means-bounded semantic dedup (operators/semdedup.py)
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_exact_twin_keeps_smaller_id(spark):
+    """A planted exact duplicate ties on d2, so the smaller id survives;
+    a below-threshold vector in the same cluster always keeps."""
+    from openskidata_processor_spark.operators.semdedup import semdedup
+    # single cluster (k=1): pair of exact twins + one orthogonal vector
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.keep for r in
+           semdedup(df, k=1, n_iter=1, tau=0.9).collect()}
+    assert got == {0: True, 1: False, 2: True}
+
+
+def test_semdedup_prefers_centroid_proximity(spark):
+    """Among an above-threshold pair with different d2, the vector closer
+    to the centroid is the one kept (not the smaller id)."""
+    from openskidata_processor_spark.operators.semdedup import semdedup
+    # same direction, different magnitude: cosine = 1.0; centroid of the
+    # cluster sits near the point mass, so the outlier magnitude (id 0!)
+    # is farther and must be dropped despite its smaller id
+    rows = [(0, [100.0, 0.0]), (1, [1.0, 0.0]), (2, [1.1, 0.0]),
+            (3, [0.9, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.keep for r in
+           semdedup(df, k=1, n_iter=2, tau=0.99).collect()}
+    # centroid = the mean [25.75, 0]; all four are cosine-identical, so
+    # exactly one keeps: the d2-minimum is id 2 ([1.1, 0])
+    assert got == {0: False, 1: False, 2: True, 3: False}
+
+
+def test_semdedup_matches_bruteforce_reference(spark):
+    """Differential check on the real corpus: the distributed
+    applyInPandas prune equals a single-process numpy reimplementation of
+    the rule over the same kmeans fit."""
+    from openskidata_processor_spark.operators.kmeans import kmeans_fit
+    from openskidata_processor_spark.operators.semdedup import semdedup
+    from openskidata_processor_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    tau, decimals = 0.30, 6
+    got = {r.vec_id: (r.cluster, r.keep) for r in
+           semdedup(emb, k=4, n_iter=2, tau=tau).collect()}
+
+    _, assign = kmeans_fit(emb, k=4, n_iter=2)
+    rows = (emb.join(assign, "vec_id")
+            .select("vec_id", "embedding", "cluster", "d2").collect())
+    expect = {}
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for c, members in by_cluster.items():
+        V = np.stack([np.asarray(m.embedding, dtype=np.float64)
+                      for m in members])
+        Vn = V / np.sqrt((V * V).sum(axis=1))[:, None]
+        S = np.round(Vn @ Vn.T, decimals)
+        pref = sorted(range(len(members)),
+                      key=lambda i: (round(members[i].d2, decimals),
+                                     members[i].vec_id))
+        rank = {i: p for p, i in enumerate(pref)}
+        for i, m in enumerate(members):
+            dropped = any(S[i, j] >= tau and rank[j] < rank[i]
+                          for j in range(len(members)) if j != i)
+            expect[m.vec_id] = (c, not dropped)
+    assert got == expect
+    assert any(not keep for _, keep in got.values())  # non-vacuous
+
+
+def test_semdedup_partitioning_independence(spark):
+    """Input partitioning must not leak into the verdicts (the groupBy
+    re-collects clusters; the rank rule is a total order)."""
+    from openskidata_processor_spark.operators.semdedup import semdedup
+    from openskidata_processor_spark.sources.tables import load_table
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = sorted(map(tuple, semdedup(emb, k=4, n_iter=2,
+                                   tau=0.30).collect()))
+    b = sorted(map(tuple, semdedup(emb.repartition(13, "label"), k=4,
+                                   n_iter=2, tau=0.30).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity scoring (operators/lm_score.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Self-trained model on a 2-live-doc corpus, checked against the
+    closed-form add-1/2 probabilities; the token-less doc drops out."""
+    from openskidata_processor_spark.operators.lm_score import \
+        bigram_logprob
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "A b!"), (3, "  ...  ")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.avg_logp) for r in
+           bigram_logprob(docs).collect()}
+    # pairs: doc1 (<s>,a)(a,b)(b,a)(a,b); doc2 (<s>,a)(a,b); V={a,b}
+    # P(<s>,a)=(2·2+1)/(2·2+2)=5/6  P(a,b)=(3·2+1)/(3·2+2)=7/8
+    # P(b,a)=(1·2+1)/(1·2+2)=3/4
+    lp = {"sa": math.log(5 / 6), "ab": math.log(7 / 8),
+          "ba": math.log(3 / 4)}
+    d1 = round((lp["sa"] + lp["ab"] + lp["ba"] + lp["ab"]) / 4, 4)
+    d2 = round((lp["sa"] + lp["ab"]) / 2, 4)
+    assert got == {1: (4, d1), 2: (2, d2)}
+
+
+def test_bigram_logprob_foreign_model_smooths_unseen(spark):
+    """Scoring against a model trained on OTHER docs: an unseen bigram
+    under a seen context gets the add-k floor, an unseen context falls to
+    the uniform 1/V floor."""
+    from openskidata_processor_spark.operators.lm_score import \
+        bigram_logprob
+    model = spark.createDataFrame([(10, "a b"), (11, "a b")],
+                                  "doc_id long, text string")
+    # model pairs: (<s>,a)×2, (a,b)×2; V={a,b} → 2
+    docs = spark.createDataFrame([(1, "a c"), (2, "z q")],
+                                 "doc_id long, text string")
+    got = {r.doc_id: r.avg_logp for r in
+           bigram_logprob(docs, model_docs=model).collect()}
+    # doc1: (<s>,a): (2·2+1)/(2·2+2)=5/6; (a,c) unseen w, seen prev a:
+    #   (0+1)/(2·2+2)=1/6
+    d1 = round((math.log(5 / 6) + math.log(1 / 6)) / 2, 4)
+    # doc2: (<s>,z): <s> IS a seen context → (0+1)/(2·2+2)=1/6;
+    #   (z,q): unseen context → uniform floor (0+1)/(0+2)=1/2
+    d2 = round((math.log(1 / 6) + math.log(1 / 2)) / 2, 4)
+    assert got == {1: d1, 2: d2}
+
+
+def test_bigram_logprob_flags_atypical_doc(spark):
+    """The quality-filter property: a doc of corpus-typical bigrams
+    scores higher than an outlier of unique words."""
+    from openskidata_processor_spark.operators.lm_score import \
+        bigram_logprob
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows.append((99, "zyxw qvjk plmn"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.avg_logp for r in bigram_logprob(docs).collect()}
+    typical = got[0]
+    assert all(got[i] == typical for i in range(20))
+    assert got[99] < typical - 1.0
