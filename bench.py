@@ -83,6 +83,7 @@ EXTENDED_QUERIES = [
     "stream_dedup_bounded",
     "semdedup_keep",
     "lm_perplexity_docs",
+    "logreg_quality_scores",
 ]
 
 

@@ -572,3 +572,59 @@ def test_bigram_logprob_flags_atypical_doc(spark):
     typical = got[0]
     assert all(got[i] == typical for i in range(20))
     assert got[99] < typical - 1.0
+
+
+# ---------------------------------------------------------------------------
+# Logistic-regression quality classifier (operators/logreg.py)
+# ---------------------------------------------------------------------------
+
+
+def test_logreg_one_step_hand_computed(spark):
+    """One GD step on a 2-point separable set: w1 = round(-lr/N ·
+    Σ x̃(0.5−y), 6) = [1, 0] at lr=2, and the scores fall on the right
+    sides of 0.5."""
+    from openskidata_processor_spark.operators.logreg import (logreg_fit,
+                                                              logreg_score)
+    df = spark.createDataFrame([(0, [1.0], 1.0), (1, [-1.0], 0.0)],
+                               "vec_id long, embedding array<double>, "
+                               "y double")
+    w = logreg_fit(df, F.col("y"), n_iter=1, lr=2.0)
+    assert w.tolist() == [1.0, 0.0]
+    got = {r.vec_id: (r.p, r.pred) for r in logreg_score(df, w).collect()}
+    sig = round(1.0 / (1.0 + math.exp(-1.0)), 6)
+    assert got == {0: (sig, True), 1: (round(1.0 - sig, 6), False)}
+
+
+def test_logreg_partitioning_independence(spark):
+    """Sorted partial-gradient merge + per-step quantization: the fit is
+    identical under any input partitioning."""
+    from openskidata_processor_spark.operators.logreg import logreg_fit
+    from openskidata_processor_spark.sources.tables import load_table
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    y = F.col("label") == 0
+    w1 = logreg_fit(emb, y, n_iter=3, lr=20.0)
+    w2 = logreg_fit(emb.repartition(13, "vec_id"), y, n_iter=3, lr=20.0)
+    assert np.array_equal(w1, w2)
+
+
+def test_logreg_separates_classes(spark):
+    """The catalog fit (10 steps, lr=20) must rank the positive class
+    measurably above the rest — the quality-filter property."""
+    from openskidata_processor_spark.operators.logreg import (logreg_fit,
+                                                              logreg_score)
+    from openskidata_processor_spark.sources.tables import load_table
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    w = logreg_fit(emb, F.col("label") == 0, n_iter=10, lr=20.0)
+    scored = logreg_score(emb, w).join(emb.select("vec_id", "label"),
+                                       "vec_id")
+    means = dict(scored.groupBy(F.col("label") == 0)
+                 .agg(F.avg("p").alias("m")).collect())
+    assert means[True] > means[False] * 1.15
+
+
+def test_logreg_empty_input_raises(spark):
+    from openskidata_processor_spark.operators.logreg import logreg_fit
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, y double")
+    with pytest.raises(ValueError, match="empty"):
+        logreg_fit(empty, F.col("y"), n_iter=1)
