@@ -84,6 +84,8 @@ EXTENDED_QUERIES = [
     "semdedup_keep",
     "lm_perplexity_docs",
     "logreg_quality_scores",
+    "dup_ngram_docs",
+    "dsir_select_docs",
 ]
 
 

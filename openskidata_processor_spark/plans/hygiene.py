@@ -399,3 +399,49 @@ SELECT source, bin_id, count(*) AS n_docs,
        md5(string_agg(text, chr(10) ORDER BY doc_id)) AS packed_md5
 FROM pack GROUP BY source, bin_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Duplication diagnostics — per-doc duplicated-n-gram fraction
+# ---------------------------------------------------------------------------
+
+
+@query("dup_ngram_docs")
+def dup_ngram_docs(spark, sf_dir):
+    """The dedup MEASUREMENT op (Lee et al. 2022 §4): of each document's
+    distinct word-5-grams, the fraction occurring in at least one other
+    document.  One posting-list shuffle on the content shingle (shared
+    key with the n-gram dedup join), vocabulary-sized df table joined
+    back; dup_frac is a single exact-integer division — bit-identical
+    cross-engine (``operators/dupstats.py``)."""
+    from ..operators.dupstats import dup_ngram_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_ngram_stats(docs, n=5)
+
+
+ORACLES["dup_ngram_docs"] = """
+WITH ws AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, u.i, u.i + 4), ' ') AS shingle
+  FROM ws,
+  LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS i) u
+  WHERE len(w) >= 5
+), dfq AS (
+  SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+), per AS (
+  SELECT doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM sh JOIN dfq USING (shingle) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup,
+       CASE WHEN coalesce(n_shingles, 0) > 0
+            THEN CAST(coalesce(n_dup, 0) AS DOUBLE) / n_shingles
+            ELSE CAST(0.0 AS DOUBLE) END AS dup_frac
+FROM documents d LEFT JOIN per USING (doc_id)
+"""

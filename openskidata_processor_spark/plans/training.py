@@ -688,3 +688,82 @@ SELECT doc_id, count(*) AS n_tokens,
        round(sum(logp) / count(*), 4) AS avg_logp
 FROM scored GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance selection (operators/dsir.py)
+# ---------------------------------------------------------------------------
+
+
+def _md5_u16_sql(salt: str, expr: str) -> str:
+    """The `operators/sampling._uniform_int` decode in DuckDB SQL:
+    uniform int in [0, 65535] from md5(salt || expr), digit-by-digit
+    (recomputes the md5 per digit — fine at oracle scale)."""
+    h = f"md5('{salt}' || {expr})"
+
+    def hv(i: int) -> str:
+        a = f"ascii(substr({h}, {i}, 1))"
+        return f"({a} - 48 - CASE WHEN {a} >= 97 THEN 39 ELSE 0 END)"
+
+    return f"((({hv(1)} * 16 + {hv(2)}) * 16 + {hv(3)}) * 16 + {hv(4)})"
+
+
+@query("dsir_select_docs")
+def dsir_select_docs(spark, sf_dir):
+    """DSIR (Xie et al. 2023) targeting the English slice: hashed-bigram
+    (256 buckets) add-½ importance weights ln Π p_en/p_raw per document,
+    deterministic md5 Gumbel noise, keep the top 100 by (rounded score,
+    doc_id).  The model is bucket-count-bounded and broadcast; the
+    corpus shuffles once on doc_id for the per-doc reduction
+    (``operators/dsir.py``)."""
+    from ..operators.dsir import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_select(docs, F.col("lang") == "en", k=100)
+
+
+def _dsir_oracle(k: int = 100, n_buckets: int = 256) -> str:
+    bucket = _md5_u16_sql("dsir", "prev || ' ' || w")
+    u = _md5_u16_sql("dsir:g", "CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
+  FROM documents
+), p AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN u.i = 1 THEN '<s>' ELSE ts[u.i - 1] END AS prev,
+         ts[u.i] AS w
+  FROM tok,
+  LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) u
+), pb AS MATERIALIZED (
+  SELECT doc_id, ({bucket}) % {n_buckets} AS bucket FROM p
+), cr AS (
+  SELECT bucket, count(*) AS c_r FROM pb GROUP BY bucket
+), ct AS (
+  SELECT bucket, count(*) AS c_t
+  FROM pb JOIN documents USING (doc_id)
+  WHERE lang = 'en' GROUP BY bucket
+), model AS MATERIALIZED (
+  SELECT cr.bucket, c_r, coalesce(c_t, 0) AS c_t
+  FROM cr LEFT JOIN ct USING (bucket)
+), tot AS MATERIALIZED (
+  SELECT CAST(sum(c_r) AS BIGINT) AS nr, CAST(sum(c_t) AS BIGINT) AS nt
+  FROM model
+), sc AS (
+  SELECT doc_id, count(*) AS n_feats,
+         sum(ln(CAST(c_t * 2 + 1 AS DOUBLE) / (c_r * 2 + 1))) AS s
+  FROM pb JOIN model USING (bucket) GROUP BY doc_id
+), g AS (
+  SELECT doc_id, n_feats,
+         round(s + n_feats * ln(CAST(nr * 2 + {n_buckets} AS DOUBLE)
+                                / (nt * 2 + {n_buckets}))
+               + (- ln(- ln((({u}) + 0.5) / 65536.0))), 4) AS score
+  FROM sc CROSS JOIN tot
+)
+SELECT doc_id, n_feats, score,
+       row_number() OVER (ORDER BY score DESC, doc_id) <= {k} AS kept
+FROM g
+"""
+
+
+ORACLES["dsir_select_docs"] = _dsir_oracle()

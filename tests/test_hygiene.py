@@ -129,3 +129,48 @@ def test_contamination_excludes_benchmark_side(spark):
     out = QUERIES["contamination_ngram"](spark, SF_SMOKE).collect()
     assert all(r.doc_id % 29 != 0 for r in out)
     assert all(r.n_shared_shingles >= 1 and r.n_bench_docs >= 1 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Duplication diagnostics (operators/dupstats.py)
+# ---------------------------------------------------------------------------
+
+
+def test_dup_ngram_stats_hand_case(spark):
+    """Shared 5-gram counts for both holders, unique doc scores 0, short
+    doc reports 0 shingles with dup_frac 0."""
+    from openskidata_processor_spark.operators.dupstats import \
+        dup_ngram_stats
+    shared = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [(1, shared + " zeta"),             # 2 shingles, 1 shared
+         (2, shared),                       # 1 shingle, shared
+         (3, "one two three four five"),    # unique shingle
+         (4, "too short")],                 # < 5 words
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_shingles, r.n_dup, r.dup_frac)
+           for r in dup_ngram_stats(docs, n=5).collect()}
+    assert got == {1: (2, 1, 0.5), 2: (1, 1, 1.0),
+                   3: (1, 0, 0.0), 4: (0, 0, 0.0)}
+
+
+def test_dup_ngram_identical_docs_fully_duplicated(spark):
+    from openskidata_processor_spark.operators.dupstats import \
+        dup_ngram_stats
+    text = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame([(1, text), (2, text)],
+                                 "doc_id long, text string")
+    got = {r.doc_id: r.dup_frac for r in
+           dup_ngram_stats(docs, n=5).collect()}
+    assert got == {1: 1.0, 2: 1.0}
+
+
+def test_dup_ngram_repeated_shingle_in_one_doc_not_dup(spark):
+    """A shingle repeated only WITHIN one document is not cross-doc
+    duplication (distinct-per-doc posting)."""
+    from openskidata_processor_spark.operators.dupstats import \
+        dup_ngram_stats
+    docs = spark.createDataFrame(
+        [(1, "a b c d e a b c d e")], "doc_id long, text string")
+    row = dup_ngram_stats(docs, n=5).first()
+    assert row.n_dup == 0 and row.dup_frac == 0.0

@@ -628,3 +628,55 @@ def test_logreg_empty_input_raises(spark):
         [], "vec_id long, embedding array<double>, y double")
     with pytest.raises(ValueError, match="empty"):
         logreg_fit(empty, F.col("y"), n_iter=1)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance selection (operators/dsir.py)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_enriches_target_slice(spark):
+    """The selection property: the kept set is measurably enriched in
+    the target language vs the corpus baseline."""
+    from openskidata_processor_spark.operators.dsir import dsir_select
+    from openskidata_processor_spark.sources.tables import load_table
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = dsir_select(docs, F.col("lang") == "en", k=100)
+    joined = out.filter("kept").join(docs.select("doc_id", "lang"),
+                                     "doc_id")
+    kept_en = joined.filter(F.col("lang") == "en").count()
+    kept = joined.count()
+    assert kept == 100
+    base = (docs.filter(F.col("lang") == "en").count()
+            / docs.count())
+    assert kept_en / kept > base * 1.2
+
+
+def test_dsir_uniform_target_scores_are_pure_gumbel(spark):
+    """target = whole corpus ⇒ p_target ≡ p_raw ⇒ logw is exactly 0 for
+    every document, so scores depend only on doc_id (the md5 Gumbel),
+    not on text content."""
+    from openskidata_processor_spark.operators.dsir import dsir_select
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(1, "completely different words here"), (2, "other text")],
+        "doc_id long, text string")
+    sa = {r.doc_id: r.score
+          for r in dsir_select(a, F.lit(True), k=1).collect()}
+    sb = {r.doc_id: r.score
+          for r in dsir_select(b, F.lit(True), k=1).collect()}
+    assert sa == sb
+
+
+def test_dsir_partitioning_independence(spark):
+    from openskidata_processor_spark.operators.dsir import dsir_select
+    from openskidata_processor_spark.sources.tables import load_table
+    docs = load_table(spark, SF_SMOKE, "documents")
+    t = F.col("lang") == "en"
+    a = sorted(map(tuple, dsir_select(docs, t, k=50).collect()))
+    b = sorted(map(tuple,
+                   dsir_select(docs.repartition(13, "source"), t,
+                               k=50).collect()))
+    assert a == b
