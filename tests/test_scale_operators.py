@@ -99,3 +99,63 @@ class TestSkew:
     def test_salted_aggregate_rejects_non_decomposable(self, spark, skewed):
         with pytest.raises(ValueError):
             skew.salted_aggregate(skewed, ["k"], {"a": ("avg", "v")})
+
+
+class TestRuntimeFilter:
+    """operators/runtime_filter.py — explicit semi-join reduction."""
+
+    @pytest.fixture()
+    def posting(self, spark):
+        from conftest import SF_SMOKE
+        from openskidata_processor_spark.functions import text as T
+        from openskidata_processor_spark.sources.tables import load_table
+        docs = load_table(spark, SF_SMOKE, "documents").select(
+            "doc_id", T.words(F.col("text")).alias("ws"))
+        sh = docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(
+                T.word_shingles(F.col("ws"), 3))).alias("shingle"))
+        bench = (sh.filter(F.col("doc_id") % 29 == 0)
+                 .select(F.col("doc_id").alias("bench_id"), "shingle"))
+        train = sh.filter(F.col("doc_id") % 29 != 0)
+        return train, bench
+
+    def _scan(self, train, bench):
+        return (train.join(bench, "shingle")
+                .groupBy("doc_id")
+                .agg(F.countDistinct("shingle").alias("n_shared"),
+                     F.countDistinct("bench_id").alias("n_bench")))
+
+    def test_prefiltered_scan_matches_plain(self, spark, posting):
+        """The contamination result is IDENTICAL with the probe side
+        pre-reduced — the filter never drops a true match."""
+        from openskidata_processor_spark.operators.runtime_filter import \
+            bucket_semi_filter
+        train, bench = posting
+        plain = sorted(map(tuple, self._scan(train, bench).collect()))
+        reduced = bucket_semi_filter(train, bench, "shingle")
+        pre = sorted(map(tuple, self._scan(reduced, bench).collect()))
+        assert plain == pre and len(plain) > 0
+
+    def test_prefilter_reduces_probe_side(self, spark, posting):
+        """Mostly-disjoint corpora: the probe shrinks by >90% (the join
+        then shuffles only the sliver)."""
+        from openskidata_processor_spark.operators.runtime_filter import \
+            bucket_semi_filter
+        train, bench = posting
+        n_before = train.count()
+        n_after = bucket_semi_filter(train, bench, "shingle").count()
+        assert n_after < n_before * 0.1
+        # and it is still a superset of the true matches
+        true_matches = train.join(
+            bench.select("shingle").distinct(), "shingle").count()
+        assert n_after >= true_matches
+
+    def test_prefilter_is_broadcast_semi_join(self, spark, posting):
+        from openskidata_processor_spark.operators.runtime_filter import \
+            bucket_semi_filter
+        train, bench = posting
+        plan = bucket_semi_filter(train, bench, "shingle") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+        assert "BatchEvalPython" not in plan
