@@ -6,10 +6,13 @@
 .PHONY: check test bench driver-sim
 
 # Fast regression gate (~2.5 min): formatter semantics + ANSI edge probes +
-# golden sha256-pinned end-to-end artifacts.
+# golden sha256-pinned end-to-end artifacts + the driver-window contract
+# (window stays 50 oracle-backed entries; a broken registration would
+# silently shrink the external hard signal).
 check:
 	python -m pytest tests/test_ansi_edges.py tests/test_formatters.py \
-	    tests/test_golden_outputs.py -q
+	    tests/test_golden_outputs.py \
+	    tests/test_oracle_parity.py::test_driver_window_is_all_oracle_backed -q
 
 # Full suite (~12 min).
 test:

@@ -86,6 +86,7 @@ EXTENDED_QUERIES = [
     "logreg_quality_scores",
     "dup_ngram_docs",
     "dsir_select_docs",
+    "centroid_outlier_docs",
 ]
 
 

@@ -767,3 +767,48 @@ FROM g
 
 
 ORACLES["dsir_select_docs"] = _dsir_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Prototype-distance outlier pruning (operators/centroids.py)
+# ---------------------------------------------------------------------------
+
+
+@query("centroid_outlier_docs")
+def centroid_outlier_docs(spark, sf_dir):
+    """Per-label embedding centroid + squared distance to the own-label
+    prototype; vectors beyond 1.05× the label's mean d2 flag as outliers
+    (the synthetic 64-d gaussians concentrate hard: max d2/mean ≈ 1.12,
+    so 1.05 prunes the top ~10% tail — on real clustered embeddings the
+    factor is the knob)
+    (the mislabeled/noisy-example pruning step).  Centroid model is
+    labels × dim rows (broadcast); d2 is JVM-side
+    ``aggregate``/``zip_with`` — no Python anywhere
+    (``operators/centroids.py``)."""
+    from ..operators.centroids import centroid_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return centroid_outliers(emb, factor_num=21, factor_den=20)
+
+
+ORACLES["centroid_outlier_docs"] = """
+WITH e AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cm AS (
+  SELECT label, i, round(avg(v[i]), 6) AS m
+  FROM e,
+       (SELECT unnest(generate_series(1, (SELECT max(len(v)) FROM e))) AS i)
+  GROUP BY label, i
+), c AS MATERIALIZED (
+  SELECT label, list(m ORDER BY i) AS c FROM cm GROUP BY label
+), d AS MATERIALIZED (
+  SELECT vec_id, e.label,
+         round(list_inner_product(v, v) + list_inner_product(c.c, c.c)
+               - 2 * list_inner_product(v, c.c), 6) AS d2
+  FROM e JOIN c USING (label)
+), m AS (
+  SELECT label, round(avg(d2), 6) AS md FROM d GROUP BY label
+)
+SELECT vec_id, label, d2, d2 * 20 > m.md * 21 AS outlier
+FROM d JOIN m USING (label)
+"""

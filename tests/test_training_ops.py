@@ -680,3 +680,51 @@ def test_dsir_partitioning_independence(spark):
                    dsir_select(docs.repartition(13, "source"), t,
                                k=50).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Prototype-distance outlier pruning (operators/centroids.py)
+# ---------------------------------------------------------------------------
+
+
+def test_centroid_outliers_hand_case(spark):
+    """Centroid of {(0,0),(2,0),(0,2),(10,10)} is (3,3); d2 =
+    {18,10,10,98}, mean 34 — at 21/20× only the far vector flags."""
+    from openskidata_processor_spark.operators.centroids import (
+        centroid_outliers, group_centroids)
+    df = spark.createDataFrame(
+        [(0, "A", [0.0, 0.0]), (1, "A", [2.0, 0.0]),
+         (2, "A", [0.0, 2.0]), (3, "A", [10.0, 10.0])],
+        "vec_id long, label string, embedding array<double>")
+    cents = {r.label: r.centroid for r in
+             group_centroids(df, "label").collect()}
+    assert cents == {"A": [3.0, 3.0]}
+    got = {r.vec_id: (r.d2, r.outlier) for r in
+           centroid_outliers(df, "label", factor_num=21,
+                             factor_den=20).collect()}
+    assert got == {0: (18.0, False), 1: (10.0, False),
+                   2: (10.0, False), 3: (98.0, True)}
+
+
+def test_centroid_outliers_singleton_group_not_outlier(spark):
+    from openskidata_processor_spark.operators.centroids import \
+        centroid_outliers
+    df = spark.createDataFrame(
+        [(0, "solo", [5.0, 5.0])],
+        "vec_id long, label string, embedding array<double>")
+    row = centroid_outliers(df, "label").first()
+    assert row.d2 == 0.0 and row.outlier is False
+
+
+def test_centroid_outliers_partitioning_independence(spark):
+    from openskidata_processor_spark.operators.centroids import \
+        centroid_outliers
+    from openskidata_processor_spark.sources.tables import load_table
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = sorted(map(tuple, centroid_outliers(
+        emb, factor_num=21, factor_den=20).collect()))
+    b = sorted(map(tuple, centroid_outliers(
+        emb.repartition(13, "vec_id"), factor_num=21,
+        factor_den=20).collect()))
+    assert a == b
+    assert any(r[3] for r in a)            # non-vacuous at SF_SMOKE
