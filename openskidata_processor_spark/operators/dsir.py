@@ -56,17 +56,23 @@ def dsir_select(docs: DataFrame, target: Column, k: int,
     slice (e.g. ``F.col("lang") == "en"``).  Token-less documents have
     no features and drop out (they cannot be scored).
     """
-    pairs = bigram_pairs(docs, id_col, text_col)
-    flagged = pairs.join(
-        docs.select(F.col(id_col).alias("doc_id"),
-                    target.alias("__t")), "doc_id")
+    from .barrier import materialize
 
     bucket_of = (_uniform_int(F.concat_ws(" ", "prev", "w"), salt)
                  % n_buckets).alias("bucket")
-    c_r = hashed_feature_counts(pairs, n_buckets, salt) \
-        .withColumnRenamed("c", "c_r")
-    c_t = hashed_feature_counts(flagged.filter("__t"), n_buckets, salt) \
-        .withColumnRenamed("c", "c_t")
+    # the bucketed posting feeds THREE consumers (raw counts, target
+    # counts, per-doc scoring) — persist it once instead of re-running
+    # the tokenize+explode+md5 pipeline three times (measured 6.7 s →
+    # ~3 s at sf0.1; at scale this is the corpus-sized subplan)
+    posting = materialize(
+        bigram_pairs(docs, id_col, text_col).select("doc_id", bucket_of))
+    flagged = posting.join(
+        docs.select(F.col(id_col).alias("doc_id"),
+                    target.alias("__t")), "doc_id")
+
+    c_r = (posting.groupBy("bucket").agg(F.count("*").alias("c_r")))
+    c_t = (flagged.filter("__t")
+           .groupBy("bucket").agg(F.count("*").alias("c_t")))
     model = (c_r.join(c_t, "bucket", "left")
              .withColumn("c_t", F.coalesce("c_t", F.lit(0))))
     totals = (model.select(
@@ -75,7 +81,7 @@ def dsir_select(docs: DataFrame, target: Column, k: int,
 
     # per-feature term ln((2c_t+1)/(2c_r+1)); the normalizers fold into
     # one n_feats-scaled constant ln((2N_r+B)/(2N_t+B)) per doc
-    scored = (pairs.select("doc_id", bucket_of)
+    scored = (posting
               .join(F.broadcast(model), "bucket")
               .groupBy("doc_id")
               .agg(F.count("*").alias("n_feats"),
