@@ -87,6 +87,7 @@ EXTENDED_QUERIES = [
     "dup_ngram_docs",
     "dsir_select_docs",
     "centroid_outlier_docs",
+    "curate_corpus",
 ]
 
 

@@ -445,3 +445,92 @@ SELECT d.doc_id,
             ELSE CAST(0.0 AS DOUBLE) END AS dup_frac
 FROM documents d LEFT JOIN per USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation (pipeline/curation.py)
+# ---------------------------------------------------------------------------
+
+
+@query("curate_corpus")
+def curate_corpus(spark, sf_dir):
+    """The composed curation pass — benchmark split ▶ quality gate ▶
+    exact dedup ▶ decontamination (Bloom pre-reduced exact semi-join) ▶
+    shard assignment — one verdict row per input document with the
+    first drop reason in precedence order and final (shard, pos)
+    serving coordinates for survivors (``pipeline/curation.py``).  The
+    training-corpus analogue of ``e2e_prepare``: every stage is the
+    exact member of its operator family, so the WHOLE pipeline
+    hash-matches one composed DuckDB oracle."""
+    from ..pipeline.curation import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate(docs)
+
+
+ORACLES["curate_corpus"] = """
+WITH base AS MATERIALIZED (
+  SELECT doc_id, source, text,
+         doc_id % 29 = 0 AS bench,
+         CASE WHEN len(text) > 0 THEN
+           (least(CAST(len(regexp_extract_all(text,
+                  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT), 64)
+            * (CAST(len(text) AS BIGINT)
+               - CAST(len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                      AS BIGINT))
+            * 1000000)
+           // (64 * CAST(len(text) AS BIGINT))
+         ELSE 0 END AS q
+  FROM documents
+), pool AS (
+  SELECT doc_id, md5(text) AS dg
+  FROM base WHERE NOT bench AND q >= 300000
+), dups AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY dg ORDER BY doc_id) AS rn
+    FROM pool)
+  WHERE rn > 1
+), ws AS MATERIALIZED (
+  SELECT doc_id, bench,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM base
+), sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, bench,
+         w[u.i] || ' ' || w[u.i + 1] || ' ' || w[u.i + 2] || ' '
+           || w[u.i + 3] || ' ' || w[u.i + 4] AS shingle
+  FROM ws,
+  LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS i) u
+  WHERE len(w) >= 5
+), cont AS (
+  SELECT DISTINCT t.doc_id FROM sh t
+  WHERE NOT t.bench
+    AND EXISTS (SELECT 1 FROM sh b
+                WHERE b.bench AND b.shingle = t.shingle)
+), verdict AS MATERIALIZED (
+  SELECT b.doc_id, b.source,
+         CASE WHEN b.bench THEN 'benchmark'
+              WHEN b.q < 300000 THEN 'quality'
+              WHEN d.doc_id IS NOT NULL THEN 'duplicate'
+              WHEN c.doc_id IS NOT NULL THEN 'contaminated' END
+           AS drop_reason
+  FROM base b
+  LEFT JOIN dups d USING (doc_id)
+  LEFT JOIN cont c USING (doc_id)
+), coords AS (
+  SELECT doc_id,
+         (ascii(substr(h, 1, 1)) * 256 + ascii(substr(h, 2, 1))) % 8
+           AS shard_id,
+         h
+  FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM verdict WHERE drop_reason IS NULL)
+), pos AS (
+  SELECT doc_id, shard_id,
+         row_number() OVER (PARTITION BY shard_id ORDER BY h, doc_id)
+           AS pos
+  FROM coords
+)
+SELECT v.doc_id, v.source, v.drop_reason IS NULL AS kept, v.drop_reason,
+       p.shard_id, p.pos
+FROM verdict v LEFT JOIN pos p USING (doc_id)
+"""
