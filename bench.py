@@ -88,6 +88,7 @@ EXTENDED_QUERIES = [
     "dsir_select_docs",
     "centroid_outlier_docs",
     "curate_corpus",
+    "multimodal_phash_groups",
 ]
 
 

@@ -36,16 +36,6 @@ from .lm_score import bigram_pairs
 from .sampling import _uniform_int
 
 
-def hashed_feature_counts(pairs: DataFrame,
-                          n_buckets: int = 256,
-                          salt: str = "dsir") -> DataFrame:
-    """(bucket, c): hashed-bigram bucket counts of a pair stream."""
-    return (pairs
-            .select((_uniform_int(F.concat_ws(" ", "prev", "w"), salt)
-                     % n_buckets).alias("bucket"))
-            .groupBy("bucket").agg(F.count("*").alias("c")))
-
-
 def dsir_select(docs: DataFrame, target: Column, k: int,
                 n_buckets: int = 256, id_col: str = "doc_id",
                 text_col: str = "text", salt: str = "dsir",

@@ -37,6 +37,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..sources.terrain import decode_png_rgb
 
@@ -402,3 +403,81 @@ def video_frame_stats(df: DataFrame, every_n: int = 1,
     return df.mapInPandas(
         run, "id long, frame_idx int, width int, height int, "
              "y_sum long, y_min int, y_max int")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing — image near-dup dedup over the real decode path
+# ---------------------------------------------------------------------------
+
+
+def perceptual_hash(decoded: DataFrame, hash_size: int = 8) -> DataFrame:
+    """(id, ph_hi, ph_lo): integer average-hash over decoded pixel rows.
+
+    aHash with EXACT integer arithmetic end to end (so a closed-form
+    pixel source is SQL-reproducible): gray = (r+g+b) div 3,
+    ``hash_size²`` nearest-neighbor samples at ((k div s)·h) div s /
+    ((k mod s)·w) div s (the ``resize_images`` index formula), bit k set
+    iff sample·s² > Σ samples (strictly above the mean).  Packed as two
+    non-negative 32-bit halves — identical semantics on any engine (a
+    single 64-bit pack would hit the sign bit).  Undecoded rows drop.
+    Per-row cost is one gather + one compare; no shuffle."""
+    s = hash_size
+
+    def run(parts: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in parts:
+            ids, his, los = [], [], []
+            for r in pdf.itertuples(index=False):
+                if not r.decoded:
+                    continue
+                arr = np.frombuffer(r.pixels, dtype=np.uint8).reshape(
+                    r.height, r.width, 3).astype(np.int64)
+                gray = arr.sum(axis=2) // 3
+                yi = (np.arange(s) * r.height) // s
+                xi = (np.arange(s) * r.width) // s
+                g = gray[yi][:, xi].reshape(-1)       # k = by·s + bx
+                bits = g * (s * s) > g.sum()
+                k = np.arange(s * s)
+                lo = int((bits[k < 32] << k[k < 32]).sum())
+                hi = int((bits[k >= 32] << (k[k >= 32] - 32)).sum())
+                ids.append(r.id); his.append(hi); los.append(lo)
+            if ids:
+                yield pd.DataFrame(
+                    {"id": ids, "ph_hi": his, "ph_lo": los})
+
+    return decoded.mapInPandas(run, "id long, ph_hi long, ph_lo long")
+
+
+def phash_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming): image near-dup pairs by aHash Hamming
+    distance, pigeonhole-blocked exactly like ``dedup.simhash_pairs``:
+    the 64 bits split into ``max_hamming + 1`` blocks, so any pair
+    within distance agrees on ≥ 1 block — candidates are an equi-join
+    per block, the verify touches candidates only."""
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks              # last block takes the remainder
+    packed = hashes.select(
+        "id", "ph_hi", "ph_lo",
+        # bitwise pack — an arithmetic hi·2³² would overflow-throw under
+        # ANSI whenever bit 63 is set; shiftleft wraps into the sign bit
+        F.shiftleft(F.col("ph_hi"), 32).bitwiseOR(F.col("ph_lo"))
+        .alias("__ph"))
+
+    def block(i: int):
+        lo_bit = i * width
+        n = 64 - lo_bit if i == n_blocks - 1 else width
+        return (F.shiftrightunsigned(F.col("__ph"), lo_bit)
+                .bitwiseAND(F.lit((1 << n) - 1)))
+
+    blocks = packed.select(
+        "id", "__ph",
+        F.posexplode(F.array(*[block(i) for i in range(n_blocks)]))
+        .alias("block", "block_val"))
+    a = blocks.toDF("id_a", "ph_a", "block", "block_val")
+    b = blocks.toDF("id_b", "ph_b", "block", "block_val")
+    return (a.join(b, ["block", "block_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+                    .alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming))

@@ -472,6 +472,32 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 # pipeline: image/audio as opaque bytes with typed metadata)
 # ---------------------------------------------------------------------------
 
+def _synth_png_assets(docs):
+    """Deterministic PNG assets from the documents table: w,h from the
+    text's UTF-8 byte length, pixel i = (doc_id·7 + i) mod 256 —
+    closed-form reproducible in SQL.  Returns (meta, blobs)."""
+    import pandas as pd
+
+    from ..operators.multimodal import encode_png_rgb
+
+    meta = docs.select(
+        F.col("doc_id").alias("id"), "source",
+        F.length(F.encode("text", "UTF-8")).alias("nb"))
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w = int(r.nb) % 8 + 2
+                h = (int(r.nb) // 8) % 6 + 2
+                px = ((int(r.id) * 7 + np.arange(w * h * 3, dtype=np.int64))
+                      % 256).astype(np.uint8).reshape(h, w, 3)
+                rows.append((int(r.id), encode_png_rgb(px)))
+            yield pd.DataFrame(rows, columns=["id", "payload"])
+
+    return meta, meta.mapInPandas(synth, "id long, payload binary")
+
+
 @query("multimodal_decode_stats")
 def multimodal_decode_stats(spark, sf_dir):
     """Multimodal pipeline through the REAL codec (no stub): deterministic
@@ -491,24 +517,7 @@ def multimodal_decode_stats(spark, sf_dir):
                                         pixel_stats)
 
     docs = _t(spark, sf_dir, "documents")
-    meta = docs.select(
-        F.col("doc_id").alias("id"), "source",
-        F.length(F.encode("text", "UTF-8")).alias("nb"))
-
-    def synth(batches):
-        # Deterministic assets: w,h from byte length, pixel i =
-        # (doc_id·7 + i) mod 256 — closed-form reproducible in SQL.
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                w = int(r.nb) % 8 + 2
-                h = (int(r.nb) // 8) % 6 + 2
-                px = ((int(r.id) * 7 + np.arange(w * h * 3, dtype=np.int64))
-                      % 256).astype(np.uint8).reshape(h, w, 3)
-                rows.append((int(r.id), encode_png_rgb(px)))
-            yield pd.DataFrame(rows, columns=["id", "payload"])
-
-    blobs = meta.mapInPandas(synth, "id long, payload binary")
+    meta, blobs = _synth_png_assets(docs)
     decoded = decode_images(blobs)
     stats = pixel_stats(decoded)
     dims = decoded.select("id", "width", "height")
@@ -1102,4 +1111,69 @@ SELECT doc_id, CAST(len(vals) AS BIGINT) AS n_px,
        CAST(list_min(vals) AS INT) AS px_min,
        CAST(list_max(vals) AS INT) AS px_max
 FROM px
+"""
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup over the real PNG decode path
+# ---------------------------------------------------------------------------
+
+
+@query("multimodal_phash_groups")
+def multimodal_phash_groups(spark, sf_dir):
+    """Image near-dup dedup signal through the REAL codec: synthesized
+    PNG assets decode back through the dependency-free decoder, hash to
+    an exact-integer aHash (``operators.multimodal.perceptual_hash``),
+    and reduce to per-source asset/distinct-hash/duplicate counts.  The
+    oracle re-derives every hash bit closed-form from the documents
+    table — the decode∘hash identity is driver-checked.  (Pair
+    generation with Hamming tolerance is ``phash_pairs``, pigeonhole-
+    blocked; pinned on crafted near-dup PNGs in pytest — the synthetic
+    ramp corpus collides too massively for a meaningful pair list.)"""
+    from ..operators.multimodal import decode_images, perceptual_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    meta, blobs = _synth_png_assets(docs)
+    hashes = perceptual_hash(decode_images(blobs))
+    return (hashes.join(meta.select("id", "source"), "id")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_assets"),
+                 F.countDistinct("ph_hi", "ph_lo").alias("n_distinct"),
+                 (F.count("*") - F.countDistinct("ph_hi", "ph_lo"))
+                 .alias("n_dup")))
+
+
+ORACLES["multimodal_phash_groups"] = """
+WITH d AS (
+  SELECT doc_id, source, octet_length(encode(text)) AS nb FROM documents
+), dims AS (
+  SELECT doc_id, source, nb % 8 + 2 AS w, (nb // 8) % 6 + 2 AS h FROM d
+), cells AS (
+  SELECT doc_id, source, w, h, u.k,
+         ((u.k // 8) * h) // 8 AS y, ((u.k % 8) * w) // 8 AS x
+  FROM dims, LATERAL (SELECT unnest(generate_series(0, 63)) AS k) u
+), gray AS (
+  SELECT doc_id, source, k,
+         (((doc_id * 7 + (y * w + x) * 3) % 256)
+          + ((doc_id * 7 + (y * w + x) * 3 + 1) % 256)
+          + ((doc_id * 7 + (y * w + x) * 3 + 2) % 256)) // 3 AS g
+  FROM cells
+), s AS (
+  SELECT doc_id, source, sum(g) AS tot, list(g ORDER BY k) AS gs
+  FROM gray GROUP BY doc_id, source
+), hashes AS (
+  SELECT doc_id, source,
+         CAST(sum(CASE WHEN k >= 32 AND gs[k + 1] * 64 > tot
+                       THEN (1::BIGINT << (k - 32)) ELSE 0 END)
+              AS BIGINT) AS ph_hi,
+         CAST(sum(CASE WHEN k < 32 AND gs[k + 1] * 64 > tot
+                       THEN (1::BIGINT << k) ELSE 0 END)
+              AS BIGINT) AS ph_lo
+  FROM s, LATERAL (SELECT unnest(generate_series(0, 63)) AS k) u
+  GROUP BY doc_id, source
+)
+SELECT source, count(*) AS n_assets,
+       count(DISTINCT (ph_hi, ph_lo)) AS n_distinct,
+       count(*) - count(DISTINCT (ph_hi, ph_lo)) AS n_dup
+FROM hashes GROUP BY source
 """

@@ -213,3 +213,63 @@ def test_video_frame_stats_sampling(spark):
     rows = {r.frame_idx: r for r in video_frame_stats(df, every_n=2).collect()}
     assert set(rows) == {0, 2, 4}
     assert rows[2].y_sum == 30 * 4 and rows[2].width == 2
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (aHash) + Hamming-blocked pair join
+# ---------------------------------------------------------------------------
+
+
+def _png_df(spark, imgs):
+    from openskidata_processor_spark.operators.multimodal import \
+        encode_png_rgb
+    rows = [(i, bytearray(encode_png_rgb(arr))) for i, arr in imgs]
+    return spark.createDataFrame(rows, "id long, payload binary")
+
+
+def test_perceptual_hash_invariant_to_tiny_noise(spark):
+    """A structured image and a lightly-perturbed copy hash identically;
+    a structurally different image lands far away."""
+    import numpy as np
+
+    from openskidata_processor_spark.operators.multimodal import (
+        decode_images, perceptual_hash, phash_pairs)
+    base = np.zeros((32, 32, 3), dtype=np.uint8)
+    base[:, 16:] = 200          # left dark / right bright
+    near = base.copy()
+    near[5, 5] += 3             # tiny perturbation, far from the mean
+    other = np.zeros((32, 32, 3), dtype=np.uint8)
+    other[16:, :] = 200         # top/bottom split instead
+    hashes = perceptual_hash(decode_images(
+        _png_df(spark, [(1, base), (2, near), (3, other)])))
+    got = {r.id: (r.ph_hi, r.ph_lo) for r in hashes.collect()}
+    assert got[1] == got[2]
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in phash_pairs(hashes, max_hamming=3).collect()}
+    assert pairs == {(1, 2): 0}     # the split image is ≫ 3 bits away
+
+
+def test_phash_pairs_pigeonhole_across_blocks(spark):
+    """Flips spread across 3 DIFFERENT 16-bit blocks (so no single-block
+    shortcut): the pair still surfaces because one block stays equal."""
+    lo_a, hi_a = 0b1010 << 4, 0b1100 << 8
+    # flip one bit in block 0 (lo bits 0-15), block 1 (lo 16-31),
+    # block 2 (hi 0-15); block 3 untouched
+    lo_b = lo_a ^ (1 << 2) ^ (1 << 20)
+    hi_b = hi_a ^ (1 << 3)
+    from openskidata_processor_spark.operators.multimodal import \
+        phash_pairs
+    hashes = spark.createDataFrame(
+        [(1, hi_a, lo_a), (2, hi_b, lo_b), (3, ~0 & 0x7FFFFFFF, 0)],
+        "id long, ph_hi long, ph_lo long")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in phash_pairs(hashes, max_hamming=3).collect()}
+    assert got == {(1, 2): 3}
+
+
+def test_phash_undecodable_assets_drop(spark):
+    from openskidata_processor_spark.operators.multimodal import (
+        decode_images, perceptual_hash)
+    df = spark.createDataFrame([(1, bytearray(b"not a png"))],
+                               "id long, payload binary")
+    assert perceptual_hash(decode_images(df)).count() == 0
