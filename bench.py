@@ -89,6 +89,7 @@ EXTENDED_QUERIES = [
     "centroid_outlier_docs",
     "curate_corpus",
     "multimodal_phash_groups",
+    "multimodal_audio_fingerprint",
 ]
 
 

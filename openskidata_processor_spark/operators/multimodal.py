@@ -481,3 +481,42 @@ def phash_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
                     .alias("hamming"))
             .distinct()
             .filter(F.col("hamming") <= max_hamming))
+
+
+def audio_fingerprint(df: DataFrame, id_col: str = "id",
+                      payload_col: str = "payload",
+                      n_windows: int = 16) -> DataFrame:
+    """(id, n_samples, afp): energy fingerprint through the REAL WAV
+    codec — sample window w = (i·W) div n (the resize index formula),
+    bit w set iff the window's mean |amplitude| strictly exceeds the
+    global mean, compared in EXACT integer cross-multiplication
+    (sum_w · n > sum_total · n_w) so a closed-form sample source is
+    SQL-reproducible.  The audio analogue of ``perceptual_hash``; pair
+    generation with Hamming tolerance reuses ``phash_pairs`` on the
+    (0, afp) halves.  Undecodable payloads drop."""
+    W = n_windows
+
+    def run(parts: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in parts:
+            ids, ns, fps = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    _, smp = decode_wav_pcm16(bytes(payload))
+                except Exception:
+                    continue
+                n = len(smp)
+                if n == 0:
+                    continue
+                a = np.abs(smp.astype(np.int64))
+                w = (np.arange(n) * W) // n
+                sa = np.bincount(w, weights=a, minlength=W).astype(np.int64)
+                nw = np.bincount(w, minlength=W).astype(np.int64)
+                st = int(a.sum())
+                bits = sa * n > st * nw
+                ids.append(int(rid)); ns.append(n)
+                fps.append(int((bits << np.arange(W)).sum()))
+            if ids:
+                yield pd.DataFrame(
+                    {"id": ids, "n_samples": ns, "afp": fps})
+
+    return df.mapInPandas(run, "id long, n_samples long, afp long")

@@ -1177,3 +1177,63 @@ SELECT source, count(*) AS n_assets,
        count(*) - count(DISTINCT (ph_hi, ph_lo)) AS n_dup
 FROM hashes GROUP BY source
 """
+
+
+@query("multimodal_audio_fingerprint")
+def multimodal_audio_fingerprint(spark, sf_dir):
+    """Audio dedup signal through the REAL WAV codec: the deterministic
+    PCM16 assets decode back through the RIFF walk and hash to a
+    16-window integer energy fingerprint
+    (``operators.multimodal.audio_fingerprint``).  The oracle re-derives
+    every bit closed-form from the generation formula — encode∘decode∘
+    fingerprint is driver-checked."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import audio_fingerprint, encode_wav_pcm16
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(parts):
+        for pdf in parts:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 64 + did % 32
+                i = np.arange(n, dtype=np.int64)
+                s = ((did * 7919 + i * 104729) % 65536 - 32768).astype(
+                    np.int16)
+                ids.append(did)
+                payloads.append(encode_wav_pcm16(s, 16000))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    assets = docs.mapInPandas(synth, "id long, payload binary")
+    return (audio_fingerprint(assets)
+            .select(F.col("id").alias("doc_id"), "n_samples", "afp"))
+
+
+ORACLES["multimodal_audio_fingerprint"] = """
+WITH s AS (
+  SELECT doc_id,
+         [CAST(((doc_id * 7919 + i * 104729) % 65536) - 32768 AS BIGINT)
+          FOR i IN generate_series(0, 63 + doc_id % 32)] AS smp
+  FROM documents
+), u AS (
+  SELECT doc_id, abs(smp[u.i + 1]) AS a,
+         (u.i * 16) // len(smp) AS w, len(smp) AS n
+  FROM s,
+  LATERAL (SELECT unnest(generate_series(0, len(smp) - 1)) AS i) u
+), ws AS (
+  SELECT doc_id, w, sum(a) AS sa, count(*) AS nw, any_value(n) AS n
+  FROM u GROUP BY doc_id, w
+), tot AS (
+  SELECT doc_id, CAST(sum(sa) AS BIGINT) AS st, any_value(n) AS n
+  FROM ws GROUP BY doc_id
+)
+SELECT ws.doc_id, CAST(tot.n AS BIGINT) AS n_samples,
+       CAST(sum(CASE WHEN ws.sa * tot.n > tot.st * ws.nw
+                     THEN (1::BIGINT << ws.w) ELSE 0 END) AS BIGINT)
+         AS afp
+FROM ws JOIN tot USING (doc_id)
+GROUP BY ws.doc_id, tot.n
+"""

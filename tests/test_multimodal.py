@@ -273,3 +273,29 @@ def test_phash_undecodable_assets_drop(spark):
     df = spark.createDataFrame([(1, bytearray(b"not a png"))],
                                "id long, payload binary")
     assert perceptual_hash(decode_images(df)).count() == 0
+
+
+def test_audio_fingerprint_noise_invariance_and_dropout(spark):
+    """A tone-burst signal and a lightly-perturbed copy fingerprint
+    identically; a reshaped burst lands elsewhere; garbage drops."""
+    import numpy as np
+
+    from openskidata_processor_spark.operators.multimodal import (
+        audio_fingerprint, encode_wav_pcm16)
+    n = 160
+    base = np.zeros(n, dtype=np.int16)
+    base[40:80] = 20000                  # one loud burst
+    near = base.copy()
+    near[10] = 50                        # tiny off-burst perturbation
+    other = np.zeros(n, dtype=np.int16)
+    other[120:160] = 20000               # burst elsewhere
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav_pcm16(base))),
+         (2, bytearray(encode_wav_pcm16(near))),
+         (3, bytearray(encode_wav_pcm16(other))),
+         (4, bytearray(b"junk"))],
+        "id long, payload binary")
+    got = {r.id: r.afp for r in audio_fingerprint(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
