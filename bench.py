@@ -96,10 +96,10 @@ EXTENDED_QUERIES = [
 # End-to-end pipeline benchmark (the reference's primary workload is the
 # whole prepare() graph, not single operators — PerformanceMonitor.ts
 # phase timeline).  Two sizes of the synthetic resort grid; skippable via
-# SPARK_GRAFT_SKIP_E2E=1.  Measured 2026-08 (local[32]): both ~113 s —
-# wall time is fixed overhead (stage scheduling + CC rounds), so the 10×
-# number moving away from the 1× number is the regression signal for
-# superlinear per-resort cost.
+# SPARK_GRAFT_SKIP_E2E=1.  Measured 2026-08 (local[32]): ~95-125 s each
+# depending on machine load — wall time is fixed overhead (stage
+# scheduling + CC rounds), so the 10× number moving away from the 1×
+# number is the regression signal for superlinear per-resort cost.
 E2E_SIZES = (50, 500)
 
 
