@@ -90,6 +90,7 @@ EXTENDED_QUERIES = [
     "curate_corpus",
     "multimodal_phash_groups",
     "multimodal_audio_fingerprint",
+    "multimodal_video_fingerprint",
 ]
 
 

@@ -520,3 +520,39 @@ def audio_fingerprint(df: DataFrame, id_col: str = "id",
                     {"id": ids, "n_samples": ns, "afp": fps})
 
     return df.mapInPandas(run, "id long, n_samples long, afp long")
+
+
+def video_fingerprint(df: DataFrame, id_col: str = "id",
+                      payload_col: str = "payload",
+                      grid_h: int = 4, grid_w: int = 8) -> DataFrame:
+    """(id, n_frames, vfp): temporally-pooled frame hash through the
+    REAL Y4M demux — luma sums across ALL frames per grid cell (the
+    mean-frame image, the standard video near-dup signature), cell
+    sampled at the ``resize_images`` index formula, bit set iff
+    cell·cells > total (strictly above the mean) in exact integer
+    arithmetic.  ``grid_h·grid_w`` must stay ≤ 63 bits (default 32).
+    The video analogue of ``perceptual_hash``/``audio_fingerprint``;
+    undecodable payloads drop."""
+    cells = grid_h * grid_w
+
+    def run(parts: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in parts:
+            ids, ns, fps = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, frames = decode_y4m(bytes(payload))
+                except Exception:
+                    continue
+                y = frames[:, 0].astype(np.int64)       # (n, h, w) luma
+                mean_frame = y.sum(axis=0)              # temporal pool
+                yi = (np.arange(grid_h) * h) // grid_h
+                xi = (np.arange(grid_w) * w) // grid_w
+                g = mean_frame[yi][:, xi].reshape(-1)   # k = by·gw + bx
+                bits = g * cells > g.sum()
+                ids.append(int(rid)); ns.append(len(frames))
+                fps.append(int((bits << np.arange(cells)).sum()))
+            if ids:
+                yield pd.DataFrame(
+                    {"id": ids, "n_frames": ns, "vfp": fps})
+
+    return df.mapInPandas(run, "id long, n_frames long, vfp long")

@@ -1237,3 +1237,62 @@ SELECT ws.doc_id, CAST(tot.n AS BIGINT) AS n_samples,
 FROM ws JOIN tot USING (doc_id)
 GROUP BY ws.doc_id, tot.n
 """
+
+
+@query("multimodal_video_fingerprint")
+def multimodal_video_fingerprint(spark, sf_dir):
+    """Video dedup signal through the REAL Y4M demux: the deterministic
+    C444 assets demux back and hash to a temporally-pooled 4×8 luma
+    grid fingerprint (``operators.multimodal.video_fingerprint``).  The
+    8×4 synthetic frames make the grid sampling the identity, so the
+    oracle re-derives every bit closed-form from the pixel formula —
+    mux∘demux∘fingerprint is driver-checked."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import encode_y4m, video_fingerprint
+
+    W, H = 8, 4
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(parts):
+        for pdf in parts:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 2 + did % 3
+                f, p, i = np.meshgrid(np.arange(n), np.arange(3),
+                                      np.arange(H * W), indexing="ij")
+                frames = ((did * 31 + f * 97 + p * 53 + i * 7) % 256).astype(
+                    np.uint8).reshape(n, 3, H, W)
+                ids.append(did)
+                payloads.append(encode_y4m(frames))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    assets = docs.mapInPandas(synth, "id long, payload binary")
+    return (video_fingerprint(assets)
+            .select(F.col("id").alias("doc_id"), "n_frames", "vfp"))
+
+
+ORACLES["multimodal_video_fingerprint"] = """
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents
+), px AS (
+  SELECT doc_id, nf, u.i,
+         (doc_id * 31 + v.f * 97 + u.i * 7) % 256 AS y
+  FROM d,
+  LATERAL (SELECT unnest(generate_series(0, 31)) AS i) u,
+  LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) v
+), ps AS (
+  SELECT doc_id, any_value(nf) AS nf, i, CAST(sum(y) AS BIGINT) AS s
+  FROM px GROUP BY doc_id, i
+), tot AS (
+  SELECT doc_id, CAST(sum(s) AS BIGINT) AS t FROM ps GROUP BY doc_id
+)
+SELECT ps.doc_id, CAST(any_value(ps.nf) AS BIGINT) AS n_frames,
+       CAST(sum(CASE WHEN ps.s * 32 > tot.t
+                     THEN (1::BIGINT << ps.i) ELSE 0 END) AS BIGINT)
+         AS vfp
+FROM ps JOIN tot USING (doc_id)
+GROUP BY ps.doc_id
+"""

@@ -299,3 +299,27 @@ def test_audio_fingerprint_noise_invariance_and_dropout(spark):
     assert set(got) == {1, 2, 3}
     assert got[1] == got[2]
     assert got[1] != got[3]
+
+
+def test_video_fingerprint_temporal_pooling(spark):
+    """Reordering frames leaves the temporally-pooled hash unchanged; a
+    different spatial layout changes it; junk drops."""
+    import numpy as np
+
+    from openskidata_processor_spark.operators.multimodal import (
+        encode_y4m, video_fingerprint)
+    rng = np.random.default_rng(3)
+    f1 = rng.integers(0, 255, (3, 3, 8, 16), dtype=np.uint8)
+    reordered = f1[::-1].copy()            # same frames, reversed order
+    other = np.transpose(f1, (0, 1, 3, 2))[:, :, :8, :16].copy()
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_y4m(f1))),
+         (2, bytearray(encode_y4m(reordered))),
+         (3, bytearray(encode_y4m(np.ascontiguousarray(other)))),
+         (4, bytearray(b"junk"))],
+        "id long, payload binary")
+    got = {r.id: (r.n_frames, r.vfp)
+           for r in video_fingerprint(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] == got[2]
+    assert got[1][1] != got[3][1]
