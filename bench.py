@@ -91,6 +91,7 @@ EXTENDED_QUERIES = [
     "multimodal_phash_groups",
     "multimodal_audio_fingerprint",
     "multimodal_video_fingerprint",
+    "stream_curate_stats",
 ]
 
 

@@ -1296,3 +1296,81 @@ SELECT ps.doc_id, CAST(any_value(ps.nf) AS BIGINT) AS n_frames,
 FROM ps JOIN tot USING (doc_id)
 GROUP BY ps.doc_id
 """
+
+
+@query("stream_curate_stats")
+def stream_curate_stats(spark, sf_dir):
+    """Incremental corpus curation (streaming twin of
+    ``curate_corpus``): stateless gates + cross-batch dedup state +
+    stream-static decontamination, drained availableNow to per-source
+    verdict counts.  Dedup state keys (source, digest) — per-SOURCE
+    unique semantics, unlike the batch pipeline's global-digest window
+    (first-arrival order across sources is nondeterministic in a
+    stream, the composite key restores batch parity); the oracle
+    encodes exactly these semantics
+    (``streaming/documents.py::streaming_curation_stats``)."""
+    from ..streaming.documents import streaming_curation_stats
+
+    return streaming_curation_stats(spark, sf_dir)
+
+
+ORACLES["stream_curate_stats"] = """
+WITH base AS MATERIALIZED (
+  SELECT doc_id, source, text,
+         doc_id % 29 = 0 AS bench,
+         CASE WHEN len(text) > 0 THEN
+           (least(CAST(len(regexp_extract_all(text,
+                  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT), 64)
+            * (CAST(len(text) AS BIGINT)
+               - CAST(len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                      AS BIGINT))
+            * 1000000)
+           // (64 * CAST(len(text) AS BIGINT))
+         ELSE 0 END >= 300000 AS q_ok
+  FROM documents
+), pool AS MATERIALIZED (
+  SELECT source, md5(text) AS digest, text
+  FROM base WHERE NOT bench AND q_ok
+), per AS (
+  SELECT source, count(*) AS n_pool,
+         count(DISTINCT digest) AS n_unique
+  FROM pool GROUP BY source
+), bsh AS MATERIALIZED (
+  SELECT DISTINCT array_to_string(list_slice(w, u.i, u.i + 4), ' ')
+           AS shingle
+  FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM base WHERE bench) t,
+  LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS i) u
+  WHERE len(w) >= 5
+), psh AS (
+  SELECT DISTINCT p.source, p.digest,
+         array_to_string(list_slice(t.w, u.i, u.i + 4), ' ') AS shingle
+  FROM pool p,
+  LATERAL (SELECT list_filter(string_split(p.text, ' '),
+                              x -> x <> '') AS w) t,
+  LATERAL (SELECT unnest(generate_series(1, len(t.w) - 4)) AS i) u
+  WHERE len(t.w) >= 5
+), contq AS (
+  SELECT source, count(DISTINCT digest) AS n_cont
+  FROM psh WHERE shingle IN (SELECT shingle FROM bsh)
+  GROUP BY source
+), flags AS (
+  SELECT source, count(*) AS n_docs,
+         sum(CASE WHEN bench THEN 1 ELSE 0 END) AS n_benchmark,
+         sum(CASE WHEN NOT bench AND NOT q_ok THEN 1 ELSE 0 END)
+           AS n_quality
+  FROM base GROUP BY source
+)
+SELECT f.source,
+       CAST(f.n_docs AS BIGINT) AS n_docs,
+       CAST(f.n_benchmark AS BIGINT) AS n_benchmark,
+       CAST(f.n_quality AS BIGINT) AS n_quality,
+       CAST(coalesce(per.n_pool, 0) - coalesce(per.n_unique, 0)
+            AS BIGINT) AS n_dup,
+       CAST(coalesce(contq.n_cont, 0) AS BIGINT) AS n_contaminated,
+       CAST(coalesce(per.n_unique, 0) - coalesce(contq.n_cont, 0)
+            AS BIGINT) AS n_kept
+FROM flags f
+LEFT JOIN per USING (source)
+LEFT JOIN contq USING (source)
+"""

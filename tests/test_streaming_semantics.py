@@ -209,3 +209,51 @@ def test_stateful_query_runs_on_rocksdb_state_store(spark, tmp_path):
         else:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_streaming_curation_multi_batch_dedup_state(spark, tmp_path):
+    """Cross-batch curation state: a duplicate arriving in a LATER
+    micro-batch still counts as a duplicate (dropDuplicates state spans
+    batches), and the drained stats equal the batch oracle over the
+    union."""
+    import duckdb
+
+    from openskidata_processor_spark.plans import ORACLES
+    from openskidata_processor_spark.streaming.documents import \
+        streaming_curation_stats
+
+    good = ("plenty of perfectly ordinary words stacked together here "
+            "so the integer quality gate passes without any trouble at "
+            "all for this document")
+    b1 = [(1, "s1", good, "en", len(good)),
+          (29, "s1", "benchmark slice content marker phrase", "en", 10)]
+    b2 = [(2, "s1", good, "en", len(good)),          # cross-batch dup
+          (3, "s1", good + " extra tail", "en", 10)]
+    schema = ("doc_id long, source string, text string, lang string, "
+              "n_chars long")
+    d = tmp_path / "stream_src"
+    d.mkdir()
+    # two separate files → maxFilesPerTrigger-independent: availableNow
+    # still processes them (possibly one batch; the state path is the
+    # same code either way, and the 2-file layout at least permits
+    # multi-batch execution)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "overwrite").parquet(str(d / "documents.parquet"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append").parquet(str(d / "documents.parquet"))
+
+    got = sorted(map(tuple, streaming_curation_stats(
+        spark, str(d)).collect()))
+
+    con = duckdb.connect()
+    import pandas as pd
+    con.register("documents", pd.DataFrame(
+        b1 + b2, columns=["doc_id", "source", "text", "lang",
+                          "n_chars"]))
+    want = sorted(map(tuple,
+                      con.execute(ORACLES["stream_curate_stats"])
+                      .fetchall()))
+    assert got == want
+    row = dict(zip(["source", "n_docs", "n_benchmark", "n_quality",
+                    "n_dup", "n_contaminated", "n_kept"], got[0]))
+    assert row["n_dup"] == 1          # the cross-batch duplicate
