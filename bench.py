@@ -92,6 +92,7 @@ EXTENDED_QUERIES = [
     "multimodal_audio_fingerprint",
     "multimodal_video_fingerprint",
     "stream_curate_stats",
+    "sample_cap_per_source",
 ]
 
 

@@ -71,6 +71,49 @@ def stratified_hash_sample(df: DataFrame, key: str | Column, strata: str,
     return df.filter(_bucket(key, salt) < thresh)
 
 
+def cap_per_group(df: DataFrame, key: str | Column, group: str,
+                  cap: int, salt: str = "",
+                  skew_buckets: int = 32) -> DataFrame:
+    """Keep at most ``cap`` rows per ``group``, selected deterministically —
+    the RefinedWeb-style per-domain cap that stops a handful of mega-hosts
+    (or boilerplate-heavy sources) from dominating a pretraining mix.
+
+    Which rows survive is decided by ranking on ``md5(salt ‖ key)`` with the
+    key as tie-break: an unbiased pseudo-random sample of each group that is
+    identical on every engine, rerun, and cluster layout (and therefore
+    oracle-checkable).  ``key`` must be unique per row for the order to be
+    total.
+
+    Scale shape — the naive plan is one ``row_number() OVER (PARTITION BY
+    group)`` window, i.e. a full shuffle on ``group`` where the hottest
+    domain lands in ONE task (exactly the skew this operator exists to
+    correct).  Instead: classic two-phase top-k.  Phase 1 windows over
+    ``(group, key-hash % skew_buckets)`` — a mega-domain splits across
+    ``skew_buckets`` tasks — and keeps ≤cap per bucket; phase 2 re-ranks the
+    ≤ skew_buckets·cap survivors per group, a tiny window.  The result is
+    exactly the global per-group top-cap (each bucket's top-cap is a
+    superset of its members of the global top-cap), proven equal to the
+    single-window plan in tests/test_training_ops.py.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from pyspark.sql import Window
+
+    key = F.col(key) if isinstance(key, str) else key
+    pre = (df.withColumn("__rk",
+                         F.md5(F.concat(F.lit(salt), key.cast("string"))))
+           .withColumn("__tie", key.cast("string"))
+           .withColumn("__b", F.pmod(F.hash(key), F.lit(skew_buckets))))
+    w1 = (Window.partitionBy(F.col(group), F.col("__b"))
+          .orderBy("__rk", "__tie"))
+    survivors = (pre.withColumn("__rn", F.row_number().over(w1))
+                 .filter(F.col("__rn") <= cap))
+    w2 = Window.partitionBy(F.col(group)).orderBy("__rk", "__tie")
+    return (survivors.withColumn("__rn", F.row_number().over(w2))
+            .filter(F.col("__rn") <= cap)
+            .drop("__rk", "__tie", "__b", "__rn"))
+
+
 def _uniform_int(key: Column, salt: str) -> Column:
     """Deterministic uniform integer in [0, 65535] from the md5 prefix.
 

@@ -105,6 +105,40 @@ WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) <
 
 
 # ---------------------------------------------------------------------------
+# Per-source document cap — RefinedWeb-style domain balancing
+# ---------------------------------------------------------------------------
+
+_CAP_PER_SOURCE = 40
+
+
+@query("sample_cap_per_source")
+def sample_cap_per_source(spark, sf_dir):
+    """Cap every source at 40 documents, survivors picked by stable md5
+    rank — the per-domain cap that stops mega-hosts dominating a corpus
+    mix.  Skew-safe two-phase top-k (``operators/sampling.py::
+    cap_per_group``): hot sources split across 32 hash buckets before the
+    per-group window, so no single task owns a mega-domain."""
+    from ..operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return (cap_per_group(docs, "doc_id", "source", _CAP_PER_SOURCE)
+            .select("doc_id", "source"))
+
+
+ORACLES["sample_cap_per_source"] = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                      CAST(doc_id AS VARCHAR)) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rn <= {_CAP_PER_SOURCE}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Exact quantiles — percentile_cont per group, bit-exact interpolation
 # ---------------------------------------------------------------------------
 

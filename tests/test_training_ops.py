@@ -125,6 +125,72 @@ def test_hash_sample_no_shuffle(spark):
 
 
 # ---------------------------------------------------------------------------
+# per-group cap (RefinedWeb-style domain balancing)
+# ---------------------------------------------------------------------------
+
+
+def _cap_single_window(df, key, group, cap, salt=""):
+    """Reference plan: the naive one-window top-cap the two-phase
+    operator must match exactly."""
+    from pyspark.sql import Window
+    rk = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
+    w = Window.partitionBy(group).orderBy(rk, F.col(key).cast("string"))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cap).drop("__rn"))
+
+
+def _skewed_docs(spark):
+    # one mega-group (900 rows) + many small ones, the shape the
+    # two-phase plan exists for
+    return spark.range(1200).select(
+        F.col("id"),
+        F.when(F.col("id") < 900, "mega")
+         .otherwise(F.concat(F.lit("s"), (F.col("id") % 7).cast("string")))
+         .alias("src"))
+
+
+def test_cap_per_group_equals_single_window(spark):
+    from openskidata_processor_spark.operators.sampling import cap_per_group
+    df = _skewed_docs(spark)
+    two = sorted((r.id, r.src) for r in
+                 cap_per_group(df, "id", "src", 25).collect())
+    one = sorted((r.id, r.src) for r in
+                 _cap_single_window(df, "id", "src", 25).collect())
+    assert two == one
+
+
+def test_cap_per_group_respects_cap_and_keeps_small_groups(spark):
+    from openskidata_processor_spark.operators.sampling import cap_per_group
+    df = _skewed_docs(spark)
+    counts = {r.src: r.n for r in
+              cap_per_group(df, "id", "src", 25)
+              .groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert counts["mega"] == 25
+    # every group is capped at min(cap, group size)
+    sizes = df.groupBy("src").count().collect()
+    for r in sizes:
+        assert counts[r.src] == min(25, r["count"])
+    # a group genuinely under the cap passes through whole
+    tiny = cap_per_group(df.filter(F.col("id") % 50 == 0), "id", "src", 25)
+    assert tiny.filter(F.col("src") == "mega").count() == 18  # 900/50 < 25
+
+
+def test_cap_per_group_stable_under_repartitioning(spark):
+    from openskidata_processor_spark.operators.sampling import cap_per_group
+    df = _skewed_docs(spark)
+    a = sorted(r.id for r in cap_per_group(df, "id", "src", 10).collect())
+    b = sorted(r.id for r in
+               cap_per_group(df.repartition(17), "id", "src", 10).collect())
+    assert a == b
+
+
+def test_cap_per_group_rejects_bad_cap(spark):
+    from openskidata_processor_spark.operators.sampling import cap_per_group
+    with pytest.raises(ValueError):
+        cap_per_group(spark.range(5), "id", "id", 0)
+
+
+# ---------------------------------------------------------------------------
 # exact quantiles
 # ---------------------------------------------------------------------------
 
