@@ -70,18 +70,29 @@ def curate(docs: DataFrame, id_col: str = "doc_id",
                        & (F.col("__q") >= quality_min_e6))
     rn = F.row_number().over(
         Window.partitionBy(F.md5("__text")).orderBy("doc_id"))
-    dups = (pool.withColumn("__rn", rn).filter(F.col("__rn") > 1)
-            .select("doc_id"))
+    pool_rn = pool.withColumn("__rn", rn)
+    dups = pool_rn.filter(F.col("__rn") > 1).select("doc_id")
 
     # decontamination: any distinct word-5-gram shared with the
-    # benchmark slice.  Bloom pre-reduction, then the exact semi-join.
-    sh = (base.select(
-        "doc_id", "__bench",
-        F.explode(F.array_distinct(
-            T.word_shingles(T.words(F.col("__text")), SHINGLE_N)))
-        .alias("shingle")))
-    bench_sh = sh.filter("__bench").select("shingle").distinct()
-    probe = sh.filter(~F.col("__bench"))
+    # benchmark slice.  The probe is ONLY the surviving pool
+    # (quality-passing, first-of-digest): benchmark / quality-failing /
+    # duplicate docs take an earlier drop_reason in the precedence
+    # `when` chain below, so their contamination verdict is always
+    # masked — probing them would be wasted work on the pipeline's
+    # largest shuffle (the shingle posting), and a duplicate's verdict
+    # equals its keeper's anyway (same text ⇒ same shingles).  Output is
+    # identical to probing all non-benchmark docs.  Bloom pre-reduction,
+    # then the exact semi-join.
+    bench_sh = (base.filter("__bench")
+                .select(F.explode(F.array_distinct(
+                    T.word_shingles(T.words(F.col("__text")),
+                                    SHINGLE_N))).alias("shingle"))
+                .distinct())
+    probe = (pool_rn.filter(F.col("__rn") == 1)
+             .select("doc_id",
+                     F.explode(F.array_distinct(
+                         T.word_shingles(T.words(F.col("__text")),
+                                         SHINGLE_N))).alias("shingle")))
     contaminated = (bucket_semi_filter(probe, bench_sh, "shingle")
                     .join(bench_sh, "shingle", "left_semi")
                     .select("doc_id").distinct())

@@ -50,45 +50,73 @@ def streaming_exact_dedup_counts(spark: SparkSession,
     return spark.table(name)
 
 
-def streaming_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_curation_stats(spark: SparkSession, sf_dir: str,
+                             max_files_per_trigger: int | None = None
+                             ) -> DataFrame:
     """Incremental corpus curation — the streaming twin of
     ``pipeline/curation.py``: per-source verdict counts after an
-    availableNow drain, computed from three cooperating streams over the
-    same document source (stats are ORDER-FREE, so the drained result is
-    exactly the batch answer regardless of which duplicate arrives
-    first):
+    availableNow drain.  ONE pass over the stream: a single
+    ``foreachBatch`` computes the stateless flags (benchmark split,
+    BIGINT quality gate) ONCE per micro-batch on a cached batch frame,
+    then derives every leg from it —
 
-    - stateless flags (benchmark split, BIGINT quality gate) aggregate
-      per source in complete mode;
-    - cross-batch exact dedup state (``dropDuplicates`` on
-      (source, digest) over the quality-passing pool) yields the unique
-      count → duplicates = pool − unique;
-    - decontamination joins the stream's word-5-grams against the
-      STATIC benchmark shingle set (stream-static inner join, the
-      standing-reference-table shape), then dedups (source, digest) so
-      contaminated counts once per unique content.
+    - per-source doc/benchmark/quality/pool counts (stateless);
+    - cross-batch exact dedup: the batch's in-batch-distinct
+      (source, digest) pool anti-joins the standing digest-state table
+      (parquet-backed — the Delta/Hudi merge shape at scale, where the
+      state table is the production dedup ledger), yielding NEW uniques;
+      duplicates = pool − unique;
+    - decontamination joins only the NEW uniques' word-5-grams against
+      the STATIC benchmark shingle set (stream-static join, the
+      standing-reference-table shape).  Contamination is a pure function
+      of content, so scoring each digest once — when first seen — equals
+      the oracle's count over distinct digests.
+
+    Per-batch per-source INCREMENTS (a handful of rows) append to a
+    parquet ledger; the final answer is one Spark sum over it, so
+    nothing unbounded ever reaches the driver.
+
+    Semantics note (vs the batch pipeline): dedup state keys
+    (source, digest) — per-SOURCE unique semantics.  ``curate()`` dedups
+    GLOBALLY on digest with a keep-first-by-doc_id window, which a
+    stream cannot reproduce (first-arrival across sources is
+    nondeterministic), so a cross-SOURCE duplicate is counted as unique
+    in each source here but dropped in batch.  The drained result is
+    exactly the batch answer under these per-source-unique semantics —
+    the ``stream_curate_stats`` oracle encodes them — not ``curate()``'s
+    global-digest window.  Stats are ORDER-FREE within a source, so the
+    result is batch-deterministic regardless of which duplicate arrives
+    first.
 
     Output: (source, n_docs, n_benchmark, n_quality, n_dup,
     n_contaminated, n_kept).
     """
+    import os
+    import shutil
+    import tempfile
+
     from ..functions import text as T
     from ..pipeline.curation import BENCH_MOD, QUALITY_MIN_E6, SHINGLE_N
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-
-    import os
-
     docs_path = f"{sf_dir}/documents.parquet"
 
-    def stream():
-        # the file-stream source requires a DIRECTORY basePath: stream the
-        # table directory when documents.parquet is one (parts inside),
-        # else glob the single file out of sf_dir (the testdata layout)
-        if os.path.isdir(docs_path):
-            return spark.readStream.schema(schema).parquet(docs_path)
-        return (spark.readStream.schema(schema)
-                .option("pathGlobFilter", "documents.parquet")
-                .parquet(sf_dir))
+    # the file-stream source requires a DIRECTORY basePath: stream the
+    # table directory when documents.parquet is one (parts inside),
+    # else glob the single file out of sf_dir (the testdata layout)
+    if os.path.isdir(docs_path):
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger",
+                                   max_files_per_trigger)
+        stream = reader.parquet(docs_path)
+    else:
+        reader = (spark.readStream.schema(schema)
+                  .option("pathGlobFilter", "documents.parquet"))
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger",
+                                   max_files_per_trigger)
+        stream = reader.parquet(sf_dir)
 
     def flags(df):
         text = F.col("text")
@@ -105,57 +133,111 @@ def streaming_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_ok",
             F.expr("CASE WHEN __len > 0 THEN "
                    "(__tok_c * __non_punct * 1000000L) div (64L * __len) "
-                   f"ELSE 0L END") >= QUALITY_MIN_E6)
+                   "ELSE 0L END") >= QUALITY_MIN_E6)
 
-    def drain(df, mode="complete"):
-        name = f"stream_curate_{uuid.uuid4().hex[:8]}"
-        q = (df.writeStream.format("memory").queryName(name)
-             .outputMode(mode).trigger(availableNow=True).start())
-        q.awaitTermination()
-        return spark.table(name)
-
-    base = drain(flags(stream()).groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.when(F.col("bench"), 1).otherwise(0)).alias("n_benchmark"),
-        F.sum(F.when(~F.col("bench") & ~F.col("q_ok"), 1).otherwise(0))
-        .alias("n_quality"),
-        F.sum(F.when(~F.col("bench") & F.col("q_ok"), 1).otherwise(0))
-        .alias("n_pool")))
-
-    pool = (flags(stream()).filter(~F.col("bench") & F.col("q_ok"))
-            .select("source", F.md5("text").alias("digest")))
-    uniq = drain(pool.dropDuplicates(["source", "digest"])
-                 .groupBy("source").agg(F.count("*").alias("n_unique")))
-
-    # static benchmark shingles from the same parquet (the standing
-    # reference table a tail-follower would hold)
+    # static benchmark shingles (the standing reference table a
+    # tail-follower holds): filter + two-column scan, pushed to parquet.
+    # Static by REQUIREMENT, not convenience — the oracle contaminates
+    # against the FULL benchmark slice, including benchmark docs that
+    # would arrive in later micro-batches, so an incrementally-built
+    # shingle set would miss early pool docs.  It is reused every batch,
+    # so cache it once.
     bench_sh = (spark.read.parquet(f"{sf_dir}/documents.parquet")
                 .filter(F.col("doc_id") % BENCH_MOD == 0)
                 .select(F.explode(F.array_distinct(
                     T.word_shingles(T.words(F.col("text")), SHINGLE_N)))
                     .alias("shingle"))
-                .distinct())
-    cont_stream = (flags(stream())
-                   .filter(~F.col("bench") & F.col("q_ok"))
-                   .select("source", F.md5("text").alias("digest"),
-                           F.explode(F.array_distinct(
-                               T.word_shingles(T.words(F.col("text")),
-                                               SHINGLE_N)))
-                           .alias("shingle"))
-                   .join(bench_sh, "shingle")
-                   .dropDuplicates(["source", "digest"]))
-    cont = drain(cont_stream.groupBy("source")
-                 .agg(F.count("*").alias("n_contaminated")))
+                .distinct()
+                .persist())
 
-    return (base
-            .join(uniq, "source", "left")
-            .join(cont, "source", "left")
-            .select(
-                "source", "n_docs", "n_benchmark", "n_quality",
-                (F.col("n_pool")
-                 - F.coalesce("n_unique", F.lit(0))).alias("n_dup"),
-                F.coalesce("n_contaminated", F.lit(0))
-                .alias("n_contaminated"),
-                (F.coalesce("n_unique", F.lit(0))
-                 - F.coalesce("n_contaminated", F.lit(0)))
-                .alias("n_kept")))
+    work = tempfile.mkdtemp(prefix="stream_curate_")
+    state_dir = os.path.join(work, "digest_state")   # (source, digest)
+    incr_dir = os.path.join(work, "increments")      # per-batch counts
+    ckpt_dir = os.path.join(work, "checkpoint")
+
+    def process_batch(batch_df, batch_id):
+        flagged = flags(batch_df).persist()
+        new_uniq = None
+        try:
+            base = flagged.groupBy("source").agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.when(F.col("bench"), 1).otherwise(0))
+                .alias("n_benchmark"),
+                F.sum(F.when(~F.col("bench") & ~F.col("q_ok"), 1)
+                      .otherwise(0)).alias("n_quality"),
+                F.sum(F.when(~F.col("bench") & F.col("q_ok"), 1)
+                      .otherwise(0)).alias("n_pool"))
+
+            pool = (flagged.filter(~F.col("bench") & F.col("q_ok"))
+                    .select("source", F.md5("text").alias("digest"),
+                            "text")
+                    .dropDuplicates(["source", "digest"]))
+            if os.path.exists(state_dir):
+                seen = batch_df.sparkSession.read.parquet(state_dir)
+                new_uniq = pool.join(seen, ["source", "digest"],
+                                     "left_anti")
+            else:
+                new_uniq = pool
+            new_uniq = new_uniq.persist()
+
+            uniq = new_uniq.groupBy("source").agg(
+                F.count("*").alias("n_unique"))
+            cont = (new_uniq
+                    .select("source", "digest",
+                            F.explode(F.array_distinct(
+                                T.word_shingles(T.words(F.col("text")),
+                                                SHINGLE_N)))
+                            .alias("shingle"))
+                    .join(bench_sh, "shingle", "left_semi")
+                    .dropDuplicates(["source", "digest"])
+                    .groupBy("source")
+                    .agg(F.count("*").alias("n_contaminated")))
+
+            (base.join(uniq, "source", "left")
+             .join(cont, "source", "left")
+             .select("source", "n_docs", "n_benchmark", "n_quality",
+                     "n_pool",
+                     F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+                     F.coalesce("n_contaminated", F.lit(0))
+                     .alias("n_contaminated"))
+             .write.mode("append").parquet(incr_dir))
+            # commit the batch's new digests to the standing state LAST
+            # so a replayed batch recomputes rather than double-counts
+            new_uniq.select("source", "digest") \
+                .write.mode("append").parquet(state_dir)
+        finally:
+            flagged.unpersist()
+            if new_uniq is not None:
+                new_uniq.unpersist()
+
+    name = f"stream_curate_{uuid.uuid4().hex[:8]}"
+    q = (stream.writeStream.foreachBatch(process_batch)
+         .queryName(name)
+         .option("checkpointLocation", ckpt_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    bench_sh.unpersist()
+
+    out_schema = ("source string, n_docs long, n_benchmark long, "
+                  "n_quality long, n_dup long, n_contaminated long, "
+                  "n_kept long")
+    if not os.path.exists(incr_dir):         # empty source → no batches
+        shutil.rmtree(work, ignore_errors=True)
+        return spark.createDataFrame([], out_schema)
+    result = (spark.read.parquet(incr_dir)
+              .groupBy("source").agg(
+                  F.sum("n_docs").alias("n_docs"),
+                  F.sum("n_benchmark").alias("n_benchmark"),
+                  F.sum("n_quality").alias("n_quality"),
+                  (F.sum("n_pool") - F.sum("n_unique")).alias("n_dup"),
+                  F.sum("n_contaminated").alias("n_contaminated"),
+                  (F.sum("n_unique") - F.sum("n_contaminated"))
+                  .alias("n_kept"))
+              .select("source", "n_docs", "n_benchmark", "n_quality",
+                      "n_dup", "n_contaminated", "n_kept"))
+    # the ledger is tiny (per-source rows × batches): localCheckpoint
+    # materializes it so the temp dirs can be reclaimed immediately
+    result = result.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return result

@@ -74,6 +74,30 @@ def test_curate_precedence_quality_before_contaminated(spark):
     assert got[6] == "quality"
 
 
+def test_curate_probe_restriction_is_output_identical(spark):
+    """The decontamination probe covers ONLY the surviving pool
+    (quality-passing first-of-digest): a contaminated DUPLICATE still
+    reports 'duplicate' (precedence masks the contamination verdict it
+    no longer receives), and the full verdict table equals the
+    all-non-benchmark-probe plan's on a corpus where the restriction
+    bites — a dup of a contaminated doc plus a contaminated
+    quality-fail."""
+    extra = _corpus(spark).sparkSession.createDataFrame(
+        [(7, "src", "he saw sterling canyon voyage under amber skies "
+                    "yesterday and wrote every detail down in his worn "
+                    "journal before the long night train departed "
+                    "slowly"),            # exact dup of contaminated #4
+         (8, "src", "sterling canyon voyage under amber "
+                    + "!?,;:" * 40)],     # contaminated quality-fail
+        "doc_id long, source string, text string")
+    got = {r.doc_id: (r.kept, r.drop_reason)
+           for r in curate(_corpus(spark).union(extra)).collect()}
+    assert got[4] == (False, "contaminated")
+    assert got[7] == (False, "duplicate")   # masked, not 'contaminated'
+    assert got[8] == (False, "quality")     # masked, not 'contaminated'
+    assert got[1] == (True, None) and got[5] == (True, None)
+
+
 def test_curate_partitioning_independence(spark):
     docs = _corpus(spark)
     a = sorted(map(tuple, curate(docs).collect()))

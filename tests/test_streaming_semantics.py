@@ -257,3 +257,63 @@ def test_streaming_curation_multi_batch_dedup_state(spark, tmp_path):
     row = dict(zip(["source", "n_docs", "n_benchmark", "n_quality",
                     "n_dup", "n_contaminated", "n_kept"], got[0]))
     assert row["n_dup"] == 1          # the cross-batch duplicate
+
+
+def test_streaming_curation_forced_multi_batch(spark, tmp_path):
+    """Force one file per micro-batch (maxFilesPerTrigger=1) so the
+    standing digest-state anti-join path is GENUINELY exercised across
+    batches — a duplicate and a contaminated twin each arriving in a
+    later batch than their first sighting must count as duplicates, and
+    contamination must be scored exactly once per unique digest (on the
+    batch where the digest is first seen), matching the oracle."""
+    import duckdb
+    import pandas as pd
+
+    from openskidata_processor_spark.plans import ORACLES
+    from openskidata_processor_spark.streaming.documents import \
+        streaming_curation_stats
+
+    good = ("plenty of perfectly ordinary words stacked together here "
+            "so the integer quality gate passes without any trouble at "
+            "all for this document")
+    # contaminated pool doc: shares a 5-gram with the benchmark doc
+    bench_text = ("benchmark slice content marker phrase repeated long "
+                  "enough to carry shingles")
+    cont = ("prefix words then benchmark slice content marker phrase "
+            "and plenty of ordinary filler so the quality gate passes "
+            "here too")
+    b1 = [(1, "s1", good, "en", len(good)),
+          (29, "s1", bench_text, "en", len(bench_text)),
+          (4, "s1", cont, "en", len(cont))]
+    b2 = [(2, "s1", good, "en", len(good))]       # dup of batch-1 doc
+    b3 = [(5, "s1", cont, "en", len(cont)),       # dup of contaminated
+          (6, "s2", good, "en", len(good))]       # same text, NEW source
+    schema = ("doc_id long, source string, text string, lang string, "
+              "n_chars long")
+    d = tmp_path / "stream_src3"
+    d.mkdir()
+    tbl = d / "documents.parquet"
+    for batch in (b1, b2, b3):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append").parquet(str(tbl))
+
+    got = sorted(map(tuple, streaming_curation_stats(
+        spark, str(d), max_files_per_trigger=1).collect()))
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        b1 + b2 + b3, columns=["doc_id", "source", "text", "lang",
+                               "n_chars"]))
+    want = sorted(map(tuple,
+                      con.execute(ORACLES["stream_curate_stats"])
+                      .fetchall()))
+    assert got == want
+    by_src = {r[0]: dict(zip(
+        ["source", "n_docs", "n_benchmark", "n_quality", "n_dup",
+         "n_contaminated", "n_kept"], r)) for r in got}
+    # s1: docs 2 and 5 are later-batch duplicates; doc 4's contamination
+    # counted once despite its batch-3 twin
+    assert by_src["s1"]["n_dup"] == 2
+    assert by_src["s1"]["n_contaminated"] == 1
+    # s2: same text as s1's — per-SOURCE keying keeps it unique
+    assert by_src["s2"]["n_dup"] == 0 and by_src["s2"]["n_kept"] == 1
