@@ -483,6 +483,18 @@ def phash_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
             .filter(F.col("hamming") <= max_hamming))
 
 
+def _energy_bits(sa, nw, st: int, n: int) -> int:
+    """Window-energy bit vector by EXACT cross-multiplication in Python
+    ints: bit k set iff sa[k]/nw[k] > st/n, i.e. sa[k]·n > st·nw[k].
+    int64 would wrap (st ≈ 32768·n ⇒ st·nw overflows past ~7e7
+    samples); arbitrary-precision ints cannot."""
+    fp = 0
+    for k in range(len(sa)):
+        if int(sa[k]) * n > st * int(nw[k]):
+            fp |= 1 << k
+    return fp
+
+
 def audio_fingerprint(df: DataFrame, id_col: str = "id",
                       payload_col: str = "payload",
                       n_windows: int = 16) -> DataFrame:
@@ -512,9 +524,8 @@ def audio_fingerprint(df: DataFrame, id_col: str = "id",
                 sa = np.bincount(w, weights=a, minlength=W).astype(np.int64)
                 nw = np.bincount(w, minlength=W).astype(np.int64)
                 st = int(a.sum())
-                bits = sa * n > st * nw
                 ids.append(int(rid)); ns.append(n)
-                fps.append(int((bits << np.arange(W)).sum()))
+                fps.append(_energy_bits(sa, nw, st, n))
             if ids:
                 yield pd.DataFrame(
                     {"id": ids, "n_samples": ns, "afp": fps})

@@ -301,6 +301,30 @@ def test_audio_fingerprint_noise_invariance_and_dropout(spark):
     assert got[1] != got[3]
 
 
+def test_energy_bits_exact_past_int64():
+    """The window compare sa·n > st·nw must not wrap int64: st ≈
+    32768·n means st·nw overflows past ~7e7 samples (~70 min @ 16 kHz).
+    Pin the helper on magnitudes where the naive numpy product wraps
+    (and flips the verdict) while exact Python-int math stays right."""
+    import numpy as np
+
+    from openskidata_processor_spark.operators.multimodal import \
+        _energy_bits
+
+    n = 2**32
+    nw = np.full(2, 2**31, dtype=np.int64)
+    st = 2**32 + 2
+    # st·nw = 2^63 + 2^32: wraps NEGATIVE in int64.  Window 0's sa·n =
+    # 2^63 − 2^32 stays positive → naive int64 says above-mean for a
+    # window that is truly below; window 1 (2^63 + 2^33) is truly above.
+    sa = np.array([2**31 - 1, 2**31 + 2], dtype=np.int64)
+    assert _energy_bits(sa, nw, st, n) == 0b10
+    # the naive int64 product genuinely flips window 0 — the guard bites
+    with np.errstate(over="ignore"):
+        naive = sa * np.int64(n) > np.int64(st) * nw
+    assert int((naive << np.arange(2)).sum()) == 0b11
+
+
 def test_video_fingerprint_temporal_pooling(spark):
     """Reordering frames leaves the temporally-pooled hash unchanged; a
     different spatial layout changes it; junk drops."""
