@@ -72,6 +72,12 @@ QUERIES_TO_PROBE = [
     "multimodal_video_stats", "rollup_multi_granularity",
     "sample_temperature_mixture", "sample_mixture_epochs",
     "vocab_top_terms", "heavy_hitters_sketch",
+    # round-7 additions: the composed curation pipeline and its
+    # single-pass streaming twin on the same duplication-skew corpus
+    # (every doc has 9 exact duplicates — the dedup legs carry 90% of
+    # the pool, the adversarial case for the keep-first window and the
+    # cross-batch digest state)
+    "curate_corpus", "stream_curate_stats",
 ]
 
 
