@@ -93,6 +93,7 @@ EXTENDED_QUERIES = [
     "multimodal_video_fingerprint",
     "stream_curate_stats",
     "sample_cap_per_source",
+    "multimodal_near_dup_groups",
 ]
 
 

@@ -1298,6 +1298,202 @@ GROUP BY ps.doc_id
 """
 
 
+@query("multimodal_near_dup_groups")
+def multimodal_near_dup_groups(spark, sf_dir):
+    """Composed multimodal dedup end to end — the
+    ``dedup_group_resolution`` shape over FINGERPRINT pairs: every doc
+    carries one image, one audio and one video asset through the REAL
+    codecs (PNG encode∘decode∘aHash, WAV RIFF∘energy bits, Y4M
+    demux∘luma grid), each modality produces pigeonhole-blocked Hamming
+    pairs (``phash_pairs``), the three edge lists union, and connected
+    components resolve (doc_id, group_id, keep) with the keep-first
+    canonical policy.
+
+    Assets are synthesized so the GROUP STRUCTURE is genuinely
+    multimodal — within each 4-doc block, image links {0,1} and {2,3}
+    (Hamming-1: the odd member flips one hash cell), audio links {1,2}
+    (Hamming-1), video links {0,3} (exact) — so the full component only
+    emerges from the cross-modality transitive closure.  Fingerprint
+    bits are md5-derived per asset key and threshold-exact (values
+    200/10 around the strict mean), so the oracle re-derives every bit,
+    every Hamming pair, and the closure closed-form.  Cites reference
+    behavior: dedup keep-policy parity with `clustering.ts` pass-4 merge
+    (keep-first), generalized to perceptual signals."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators import dedup as dd
+    from ..operators.multimodal import (audio_fingerprint, decode_images,
+                                        encode_png_rgb, encode_wav_pcm16,
+                                        encode_y4m, perceptual_hash,
+                                        phash_pairs, video_fingerprint)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def bits_of(key: int, nbits: int) -> np.ndarray:
+        hx = hashlib.md5(str(key).encode()).hexdigest()
+        return np.array([(int(hx[k // 4], 16) >> (k % 4)) & 1
+                         for k in range(nbits)], dtype=np.int64)
+
+    def synth(parts):
+        for pdf in parts:
+            img, aud, vid = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                base, r = did - did % 4, did % 4
+                # image: 8×8 gray PNG, cell k = 200/10 by md5 bit of the
+                # PAIR key; odd member flips one cell → Hamming-1 pair
+                ik = base + 2 * (r // 2)
+                ib = bits_of(ik, 64)
+                if r % 2 == 1:
+                    ib[ik % 64] ^= 1
+                px = np.where(ib, 200, 10).astype(np.uint8) \
+                    .reshape(8, 8)[:, :, None].repeat(3, axis=2)
+                img.append(encode_png_rgb(px))
+                # audio: 63 windows × 4 samples, amplitude 20000/100
+                ak = base + 1 if r in (1, 2) else did + 10**9
+                ab = bits_of(ak, 63)
+                if r == 2:
+                    ab[ak % 63] ^= 1
+                s = np.repeat(np.where(ab, 20000, 100), 4).astype(np.int16)
+                aud.append(encode_wav_pcm16(s, 16000))
+                # video: 2 identical 7×9 frames, luma 200/10 per cell
+                vk = base if r in (0, 3) else did + 2 * 10**9
+                vb = bits_of(vk, 63)
+                y = np.where(vb, 200, 10).astype(np.uint8).reshape(7, 9)
+                frames = np.stack([np.stack([y, np.full_like(y, 128),
+                                             np.full_like(y, 128)])] * 2)
+                vid.append(encode_y4m(frames))
+            yield pd.DataFrame({"id": pdf["doc_id"].astype("int64"),
+                                "img": img, "aud": aud, "vid": vid})
+
+    assets = docs.mapInPandas(
+        synth, "id long, img binary, aud binary, vid binary").persist()
+
+    ih = perceptual_hash(decode_images(assets.select(
+        "id", F.col("img").alias("payload"))))
+    ah = (audio_fingerprint(assets.select(
+        "id", F.col("aud").alias("payload")), n_windows=63)
+        .select("id", F.shiftrightunsigned("afp", 32).alias("ph_hi"),
+                F.col("afp").bitwiseAND(F.lit(0xFFFFFFFF)).alias("ph_lo")))
+    vh = (video_fingerprint(assets.select(
+        "id", F.col("vid").alias("payload")), grid_h=7, grid_w=9)
+        .select("id", F.shiftrightunsigned("vfp", 32).alias("ph_hi"),
+                F.col("vfp").bitwiseAND(F.lit(0xFFFFFFFF)).alias("ph_lo")))
+    edges = (phash_pairs(ih, max_hamming=3).select("id_a", "id_b")
+             .union(phash_pairs(ah, max_hamming=3).select("id_a", "id_b"))
+             .union(phash_pairs(vh, max_hamming=3).select("id_a", "id_b"))
+             .distinct())
+    out = dd.near_dup_groups(docs, "doc_id", edges)
+    assets.unpersist()
+    return out
+
+
+ORACLES["multimodal_near_dup_groups"] = """
+WITH RECURSIVE m AS (
+  SELECT doc_id, doc_id - doc_id % 4 AS base, doc_id % 4 AS r
+  FROM documents
+), ik AS (
+  SELECT doc_id, base + 2 * (r // 2) AS key, r % 2 = 1 AS fl FROM m
+), ib AS (
+  SELECT doc_id, u.k,
+         CASE WHEN (((strpos('0123456789abcdef',
+                      substr(md5(CAST(key AS VARCHAR)), 1 + u.k // 4, 1))
+                      - 1) // (1 << (u.k % 4))) % 2 = 1)
+                   != (fl AND u.k = key % 64)
+              THEN 200 ELSE 10 END AS v
+  FROM ik, LATERAL (SELECT unnest(generate_series(0, 63)) AS k) u
+), isum AS (
+  SELECT doc_id, sum(v) AS tot FROM ib GROUP BY doc_id
+), ih AS (
+  SELECT ib.doc_id,
+         CAST(sum(CASE WHEN k >= 32 AND v * 64 > tot
+                       THEN (1::BIGINT << (k - 32)) ELSE 0 END)
+              AS BIGINT) AS hi,
+         CAST(sum(CASE WHEN k < 32 AND v * 64 > tot
+                       THEN (1::BIGINT << k) ELSE 0 END)
+              AS BIGINT) AS lo
+  FROM ib JOIN isum USING (doc_id) GROUP BY ib.doc_id
+), ak AS (
+  SELECT doc_id,
+         CASE WHEN r IN (1, 2) THEN base + 1
+              ELSE doc_id + 1000000000 END AS key,
+         r = 2 AS fl
+  FROM m
+), ab AS (
+  SELECT doc_id, u.k,
+         CASE WHEN (((strpos('0123456789abcdef',
+                      substr(md5(CAST(key AS VARCHAR)), 1 + u.k // 4, 1))
+                      - 1) // (1 << (u.k % 4))) % 2 = 1)
+                   != (fl AND u.k = key % 63)
+              THEN 20000 ELSE 100 END AS v
+  FROM ak, LATERAL (SELECT unnest(generate_series(0, 62)) AS k) u
+), asum AS (
+  SELECT doc_id, sum(v) AS tot FROM ab GROUP BY doc_id
+), ah AS (
+  SELECT ab.doc_id,
+         CAST(sum(CASE WHEN k >= 32 AND v * 63 > tot
+                       THEN (1::BIGINT << (k - 32)) ELSE 0 END)
+              AS BIGINT) AS hi,
+         CAST(sum(CASE WHEN k < 32 AND v * 63 > tot
+                       THEN (1::BIGINT << k) ELSE 0 END)
+              AS BIGINT) AS lo
+  FROM ab JOIN asum USING (doc_id) GROUP BY ab.doc_id
+), vk AS (
+  SELECT doc_id,
+         CASE WHEN r IN (0, 3) THEN base
+              ELSE doc_id + 2000000000 END AS key,
+         FALSE AS fl
+  FROM m
+), vb AS (
+  SELECT doc_id, u.k,
+         CASE WHEN ((strpos('0123456789abcdef',
+                     substr(md5(CAST(key AS VARCHAR)), 1 + u.k // 4, 1))
+                     - 1) // (1 << (u.k % 4))) % 2 = 1
+              THEN 200 ELSE 10 END AS v
+  FROM vk, LATERAL (SELECT unnest(generate_series(0, 62)) AS k) u
+), vsum AS (
+  SELECT doc_id, sum(v) AS tot FROM vb GROUP BY doc_id
+), vh AS (
+  SELECT vb.doc_id,
+         CAST(sum(CASE WHEN k >= 32 AND v * 63 > tot
+                       THEN (1::BIGINT << (k - 32)) ELSE 0 END)
+              AS BIGINT) AS hi,
+         CAST(sum(CASE WHEN k < 32 AND v * 63 > tot
+                       THEN (1::BIGINT << k) ELSE 0 END)
+              AS BIGINT) AS lo
+  FROM vb JOIN vsum USING (doc_id) GROUP BY vb.doc_id
+), e0 AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ih a JOIN ih b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+  UNION
+  SELECT a.doc_id, b.doc_id
+  FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+  UNION
+  SELECT a.doc_id, b.doc_id
+  FROM vh a JOIN vh b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+), e AS (
+  SELECT id_a AS a, id_b AS b FROM e0
+  UNION SELECT id_b, id_a FROM e0
+), reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+), comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS group_id FROM reach GROUP BY a
+)
+SELECT d.doc_id,
+       coalesce(c.group_id, d.doc_id) AS group_id,
+       coalesce(c.group_id, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
 @query("stream_curate_stats")
 def stream_curate_stats(spark, sf_dir):
     """Incremental corpus curation (streaming twin of

@@ -325,6 +325,23 @@ def test_energy_bits_exact_past_int64():
     assert int((naive << np.arange(2)).sum()) == 0b11
 
 
+def test_multimodal_near_dup_groups_cross_modality_closure(spark, tmp_path):
+    """The composed multimodal dedup groups emerge only from the
+    CROSS-modality transitive closure: within a 4-doc block, image links
+    {0,1} and {2,3} (Hamming 1), audio links {1,2} (Hamming 1), video
+    links {0,3} (exact) — no single modality connects the block, but the
+    union does.  A partial 2-doc block groups on its image edge alone."""
+    from openskidata_processor_spark.plans import QUERIES
+
+    spark.createDataFrame([(i,) for i in range(6)], "doc_id long") \
+        .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: (r.group_id, r.keep)
+           for r in QUERIES["multimodal_near_dup_groups"](
+               spark, str(tmp_path)).collect()}
+    assert got == {0: (0, True), 1: (0, False), 2: (0, False),
+                   3: (0, False), 4: (4, True), 5: (4, False)}
+
+
 def test_video_fingerprint_temporal_pooling(spark):
     """Reordering frames leaves the temporally-pooled hash unchanged; a
     different spatial layout changes it; junk drops."""
