@@ -94,6 +94,8 @@ EXTENDED_QUERIES = [
     "stream_curate_stats",
     "sample_cap_per_source",
     "multimodal_near_dup_groups",
+    "substring_dedup_spans",
+    "semantic_decontamination",
 ]
 
 

@@ -19,8 +19,13 @@ a 100 TB LLM-training pipeline runs between raw crawl and tokenizer:
                             per-shard windows (never a single global sort)
 - ``pack_concat_bins``    : packing end-to-end — each bin's texts joined in
                             scan order (the tokenizer-feed step)
+- ``substring_dedup_spans``: exact substring-span dedup (Lee 2022) —
+                            K-word windows duplicated corpus-wide merge
+                            into maximal per-doc cut spans
+- ``semantic_decontamination``: embedding-space decontamination — max
+                            cosine against the broadcast benchmark slice
 
-All seven are exact and DuckDB-oracle-checked.  No reference counterpart
+All nine are exact and DuckDB-oracle-checked.  No reference counterpart
 (the reference is a GIS ETL); these extend the engine's training-data
 family alongside dedup/similarity/multimodal (see plans/training.py).
 """
@@ -533,4 +538,165 @@ WITH base AS MATERIALIZED (
 SELECT v.doc_id, v.source, v.drop_reason IS NULL AS kept, v.drop_reason,
        p.shard_id, p.pos
 FROM verdict v LEFT JOIN pos p USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"): any K-word window occurring more
+# than once corpus-wide marks its span; overlapping/contiguous marked
+# windows merge into maximal cut spans per document.  The suffix-array
+# formulation of the paper is inherently single-machine; the distributed
+# re-expression is ONE shuffle on the window digest (content-derived,
+# uniform — duplicate groups are the only multi-row partitions) plus one
+# doc-local window pass for the island merge.  At 100 TB the window
+# digest (16 bytes) is what shuffles, never the window text.
+# ---------------------------------------------------------------------------
+
+_SUBSTR_K = 10          # window width in words (the paper uses 50 BPE
+#                         tokens; 10 words ≈ the same span on this corpus)
+
+
+@query("substring_dedup_spans")
+def substring_dedup_spans(spark, sf_dir):
+    """(doc_id, span_start, span_end, n_dup_windows) — maximal word-index
+    spans [start, end] (0-based, inclusive) covered by K-word windows
+    that occur more than once corpus-wide.  Windows merge when they
+    overlap or touch (next.start ≤ prev.end + 1 ⟺ gap in start positions
+    ≤ K); ``n_dup_windows`` counts the duplicated windows the span
+    absorbed.  The training pipeline cuts these spans before packing."""
+    K = _SUBSTR_K
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.words(F.col("text")).alias("ws"))
+    wins = (docs.filter(F.size("ws") >= K)
+            .select("doc_id",
+                    F.posexplode(F.transform(
+                        F.sequence(F.lit(0), F.size("ws") - K),
+                        lambda i: F.concat_ws(
+                            " ", F.slice("ws", i + 1, K))))
+                    .alias("pos", "win"))
+            .select("doc_id", "pos", F.md5("win").alias("dig")))
+    # duplicate mark: count over the digest — the one content shuffle
+    n_occ = F.count("*").over(Window.partitionBy("dig"))
+    marked = (wins.withColumn("__n", n_occ).filter(F.col("__n") > 1)
+              .select("doc_id", "pos"))
+    # island merge, doc-local: fixed K makes span ends monotone in pos,
+    # so a new island starts exactly when the start-gap exceeds K
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.coalesce(F.col("pos") - F.lag("pos").over(w), F.lit(K + 1)) > K,
+        1).otherwise(0)
+    islands = marked.withColumn(
+        "island", F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (islands.groupBy("doc_id", "island")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + F.lit(K - 1)).alias("span_end"),
+                 F.count("*").alias("n_dup_windows"))
+            .select("doc_id", "span_start", "span_end", "n_dup_windows"))
+
+
+ORACLES["substring_dedup_spans"] = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), wins AS (
+  SELECT doc_id, u.i AS pos,
+         md5(array_to_string(
+             list_slice(ws, u.i + 1, u.i + {_SUBSTR_K}), ' ')) AS dig
+  FROM w, LATERAL (SELECT unnest(generate_series(0, len(ws) - {_SUBSTR_K}))
+                     AS i) u
+  WHERE len(ws) >= {_SUBSTR_K}
+), marked AS (
+  SELECT doc_id, pos FROM wins
+  WHERE dig IN (SELECT dig FROM wins GROUP BY dig HAVING count(*) > 1)
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN coalesce(pos - lag(pos) OVER (PARTITION BY doc_id
+                                                 ORDER BY pos),
+                            {_SUBSTR_K + 1}) > {_SUBSTR_K}
+              THEN 1 ELSE 0 END AS brk
+  FROM marked
+), g AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_SUBSTR_K - 1} AS BIGINT) AS span_end,
+       count(*) AS n_dup_windows
+FROM g GROUP BY doc_id, island
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination: the embedding-space twin of
+# ``contamination_ngram`` — a training vector is contaminated when its
+# cosine similarity to ANY held-out benchmark vector clears a threshold
+# (the phi-style embedding decontamination pass; SemDeDup's
+# cross-split variant).  Scale shape: the benchmark slice (1/29 of the
+# corpus) BROADCASTS; the training side never shuffles — one map-side
+# pass computing a running max per vector.  The LSH/IVF/PQ ANN family
+# is the approximate scale path when the benchmark set itself is large.
+# ---------------------------------------------------------------------------
+
+_SEMDECON_MOD = 29          # vec_id % 29 == 0 → held-out benchmark slice
+_SEMDECON_THRESHOLD = 0.3   # corpus p90 of max-sim — the genuine tail
+
+
+@query("semantic_decontamination")
+def semantic_decontamination(spark, sf_dir):
+    """(vec_id, nearest_bench, max_sim, contaminated) for every
+    non-benchmark vector: exact max cosine against the broadcast
+    benchmark slice, nearest benchmark id (ties → smallest id), and the
+    threshold verdict."""
+    from ..functions import vectors as V
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = F.broadcast(
+        emb.filter(F.col("vec_id") % _SEMDECON_MOD == 0)
+        .select(F.col("vec_id").alias("bench_id"),
+                F.col("embedding").alias("bv")))
+    pool = (emb.filter(F.col("vec_id") % _SEMDECON_MOD != 0)
+            .select("vec_id", F.col("embedding").alias("v")))
+    sim = V.cosine(V.as_double(F.col("v")), V.as_double(F.col("bv")))
+    scored = pool.crossJoin(bench).select(
+        "vec_id", "bench_id", sim.alias("sim"))
+    out = (scored.groupBy("vec_id")
+           .agg(F.max_by("bench_id",
+                         F.struct(F.col("sim"), -F.col("bench_id")))
+                .alias("nearest_bench"),
+                F.max("sim").alias("__ms")))
+    return out.select(
+        "vec_id", "nearest_bench",
+        F.round("__ms", 6).alias("max_sim"),
+        (F.round("__ms", 6) > _SEMDECON_THRESHOLD).alias("contaminated"))
+
+
+ORACLES["semantic_decontamination"] = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), b AS (
+  SELECT vec_id AS bench_id, v AS bv FROM e
+  WHERE vec_id % {_SEMDECON_MOD} = 0
+), scored AS (
+  SELECT e.vec_id, b.bench_id,
+         list_dot_product(e.v, b.bv) /
+           (sqrt(list_dot_product(e.v, e.v))
+            * sqrt(list_dot_product(b.bv, b.bv))) AS sim
+  FROM e, b
+  WHERE e.vec_id % {_SEMDECON_MOD} != 0
+), ranked AS (
+  SELECT vec_id, bench_id, sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, bench_id) AS rn
+  FROM scored
+)
+SELECT vec_id, bench_id AS nearest_bench,
+       round(sim, 6) AS max_sim,
+       round(sim, 6) > CAST({_SEMDECON_THRESHOLD} AS DOUBLE)
+         AS contaminated
+FROM ranked WHERE rn = 1
 """

@@ -174,3 +174,75 @@ def test_dup_ngram_repeated_shingle_in_one_doc_not_dup(spark):
         [(1, "a b c d e a b c d e")], "doc_id long, text string")
     row = dup_ngram_stats(docs, n=5).first()
     assert row.n_dup == 0 and row.dup_frac == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (Lee 2022 shape)
+# ---------------------------------------------------------------------------
+
+
+def _spans(spark, tmp_path, rows):
+    from openskidata_processor_spark.plans import QUERIES
+
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["substring_dedup_spans"](spark, str(tmp_path)).collect()
+    return sorted((r.doc_id, r.span_start, r.span_end, r.n_dup_windows)
+                  for r in out)
+
+
+def test_substring_spans_cross_doc_shared_run(spark, tmp_path):
+    """A 10-word run shared verbatim between two docs marks exactly the
+    window positions that cover it — one span each, word-exact."""
+    common = " ".join(f"c{i}" for i in range(10))
+    a = " ".join(f"a{i}" for i in range(5)) + " " + common + " " \
+        + " ".join(f"z{i}" for i in range(5))          # run at words 5..14
+    b = "b0 b1 " + common + " b2 b3"                   # run at words 2..11
+    got = _spans(spark, tmp_path, [(1, a), (2, b)])
+    assert got == [(1, 5, 14, 1), (2, 2, 11, 1)]
+
+
+def test_substring_spans_touching_windows_merge(spark, tmp_path):
+    """Two duplicated windows whose spans touch (start gap == K) merge
+    into ONE maximal span; a within-doc repeat counts as duplicated."""
+    common = " ".join(f"c{i}" for i in range(10))
+    c = "x " + common + " " + common + " y"   # dup windows at pos 1 and 11
+    d = " ".join(f"d{i}" for i in range(10))
+    dd = d + " " + d                          # internal repeat: pos 0, 10
+    got = _spans(spark, tmp_path, [(3, c), (4, dd),
+                                   (5, "u0 " + common + " u1")])
+    assert (3, 1, 20, 2) in got               # merged: [1,10] ∪ [11,20]
+    assert (4, 0, 19, 2) in got               # internal repeat merges too
+    assert (5, 1, 10, 1) in got
+
+
+def test_substring_spans_short_and_unique_docs_absent(spark, tmp_path):
+    got = _spans(spark, tmp_path, [
+        (6, "only nine words here so no window at all"),
+        (7, " ".join(f"q{i}" for i in range(30)))])    # unique content
+    assert got == []
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_decontamination_verdicts_and_ties(spark, tmp_path):
+    """Max cosine against the broadcast benchmark slice: an aligned
+    vector is contaminated, an orthogonal one is not; an exact tie
+    between two benchmark vectors resolves to the SMALLEST bench id."""
+    from openskidata_processor_spark.plans import QUERIES
+
+    e = [1.0, 0.0, 0.0, 0.0]
+    o = [0.0, 1.0, 0.0, 0.0]
+    rows = [(0, e, "b"), (29, e, "b"),      # benchmark: ids % 29 == 0
+            (1, e, "p"),                    # sim 1.0 to BOTH 0 and 29
+            (2, o, "p")]                    # orthogonal to the bench set
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string") \
+        .write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = {r.vec_id: (r.nearest_bench, r.max_sim, r.contaminated)
+           for r in QUERIES["semantic_decontamination"](
+               spark, str(tmp_path)).collect()}
+    assert got == {1: (0, 1.0, True), 2: (0, 0.0, False)}
