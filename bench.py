@@ -96,6 +96,8 @@ EXTENDED_QUERIES = [
     "multimodal_near_dup_groups",
     "substring_dedup_spans",
     "semantic_decontamination",
+    "winnow_fingerprint_pairs",
+    "length_bucket_batches",
 ]
 
 

@@ -24,8 +24,11 @@ a 100 TB LLM-training pipeline runs between raw crawl and tokenizer:
                             into maximal per-doc cut spans
 - ``semantic_decontamination``: embedding-space decontamination — max
                             cosine against the broadcast benchmark slice
+- ``length_bucket_batches``: dynamic-batching shape — token-length
+                            buckets, deterministic in-bucket shuffle,
+                            fixed-size batch coordinates
 
-All nine are exact and DuckDB-oracle-checked.  No reference counterpart
+All ten are exact and DuckDB-oracle-checked.  No reference counterpart
 (the reference is a GIS ETL); these extend the engine's training-data
 family alongside dedup/similarity/multimodal (see plans/training.py).
 """
@@ -699,4 +702,61 @@ SELECT vec_id, bench_id AS nearest_bench,
        round(sim, 6) > CAST({_SEMDECON_THRESHOLD} AS DOUBLE)
          AS contaminated
 FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batch shaping (dynamic batching): group documents into
+# fixed-width token-length buckets, then deterministically shuffle each
+# bucket (md5 order) and cut it into training batches of B docs.  This
+# is the batching step that minimizes padding waste — a batch only pads
+# to its own bucket ceiling, not the corpus max.  Scale shape: ONE
+# shuffle on (bucket), windows partition per bucket (corpus/width-sized,
+# further split by batch at serve time); no global sort.
+# ---------------------------------------------------------------------------
+
+_BUCKET_TOKENS = 16     # bucket width in tokens
+_BATCH_DOCS = 32        # batch size in documents
+
+
+@query("length_bucket_batches")
+def length_bucket_batches(spark, sf_dir):
+    """(doc_id, n_tokens, bucket, batch_id, slot): every document's
+    batch coordinates after length bucketing — bucket = n_tokens div
+    width, order within bucket = (md5(doc_id), doc_id) (the
+    deterministic shuffle), batch_id/slot = div/mod of the dense
+    rank."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).cast("long")
+        .alias("n_tokens"))
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucketed = docs.select(
+        "doc_id", "n_tokens",
+        (F.col("n_tokens") / _BUCKET_TOKENS).cast("long").alias("bucket"),
+        h.alias("__h"))
+    w = Window.partitionBy("bucket").orderBy("__h", "doc_id")
+    rn = F.row_number().over(w) - 1
+    return bucketed.select(
+        "doc_id", "n_tokens", "bucket",
+        (rn / _BATCH_DOCS).cast("long").alias("batch_id"),
+        (rn % _BATCH_DOCS).alias("slot"))
+
+
+ORACLES["length_bucket_batches"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+              '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), b AS (
+  SELECT doc_id, n_tokens, n_tokens // {_BUCKET_TOKENS} AS bucket,
+         row_number() OVER (PARTITION BY n_tokens // {_BUCKET_TOKENS}
+                            ORDER BY h, doc_id) - 1 AS rn
+  FROM t
+)
+SELECT doc_id, n_tokens, bucket,
+       rn // {_BATCH_DOCS} AS batch_id,
+       rn % {_BATCH_DOCS} AS slot
+FROM b
 """

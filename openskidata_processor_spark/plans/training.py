@@ -19,8 +19,10 @@ and (except the sketch) appends its DuckDB twin to ``oracles.ORACLES``.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions import text as T
 from ..operators.merge import merge_upsert
 from ..operators.quantiles import exact_quantiles
 from ..operators.sampling import _threshold, stratified_hash_sample
@@ -845,4 +847,96 @@ WITH e AS MATERIALIZED (
 )
 SELECT vec_id, label, d2, d2 * 20 > m.md * 21 AS outlier
 FROM d JOIN m USING (label)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# local document fingerprinting algorithm): hash every K-word k-gram,
+# slide a W-hash window, select the window minimum (rightmost on ties),
+# and pair documents by shared selected fingerprints.  The winnowing
+# GUARANTEE: any shared run of ≥ W+K−1 words yields a shared selected
+# fingerprint, while only ~2/(W+1) of all k-gram hashes survive — the
+# posting that shuffles for the pair join is winnowed to a fraction of
+# the full shingle posting (the standard code-corpus dedup signal).
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 8     # k-gram width in words
+_WINNOW_W = 4     # winnow window in hashes → detects runs ≥ 11 words
+_WINNOW_POS_BASE = 65536    # key = h·2^16 + (2^16−1−pos): min(key) is the
+#                             min-hash with RIGHTMOST tie-break; bounds
+#                             docs at 65,536 k-grams (enforced below)
+
+
+@query("winnow_fingerprint_pairs")
+def winnow_fingerprint_pairs(spark, sf_dir):
+    """(id_a, id_b, n_shared) — document pairs sharing ≥ 1 winnowed
+    fingerprint, with the count of distinct shared fingerprint hashes.
+    Hash = first 10 hex chars of md5(k-gram) as BIGINT (< 2⁴⁰, so the
+    pos-packed tie-break key stays exact in int64)."""
+    K, W, B = _WINNOW_K, _WINNOW_W, _WINNOW_POS_BASE
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.words(F.col("text")).alias("ws"))
+    kg = (docs.filter(F.size("ws") >= K)
+          .select("doc_id",
+                  (F.size("ws") - K + 1).alias("nk"),
+                  F.posexplode(F.transform(
+                      F.sequence(F.lit(0), F.size("ws") - K),
+                      lambda i: F.conv(F.substring(
+                          F.md5(F.concat_ws(
+                              " ", F.slice("ws", i + 1, K))), 1, 10),
+                          16, 10).cast("long")))
+                  .alias("pos", "h")))
+    keyed = kg.select(
+        "doc_id", "nk", "pos",
+        (F.col("h") * B + (F.lit(B - 1) - F.col("pos"))).alias("key"))
+    win = (Window.partitionBy("doc_id").orderBy("pos")
+           .rowsBetween(0, W - 1))
+    # winnowing selects per FULL window only: starts pos ≤ nk − W.
+    # Decode with INTEGER div: keys exceed 2⁵³, so float division (`/`
+    # + cast) rounds the mantissa and can decode h±1 for small pos —
+    # cross-doc shared fingerprints at different positions then miss.
+    fp = (keyed.withColumn("m", F.min("key").over(win))
+          .filter(F.col("pos") <= F.col("nk") - W)
+          .select("doc_id", F.expr(f"m div {B}").alias("h"))
+          .distinct())
+    a = fp.toDF("id_a", "h")
+    b = fp.toDF("id_b", "h")
+    return (a.join(b, "h")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_shared")))
+
+
+ORACLES["winnow_fingerprint_pairs"] = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), kg AS (
+  SELECT doc_id, len(ws) - {_WINNOW_K} + 1 AS nk, u.i AS pos,
+         ('0x' || substr(md5(array_to_string(
+              list_slice(ws, u.i + 1, u.i + {_WINNOW_K}), ' ')), 1, 10)
+          )::BIGINT AS h
+  FROM w, LATERAL (SELECT unnest(generate_series(0, len(ws) - {_WINNOW_K}))
+                     AS i) u
+  WHERE len(ws) >= {_WINNOW_K}
+), keyed AS (
+  SELECT doc_id, nk, pos,
+         h * {_WINNOW_POS_BASE}
+           + ({_WINNOW_POS_BASE - 1} - pos) AS key
+  FROM kg
+), sel AS (
+  SELECT doc_id, nk, pos,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW
+                        AND {_WINNOW_W - 1} FOLLOWING) AS m
+  FROM keyed
+), fp AS (
+  SELECT DISTINCT doc_id, m // {_WINNOW_POS_BASE} AS h
+  FROM sel WHERE pos <= nk - {_WINNOW_W}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM fp a JOIN fp b USING (h)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
 """

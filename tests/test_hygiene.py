@@ -246,3 +246,73 @@ def test_semantic_decontamination_verdicts_and_ties(spark, tmp_path):
            for r in QUERIES["semantic_decontamination"](
                spark, str(tmp_path)).collect()}
     assert got == {1: (0, 1.0, True), 2: (0, 0.0, False)}
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS) + length-bucketed batching
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_guarantee_shared_run_detected(spark, tmp_path):
+    """The winnowing guarantee: a shared run of ≥ W+K−1 = 11 words
+    always yields ≥ 1 shared selected fingerprint, while docs with no
+    shared k-gram never pair."""
+    from openskidata_processor_spark.plans import QUERIES
+
+    run = " ".join(f"c{i}" for i in range(11))          # exactly W+K−1
+    rows = [(1, " ".join(f"a{i}" for i in range(7)) + " " + run),
+            (2, run + " " + " ".join(f"b{i}" for i in range(7))),
+            (3, " ".join(f"z{i}" for i in range(20)))]  # disjoint
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {(r.id_a, r.id_b): r.n_shared
+           for r in QUERIES["winnow_fingerprint_pairs"](
+               spark, str(tmp_path)).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 1
+    assert all(3 not in k for k in got)
+
+
+def test_winnow_rightmost_tie_and_density(spark, tmp_path):
+    """An exact self-repeat selects IDENTICAL fingerprint sets for both
+    docs (n_shared = the doc's full selection), and the selection is a
+    strict subset of all k-gram hashes (winnowing actually thins)."""
+    from openskidata_processor_spark.plans import QUERIES
+
+    text = " ".join(f"w{i % 13}" for i in range(40))    # repetitive soup
+    rows = [(10, text), (11, text)]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = QUERIES["winnow_fingerprint_pairs"](
+        spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    n_shared = got[0].n_shared
+    n_kgrams_distinct = 13        # w0..w12 cycle → 13 distinct 8-grams
+    assert 1 <= n_shared < n_kgrams_distinct
+
+
+def test_length_bucket_batches_coordinates(spark, tmp_path):
+    """Buckets are n_tokens div 16; slots are dense 0..n−1 per bucket in
+    (md5, id) order and batch_id = slot div 32 — verified by rebuilding
+    the expected order in Python."""
+    import hashlib
+
+    from openskidata_processor_spark.plans import QUERIES
+
+    rows = [(i, " ".join("tok" for _ in range(5 + (i % 3) * 16)))
+            for i in range(40)]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: (r.n_tokens, r.bucket, r.batch_id, r.slot)
+           for r in QUERIES["length_bucket_batches"](
+               spark, str(tmp_path)).collect()}
+    assert len(got) == 40
+    by_bucket = {}
+    for i in range(40):
+        nt = 5 + (i % 3) * 16
+        assert got[i][0] == nt and got[i][1] == nt // 16
+        by_bucket.setdefault(nt // 16, []).append(i)
+    for b, ids in by_bucket.items():
+        order = sorted(ids, key=lambda d: (
+            hashlib.md5(str(d).encode()).hexdigest(), d))
+        for rank, d in enumerate(order):
+            assert got[d][2:] == (rank // 32, rank % 32), (b, d)
