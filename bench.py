@@ -98,6 +98,8 @@ EXTENDED_QUERIES = [
     "semantic_decontamination",
     "winnow_fingerprint_pairs",
     "length_bucket_batches",
+    "scd2_user_history",
+    "zorder_file_stats",
 ]
 
 

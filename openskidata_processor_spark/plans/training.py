@@ -940,3 +940,122 @@ FROM fp a JOIN fp b USING (h)
 WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history build (slowly-changing-dimension type 2): every change
+# event becomes a VERSIONED validity interval — the lakehouse history
+# table a warehouse derives from a CDC stream (the keep-history
+# counterpart of ``cdc_merge_upsert``'s latest-wins snapshot).  Scale
+# shape: one shuffle on the key; lead() windows partition per key
+# (key-history-sized, never corpus-wide); timestamps exported as exact
+# epoch-micros BIGINTs so the compare never touches tz rendering.
+# ---------------------------------------------------------------------------
+
+
+@query("scd2_user_history")
+def scd2_user_history(spark, sf_dir):
+    """(user_id, event_id, version, valid_from_us, valid_to_us,
+    is_current): each user's events ordered (ts, event_id) become SCD2
+    validity intervals — valid_to = next change's timestamp, open
+    interval (null) + is_current on the latest."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return ev.select(
+        "user_id", "event_id",
+        F.row_number().over(w).alias("version"),
+        F.col("us").alias("valid_from_us"),
+        F.lead("us").over(w).alias("valid_to_us"),
+        F.lead("us").over(w).isNull().alias("is_current"))
+
+
+ORACLES["scd2_user_history"] = """
+SELECT user_id, event_id,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       epoch_us(ts) AS valid_from_us,
+       lead(epoch_us(ts)) OVER w AS valid_to_us,
+       lead(epoch_us(ts)) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Z-order data layout (Morton space-filling curve): interleave the bits
+# of two clustering dimensions and range-bucket rows into files by the
+# Z-code — the Delta/Iceberg Z-ORDER layout step.  The payoff is the
+# per-file min/max stats this query emits: a predicate on EITHER
+# dimension prunes files, because Z-locality keeps both dims tight per
+# file.  Exact integer bit arithmetic end to end; no global sort (the
+# file id is a code prefix, so assignment is embarrassingly parallel —
+# at scale this is the repartitionByRange key, computed map-side).
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16          # bits per dimension → 32-bit Morton code
+_Z_FILE_SHIFT = 20    # file id = zcode >> 20 → ≤ 4096 files
+
+
+def _morton(x, y, bits: int = _Z_BITS):
+    """Interleave: bit k of x → bit 2k, bit k of y → bit 2k+1."""
+    z = F.lit(0).cast("long")
+    for k in range(bits):
+        z = z.bitwiseOR(F.shiftleft(
+            F.shiftrightunsigned(x, k).bitwiseAND(F.lit(1)), 2 * k))
+        z = z.bitwiseOR(F.shiftleft(
+            F.shiftrightunsigned(y, k).bitwiseAND(F.lit(1)), 2 * k + 1))
+    return z
+
+
+def _zorder_stats(orders, file_shift: int):
+    x = F.col("cust").bitwiseAND(F.lit((1 << _Z_BITS) - 1))
+    y = F.col("day").bitwiseAND(F.lit((1 << _Z_BITS) - 1))
+    z = _morton(x, y)
+    return (orders
+            .select("cust", "day",
+                    F.shiftrightunsigned(z, file_shift).alias("file_id"))
+            .groupBy("file_id")
+            .agg(F.count("*").alias("n_rows"),
+                 F.min("cust").alias("min_cust"),
+                 F.max("cust").alias("max_cust"),
+                 F.min("day").alias("min_day"),
+                 F.max("day").alias("max_day")))
+
+
+@query("zorder_file_stats")
+def zorder_file_stats(spark, sf_dir):
+    """(file_id, n_rows, min_cust, max_cust, min_day, max_day): orders
+    Z-ordered on (customer key, order day since 1992-01-01), bucketed
+    into files by the Morton-code prefix, with the min/max data-skipping
+    stats per file that make the layout worth building."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("cust"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .cast("long").alias("day"))
+    return _zorder_stats(orders, _Z_FILE_SHIFT)
+
+
+_Z_TERMS = " + ".join(
+    f"((x // {1 << k}) % 2) * {1 << (2 * k)}"
+    f" + ((y // {1 << k}) % 2) * {1 << (2 * k + 1)}"
+    for k in range(_Z_BITS))
+
+ORACLES["zorder_file_stats"] = f"""
+WITH d AS (
+  SELECT CAST(o_custkey AS BIGINT) AS cust,
+         CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
+           AS day
+  FROM orders
+), coded AS (
+  SELECT cust, day,
+         (SELECT {_Z_TERMS}
+          FROM (SELECT cust % {1 << _Z_BITS} AS x,
+                       day % {1 << _Z_BITS} AS y)) AS z
+  FROM d
+)
+SELECT z // {1 << _Z_FILE_SHIFT} AS file_id,
+       count(*) AS n_rows,
+       min(cust) AS min_cust, max(cust) AS max_cust,
+       min(day) AS min_day, max(day) AS max_day
+FROM coded GROUP BY 1
+"""

@@ -794,3 +794,83 @@ def test_centroid_outliers_partitioning_independence(spark):
         factor_den=20).collect()))
     assert a == b
     assert any(r[3] for r in a)            # non-vacuous at SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history + Z-order layout
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_versions_chain_and_current(spark, tmp_path):
+    """Versions are dense per key in (ts, event_id) order; each row's
+    valid_to equals the next row's valid_from; exactly one open current
+    row per key; same-timestamp ties order by event_id."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from openskidata_processor_spark.plans import QUERIES
+
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [(101, ts(0), 7, "a", 1.0, "{}"),
+            (102, ts(60), 7, "a", 1.0, "{}"),
+            (103, ts(60), 7, "a", 1.0, "{}"),     # tie → event_id order
+            (201, ts(5), 8, "a", 1.0, "{}")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = sorted(
+        ((r.user_id, r.event_id, r.version, r.valid_from_us,
+          r.valid_to_us, r.is_current)
+         for r in QUERIES["scd2_user_history"](
+             spark, str(tmp_path)).collect()))
+    base = int(t0.timestamp()) * 1_000_000
+    assert got == [
+        (7, 101, 1, base, base + 60_000_000, False),
+        (7, 102, 2, base + 60_000_000, base + 60_000_000, False),
+        (7, 103, 3, base + 60_000_000, None, True),
+        (8, 201, 1, base + 5_000_000, None, True)]
+
+
+def test_morton_interleave_known_vectors(spark):
+    from pyspark.sql import functions as F
+
+    from openskidata_processor_spark.plans.training import _morton
+
+    df = spark.createDataFrame(
+        [(1, 0), (0, 1), (3, 5), (65535, 65535)], "x long, y long")
+    got = [r.z for r in df.select(
+        _morton(F.col("x"), F.col("y")).alias("z")).collect()]
+
+    def ref(x, y):
+        return sum((((x >> k) & 1) << (2 * k))
+                   | (((y >> k) & 1) << (2 * k + 1)) for k in range(16))
+
+    assert got == [1, 2, 39, (1 << 32) - 1]
+    assert got == [ref(1, 0), ref(0, 1), ref(3, 5), ref(65535, 65535)]
+
+
+def test_zorder_files_are_local_in_both_dims(spark):
+    """The point of the layout: per-file min/max ranges are TIGHT in
+    both dimensions relative to the data extent, so a predicate on
+    either dimension prunes files.  On a uniform 256×256 grid with a
+    2¹²-code file width, every Morton-prefix file is exactly a 64×64
+    tile (range 63 per dim, 1/4 of the extent) — checked exactly."""
+    from pyspark.sql import functions as F
+
+    from openskidata_processor_spark.plans.training import _zorder_stats
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("cust"),
+        (F.col("id") / 256).cast("long").alias("day"))
+    stats = _zorder_stats(grid, file_shift=12).collect()
+    assert len(stats) == 16            # 2^16 codes / 2^12 per file
+    for r in stats:
+        assert r.n_rows == 64 * 64
+        assert r.max_cust - r.min_cust == 63
+        assert r.max_day - r.min_day == 63
