@@ -103,3 +103,121 @@ def test_curate_fuzz(spark, seed):
     want = sorted(map(tuple,
                       con.execute(ORACLES["curate_corpus"]).fetchall()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-7 operators: these catalog queries read parquet via _t, so the
+# fuzz writes the random rows to a tmp table dir and drives the QUERY,
+# comparing against its oracle over the same rows.
+# ---------------------------------------------------------------------------
+
+
+def _run_query(spark, tmp_path, table, rows, schema, columns, qname):
+    import pandas as pd
+
+    from openskidata_processor_spark.plans import QUERIES
+
+    spark.createDataFrame(rows, schema).write.mode("overwrite") \
+        .parquet(str(tmp_path / f"{table}.parquet"))
+    got = sorted(map(tuple,
+                     QUERIES[qname](spark, str(tmp_path)).collect()))
+    con = duckdb.connect()
+    con.register(table, pd.DataFrame(rows, columns=columns))
+    want = sorted(map(tuple, con.execute(ORACLES[qname]).fetchall()))
+    return got, want
+
+
+_DOC_SCHEMA = ("doc_id long, source string, text string, lang string, "
+               "n_chars long")
+_DOC_COLS = ["doc_id", "source", "text", "lang", "n_chars"]
+
+
+@pytest.mark.parametrize("seed", [13, 31])
+def test_substring_spans_fuzz(spark, tmp_path, seed):
+    rows = _random_docs(seed, 50)
+    got, want = _run_query(spark, tmp_path, "documents", rows,
+                           _DOC_SCHEMA, _DOC_COLS,
+                           "substring_dedup_spans")
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [19, 43])
+def test_winnow_fuzz(spark, tmp_path, seed):
+    rows = _random_docs(seed, 50)
+    got, want = _run_query(spark, tmp_path, "documents", rows,
+                           _DOC_SCHEMA, _DOC_COLS,
+                           "winnow_fingerprint_pairs")
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [2, 53])
+def test_length_buckets_fuzz(spark, tmp_path, seed):
+    rows = _random_docs(seed, 50)
+    got, want = _run_query(spark, tmp_path, "documents", rows,
+                           _DOC_SCHEMA, _DOC_COLS,
+                           "length_bucket_batches")
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [59])
+def test_multimodal_near_dup_groups_fuzz(spark, tmp_path, seed):
+    # sparse non-contiguous ids: partial 4-blocks everywhere
+    rnd = random.Random(seed)
+    ids = sorted(rnd.sample(range(0, 400), 60))
+    rows = [(i, "s", "t", "en", 1) for i in ids]
+    got, want = _run_query(spark, tmp_path, "documents", rows,
+                           _DOC_SCHEMA, _DOC_COLS,
+                           "multimodal_near_dup_groups")
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [61, 71])
+def test_semantic_decontamination_fuzz(spark, tmp_path, seed):
+    rnd = random.Random(seed)
+    rows = [(i, [float(rnd.randint(-2, 2)) for _ in range(8)],
+             rnd.choice(["a", "b"]))
+            for i in range(60)]
+    # guard the all-zero vector (cosine 0/0): give it one component
+    rows = [(i, v if any(v) else [1.0] + v[1:], lab)
+            for i, v, lab in rows]
+    got, want = _run_query(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label string",
+        ["vec_id", "embedding", "label"], "semantic_decontamination")
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [67, 73])
+def test_scd2_fuzz(spark, tmp_path, seed):
+    import datetime
+
+    rnd = random.Random(seed)
+    t0 = datetime.datetime(2024, 3, 1, tzinfo=datetime.timezone.utc)
+    rows = [(i, t0 + datetime.timedelta(seconds=rnd.randint(0, 50)),
+             rnd.randint(1, 8), "e", 1.0, "{}")
+            for i in range(80)]                      # dense ts ties
+    got, want = _run_query(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        "scd2_user_history")
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [79, 83])
+def test_zorder_fuzz(spark, tmp_path, seed):
+    import datetime
+
+    rnd = random.Random(seed)
+    # domain precondition: custkey ≥ 0 and orderdate ≥ 1992-01-01 (the
+    # TPC-H domain); negative inputs would diverge on % vs bitwiseAND
+    rows = [(i, rnd.randint(0, 200000),
+             datetime.date(1992, 1, 1)
+             + datetime.timedelta(days=rnd.randint(0, 3000)))
+            for i in range(100)]
+    got, want = _run_query(
+        spark, tmp_path, "orders", rows,
+        "o_orderkey long, o_custkey long, o_orderdate date",
+        ["o_orderkey", "o_custkey", "o_orderdate"], "zorder_file_stats")
+    assert got == want
