@@ -78,6 +78,14 @@ QUERIES_TO_PROBE = [
     # the pool, the adversarial case for the keep-first window and the
     # cross-batch digest state)
     "curate_corpus", "stream_curate_stats",
+    # round-7 additions: span/fingerprint dedup on the same corpus —
+    # every doc has 9 exact duplicates, so TRUE pair/span outputs grow
+    # quadratically (winnowing pairs ~45× per group); wall time and
+    # not-falling-over are the signals
+    "substring_dedup_spans", "winnow_fingerprint_pairs",
+    "semantic_decontamination", "length_bucket_batches",
+    "scd2_user_history", "zorder_file_stats",
+    "multimodal_near_dup_groups",
 ]
 
 
