@@ -91,3 +91,24 @@ def test_no_cartesian_outside_oracle_twins(spark):
         plan = _plan(QUERIES[name](spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, (
             f"{name} plans a cartesian product")
+
+
+def test_winnow_scan_prunes_to_id_and_text(spark):
+    """The winnowing posting derives from doc_id+text only; the parquet
+    scan must not read the other document columns."""
+    plan = _plan(QUERIES["winnow_fingerprint_pairs"](spark, SF_SMOKE))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    for unused in ("source", "lang", "n_chars"):
+        assert unused not in read_schema, f"scan reads unused {unused}"
+
+
+def test_semantic_decontamination_broadcasts_bench(spark):
+    """The benchmark slice must broadcast (BroadcastNestedLoopJoin over
+    the tiny bench side); the training side must not shuffle before the
+    similarity compute — the only hash exchange is the per-key
+    max partial-aggregate."""
+    df = QUERIES["semantic_decontamination"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
