@@ -100,6 +100,8 @@ EXTENDED_QUERIES = [
     "length_bucket_batches",
     "scd2_user_history",
     "zorder_file_stats",
+    "profile_table_stats",
+    "stream_winnow_pairs",
 ]
 
 

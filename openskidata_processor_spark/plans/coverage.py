@@ -1570,3 +1570,24 @@ FROM flags f
 LEFT JOIN per USING (source)
 LEFT JOIN contq USING (source)
 """
+
+
+@query("stream_winnow_pairs")
+def stream_winnow_pairs(spark, sf_dir):
+    """Incremental winnowing near-dup detection
+    (``streaming/documents.py::streaming_winnow_pairs``): each
+    micro-batch fingerprints only its NEW documents and pairs them
+    against the standing fingerprint postings — pairs emit the moment
+    the later document arrives, n_shared final at discovery (per-doc
+    fingerprint sets are immutable), so the drained ledger equals the
+    batch ``winnow_fingerprint_pairs`` answer exactly; the oracle is
+    that query's oracle verbatim."""
+    from ..streaming.documents import streaming_winnow_pairs
+
+    return streaming_winnow_pairs(spark, sf_dir)
+
+
+# force the batch twin's module (shared ORACLES dict) before aliasing
+from . import training as _training  # noqa: E402,F401
+
+ORACLES["stream_winnow_pairs"] = ORACLES["winnow_fingerprint_pairs"]

@@ -1059,3 +1059,51 @@ SELECT z // {1 << _Z_FILE_SHIFT} AS file_id,
        min(day) AS min_day, max(day) AS max_day
 FROM coded GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (ANALYZE-style column statistics): per-column row /
+# null / exact-distinct counts and exact integer-cent min/max/sum in ONE
+# pass — the stats a lakehouse keeps per table for CBO and data
+# skipping.  Multiple exact count(DISTINCT) in one aggregate plan as a
+# single-scan Expand (rows × #columns before partial aggregation) —
+# one pass over the data, map-side combined; the approximate twin at
+# vocabulary scale is ``sketch_doc_stats``'s HLL path.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query("profile_table_stats")
+def profile_table_stats(spark, sf_dir):
+    """(column, n_rows, n_nulls, n_distinct, min_c, max_c, sum_c) for
+    lineitem's four measure columns, all exact integer cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = {c: _cents(F.col(c)) for c in _PROFILE_COLS}
+    aggs = []
+    for c in _PROFILE_COLS:
+        v = cents[c]
+        aggs += [F.count(F.lit(1)).alias(f"{c}__n"),
+                 F.sum(F.when(v.isNull(), 1).otherwise(0))
+                 .alias(f"{c}__nn"),
+                 F.countDistinct(v).alias(f"{c}__nd"),
+                 F.min(v).alias(f"{c}__min"),
+                 F.max(v).alias(f"{c}__max"),
+                 F.sum(v).alias(f"{c}__sum")]
+    wide = li.select(*_PROFILE_COLS).agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__nd, {c}__min, {c}__max, {c}__sum"
+        for c in _PROFILE_COLS)
+    return wide.select(F.expr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(column, n_rows, n_nulls, n_distinct, min_c, max_c, sum_c)"))
+
+
+ORACLES["profile_table_stats"] = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+       count(*) - count({c}_c) AS n_nulls,
+       count(DISTINCT {c}_c) AS n_distinct,
+       min({c}_c) AS min_c, max({c}_c) AS max_c,
+       CAST(sum({c}_c) AS BIGINT) AS sum_c
+FROM (SELECT CAST(round({c} * 100, 0) AS BIGINT) AS {c}_c FROM lineitem)"""
+    for c in _PROFILE_COLS)

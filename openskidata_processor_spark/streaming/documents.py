@@ -241,3 +241,129 @@ def streaming_curation_stats(spark: SparkSession, sf_dir: str,
     result = result.localCheckpoint(eager=True)
     shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+def streaming_winnow_pairs(spark: SparkSession, sf_dir: str,
+                           max_files_per_trigger: int | None = None
+                           ) -> DataFrame:
+    """Incremental near-dup detection against standing state — the
+    streaming twin of ``plans/training.py::winnow_fingerprint_pairs``:
+    each micro-batch winnows its NEW documents' fingerprints (one
+    ``foreachBatch`` pass, doc-local selection so no cross-batch window
+    state is needed), joins them against the standing fingerprint
+    postings to emit (id_a, id_b, n_shared) the moment the later
+    document arrives, then commits the batch's fingerprints to state.
+
+    A pair's ``n_shared`` is FINAL at discovery (fingerprint sets are
+    immutable per document), so the drained ledger equals the batch
+    answer exactly, regardless of arrival order — the incremental-dedup
+    shape a 100 TB ingest pipeline runs instead of re-pairing the whole
+    corpus per batch.  State = (doc_id, h) parquet postings (the
+    Delta-merge ledger shape at scale); re-delivered doc ids anti-join
+    out before fingerprinting, so replays are idempotent.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..functions import text as T
+    from ..plans.training import (_WINNOW_K, _WINNOW_POS_BASE, _WINNOW_W)
+
+    K, W, B = _WINNOW_K, _WINNOW_W, _WINNOW_POS_BASE
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs_path = f"{sf_dir}/documents.parquet"
+
+    if os.path.isdir(docs_path):
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger",
+                                   max_files_per_trigger)
+        stream = reader.parquet(docs_path)
+    else:
+        reader = (spark.readStream.schema(schema)
+                  .option("pathGlobFilter", "documents.parquet"))
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger",
+                                   max_files_per_trigger)
+        stream = reader.parquet(sf_dir)
+
+    def fingerprints(df):
+        kg = (df.select("doc_id", T.words(F.col("text")).alias("ws"))
+              .filter(F.size("ws") >= K)
+              .select("doc_id",
+                      (F.size("ws") - K + 1).alias("nk"),
+                      F.posexplode(F.transform(
+                          F.sequence(F.lit(0), F.size("ws") - K),
+                          lambda i: F.conv(F.substring(
+                              F.md5(F.concat_ws(
+                                  " ", F.slice("ws", i + 1, K))), 1, 10),
+                              16, 10).cast("long")))
+                      .alias("pos", "h")))
+        keyed = kg.select(
+            "doc_id", "nk", "pos",
+            (F.col("h") * B + (F.lit(B - 1) - F.col("pos"))).alias("key"))
+        win = (Window.partitionBy("doc_id").orderBy("pos")
+               .rowsBetween(0, W - 1))
+        return (keyed.withColumn("m", F.min("key").over(win))
+                .filter(F.col("pos") <= F.col("nk") - W)
+                .select("doc_id", F.expr(f"m div {B}").alias("h"))
+                .distinct())
+
+    work = tempfile.mkdtemp(prefix="stream_winnow_")
+    fp_state = os.path.join(work, "fp_state")       # (doc_id, h)
+    pair_dir = os.path.join(work, "pairs")          # discovered pairs
+    ckpt_dir = os.path.join(work, "checkpoint")
+
+    def process_batch(batch_df, batch_id):
+        ss = batch_df.sparkSession
+        new_docs = batch_df.select("doc_id", "text") \
+            .dropDuplicates(["doc_id"])
+        if os.path.exists(fp_state):
+            standing = ss.read.parquet(fp_state)
+            new_docs = new_docs.join(standing.select("doc_id").distinct(),
+                                     "doc_id", "left_anti")
+        else:
+            standing = None
+        new_fp = fingerprints(new_docs).persist()
+        try:
+            nn = (new_fp.toDF("id_a", "h")
+                  .join(new_fp.toDF("id_b", "h"), "h")
+                  .filter(F.col("id_a") < F.col("id_b")))
+            legs = [nn]
+            if standing is not None:
+                no = (new_fp.toDF("id_n", "h")
+                      .join(standing.toDF("id_o", "h"), "h")
+                      .select(F.least("id_n", "id_o").alias("id_a"),
+                              F.greatest("id_n", "id_o").alias("id_b")))
+                legs.append(no)
+            pairs = legs[0].select("id_a", "id_b")
+            for leg in legs[1:]:
+                pairs = pairs.unionByName(leg.select("id_a", "id_b"))
+            (pairs.groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("n_shared"))
+             .write.mode("append").parquet(pair_dir))
+            # commit fingerprints LAST so a replayed batch re-pairs
+            # instead of anti-joining itself away with no pairs written
+            new_fp.write.mode("append").parquet(fp_state)
+        finally:
+            new_fp.unpersist()
+
+    name = f"stream_winnow_{uuid.uuid4().hex[:8]}"
+    q = (stream.writeStream.foreachBatch(process_batch)
+         .queryName(name)
+         .option("checkpointLocation", ckpt_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+    out_schema = "id_a long, id_b long, n_shared long"
+    if not os.path.exists(pair_dir):
+        shutil.rmtree(work, ignore_errors=True)
+        return spark.createDataFrame([], out_schema)
+    result = (spark.read.parquet(pair_dir)
+              .select("id_a", "id_b", "n_shared")
+              .localCheckpoint(eager=True))
+    shutil.rmtree(work, ignore_errors=True)
+    return result

@@ -317,3 +317,45 @@ def test_streaming_curation_forced_multi_batch(spark, tmp_path):
     assert by_src["s1"]["n_contaminated"] == 1
     # s2: same text as s1's — per-SOURCE keying keeps it unique
     assert by_src["s2"]["n_dup"] == 0 and by_src["s2"]["n_kept"] == 1
+
+
+def test_streaming_winnow_cross_batch_pair_discovery(spark, tmp_path):
+    """Force one file per micro-batch: a near-dup whose twin arrived in
+    an EARLIER batch still pairs (new fingerprints join the standing
+    postings), within-batch pairs emit too, re-delivered doc ids are
+    idempotent, and the drained ledger equals the batch oracle."""
+    import duckdb
+    import pandas as pd
+
+    from openskidata_processor_spark.plans import ORACLES
+    from openskidata_processor_spark.streaming.documents import \
+        streaming_winnow_pairs
+
+    run = " ".join(f"c{i}" for i in range(12))
+    b1 = [(1, "s", "x0 x1 " + run, "en", 1)]
+    b2 = [(2, "s", run + " y0 y1", "en", 1),        # pairs with batch-1 #1
+          (3, "s", run + " z0 z1", "en", 1)]        # in-batch pair with #2
+    b3 = [(1, "s", "x0 x1 " + run, "en", 1),        # re-delivery: no-op
+          (4, "s", " ".join(f"q{i}" for i in range(20)), "en", 1)]
+    schema = ("doc_id long, source string, text string, lang string, "
+              "n_chars long")
+    d = tmp_path / "winnow_src"
+    d.mkdir()
+    for batch in (b1, b2, b3):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append").parquet(str(d / "documents.parquet"))
+
+    got = sorted(map(tuple, streaming_winnow_pairs(
+        spark, str(d), max_files_per_trigger=1).collect()))
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        b1 + b2 + b3[1:],        # batch semantics: doc 1 counted once
+        columns=["doc_id", "source", "text", "lang", "n_chars"]))
+    want = sorted(map(tuple,
+                      con.execute(ORACLES["stream_winnow_pairs"])
+                      .fetchall()))
+    assert got == want
+    pairs = {(a, b) for a, b, _ in got}
+    assert {(1, 2), (1, 3), (2, 3)} <= pairs      # cross- AND in-batch
+    assert all(4 not in p for p in pairs)
