@@ -85,7 +85,8 @@ QUERIES_TO_PROBE = [
     "substring_dedup_spans", "winnow_fingerprint_pairs",
     "semantic_decontamination", "length_bucket_batches",
     "scd2_user_history", "zorder_file_stats",
-    "multimodal_near_dup_groups",
+    "multimodal_near_dup_groups", "stream_winnow_pairs",
+    "profile_table_stats",
 ]
 
 
