@@ -341,3 +341,31 @@ def test_enhance_photon_total_and_consistent(code, state, county, city):
                      if r["iso"] == riso)
         assert out["region"] == entry["name"]
         assert entry["name"] in (state, county)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 2 ** 62), st.integers(1, 2 ** 31)),
+             min_size=1, max_size=16),
+    st.integers(1, 2 ** 40),
+)
+def test_energy_bits_matches_exact_rational(windows, n):
+    """The audio fingerprint's window compare must equal exact rational
+    arithmetic (sa/nw > st/n) at ANY magnitude — including far past the
+    int64 product range where the pre-fix numpy path silently wrapped."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from openskidata_processor_spark.operators.multimodal import \
+        _energy_bits
+
+    sa = np.array([w[0] for w in windows], dtype=np.int64)
+    nw = np.array([w[1] for w in windows], dtype=np.int64)
+    stot = int(sa.sum())
+    got = _energy_bits(sa, nw, stot, n)
+    want = 0
+    for k, (a, w) in enumerate(windows):
+        if Fraction(a, w) > Fraction(stot, n):
+            want |= 1 << k
+    assert got == want
