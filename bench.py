@@ -102,6 +102,7 @@ EXTENDED_QUERIES = [
     "zorder_file_stats",
     "profile_table_stats",
     "stream_winnow_pairs",
+    "curriculum_stages",
 ]
 
 

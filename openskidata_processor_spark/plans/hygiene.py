@@ -27,8 +27,11 @@ a 100 TB LLM-training pipeline runs between raw crawl and tokenizer:
 - ``length_bucket_batches``: dynamic-batching shape — token-length
                             buckets, deterministic in-bucket shuffle,
                             fixed-size batch coordinates
+- ``curriculum_stages``   : quartile curriculum staging from the score
+                            HISTOGRAM + broadcast cut-points — never a
+                            global corpus sort
 
-All ten are exact and DuckDB-oracle-checked.  No reference counterpart
+All eleven are exact and DuckDB-oracle-checked.  No reference counterpart
 (the reference is a GIS ETL); these extend the engine's training-data
 family alongside dedup/similarity/multimodal (see plans/training.py).
 """
@@ -759,4 +762,84 @@ SELECT doc_id, n_tokens, bucket,
        rn // {_BATCH_DOCS} AS batch_id,
        rn % {_BATCH_DOCS} AS slot
 FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Curriculum staging: quartile-bucket the corpus by quality score for
+# curriculum training (easy→hard serving order).  A naive NTILE is a
+# GLOBAL SORT of the corpus; the scale-first expression computes the
+# three cut scores from the SCORE HISTOGRAM (one map-side-combined
+# shuffle on the score; the ordered cumulative sum runs over DISTINCT
+# scores — bounded by the 1e6+1 score domain, never the corpus) and
+# broadcasts them back for a map-side stage assignment.  Cut-points are
+# type-1 quantiles in pure integer arithmetic: the score at rank
+# ceil(j·n/4); ties land in the lower stage (strict >), so the result
+# is deterministic and engine-exact.
+# ---------------------------------------------------------------------------
+
+
+@query("curriculum_stages")
+def curriculum_stages(spark, sf_dir):
+    """(doc_id, q_e6, stage): quality score (the ``quality_docs`` BIGINT
+    formula) and the 1–4 curriculum stage by score quartile."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    scores = docs.select(
+        "doc_id",
+        F.least(T.token_count(text).cast("long"),
+                F.lit(64).cast("long")).alias("__tok_c"),
+        (F.length(text).cast("long")
+         - F.length(F.regexp_replace(text, "[a-zA-Z0-9 ]", ""))
+         .cast("long")).alias("__non_punct"),
+        F.length(text).cast("long").alias("__len")).select(
+        "doc_id",
+        F.expr("CASE WHEN __len > 0 THEN "
+               "(__tok_c * __non_punct * 1000000L) div (64L * __len) "
+               "ELSE 0L END").alias("q_e6"))
+    hist = scores.groupBy("q_e6").agg(F.count("*").alias("__c"))
+    cum_w = Window.orderBy("q_e6").rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = hist.withColumn("__cum", F.sum("__c").over(cum_w))
+    total = cum.agg(F.sum("__c").alias("__n"))
+    cuts = (cum.crossJoin(F.broadcast(total))
+            .agg(*[F.min(F.when(
+                F.col("__cum") * 4 >= j * F.col("__n"), F.col("q_e6")))
+                .alias(f"__q{j}") for j in (1, 2, 3)]))
+    return (scores.crossJoin(F.broadcast(cuts))
+            .select("doc_id", "q_e6",
+                    (F.lit(1)
+                     + (F.col("q_e6") > F.col("__q1")).cast("int")
+                     + (F.col("q_e6") > F.col("__q2")).cast("int")
+                     + (F.col("q_e6") > F.col("__q3")).cast("int"))
+                    .alias("stage")))
+
+
+ORACLES["curriculum_stages"] = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN len(text) > 0 THEN
+           (least(CAST(len(regexp_extract_all(text,
+                  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT), 64)
+            * (CAST(len(text) AS BIGINT)
+               - CAST(len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                      AS BIGINT))
+            * 1000000)
+           // (64 * CAST(len(text) AS BIGINT))
+         ELSE 0 END AS q_e6
+  FROM documents
+), o AS (
+  SELECT q_e6, row_number() OVER (ORDER BY q_e6) AS rn,
+         count(*) OVER () AS n
+  FROM s
+), cuts AS (
+  SELECT min(CASE WHEN rn * 4 >= 1 * n THEN q_e6 END) AS q1,
+         min(CASE WHEN rn * 4 >= 2 * n THEN q_e6 END) AS q2,
+         min(CASE WHEN rn * 4 >= 3 * n THEN q_e6 END) AS q3
+  FROM o
+)
+SELECT doc_id, q_e6,
+       1 + CAST(q_e6 > q1 AS INT) + CAST(q_e6 > q2 AS INT)
+         + CAST(q_e6 > q3 AS INT) AS stage
+FROM s, cuts
 """

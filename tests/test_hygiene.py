@@ -316,3 +316,30 @@ def test_length_bucket_batches_coordinates(spark, tmp_path):
             hashlib.md5(str(d).encode()).hexdigest(), d))
         for rank, d in enumerate(order):
             assert got[d][2:] == (rank // 32, rank % 32), (b, d)
+
+
+def test_curriculum_stages_quartiles_and_ties(spark, tmp_path):
+    """Stage cut-points are type-1 quantiles (score at rank ceil(j·n/4))
+    and ties land in the LOWER stage: on 8 docs with known scores the
+    stages split 2/2/2/2, and a corpus where half the docs tie on one
+    score keeps every tied doc in the same stage."""
+    from openskidata_processor_spark.plans import QUERIES
+
+    # scores are monotone in text length here: k 'a' words, len = 2k-1,
+    # tok = k ≤ 64, non_punct = len → q = k*1e6 div 64 — strictly
+    # increasing in k, so stages follow k order
+    rows = [(i, "s", " ".join(["a"] * (4 * (i + 1)))) for i in range(8)]
+    spark.createDataFrame(rows, "doc_id long, source string, text string") \
+        .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r.stage for r in QUERIES["curriculum_stages"](
+        spark, str(tmp_path)).collect()}
+    assert got == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3, 6: 4, 7: 4}
+
+    tied = [(i, "s", "b b b") for i in range(6)] + \
+           [(10, "s", " ".join(["c"] * 60)), (11, "s", " ".join(["c"] * 60))]
+    spark.createDataFrame(tied, "doc_id long, source string, text string") \
+        .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r.stage for r in QUERIES["curriculum_stages"](
+        spark, str(tmp_path)).collect()}
+    assert len({got[i] for i in range(6)}) == 1      # all ties together
+    assert got[10] == got[11] == 4
