@@ -221,3 +221,11 @@ def test_zorder_fuzz(spark, tmp_path, seed):
         "o_orderkey long, o_custkey long, o_orderdate date",
         ["o_orderkey", "o_custkey", "o_orderdate"], "zorder_file_stats")
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [89, 97])
+def test_curriculum_stages_fuzz(spark, tmp_path, seed):
+    rows = _random_docs(seed, 50)
+    got, want = _run_query(spark, tmp_path, "documents", rows,
+                           _DOC_SCHEMA, _DOC_COLS, "curriculum_stages")
+    assert got == want
