@@ -103,6 +103,7 @@ EXTENDED_QUERIES = [
     "profile_table_stats",
     "stream_winnow_pairs",
     "curriculum_stages",
+    "snapshot_diff",
 ]
 
 

@@ -1107,3 +1107,88 @@ ORACLES["profile_table_stats"] = "\nUNION ALL\n".join(
        CAST(sum({c}_c) AS BIGINT) AS sum_c
 FROM (SELECT CAST(round({c} * 100, 0) AS BIGINT) AS {c}_c FROM lineitem)"""
     for c in _PROFILE_COLS)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (table-version comparison): classify every key across
+# two table versions as added / removed / changed — the audit a
+# Delta/Iceberg pipeline runs between snapshots (and the verification
+# step after a CDC backfill).  ONE full-outer hash join on the key;
+# the change test compares a content digest, so wide rows ship one
+# 32-char column to the join, not every field.  Version 2 is derived
+# deterministically from orders: every 3rd key re-priced (changed),
+# every 15th tombstoned (removed), one synthetic new key per 7th
+# (added) — unchanged keys are filtered out, as a diff should.
+# ---------------------------------------------------------------------------
+
+
+@query("snapshot_diff")
+def snapshot_diff(spark, sf_dir):
+    """(o_orderkey, change_type) for every key that differs between the
+    base orders snapshot and its CDC-evolved successor."""
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        _cents(F.col("o_totalprice")).alias("price_c"))
+    # v2: re-price %3 keys, drop %15 keys, add one new key per %7 key
+    survived = (base.filter(F.col("o_orderkey") % 15 != 0)
+                .withColumn("o_orderstatus",
+                            F.when(F.col("o_orderkey") % 3 == 0, "X")
+                            .otherwise(F.col("o_orderstatus")))
+                .withColumn("price_c",
+                            F.when(F.col("o_orderkey") % 3 == 0,
+                                   F.col("price_c") + 1000)
+                            .otherwise(F.col("price_c"))))
+    added = (base.filter(F.col("o_orderkey") % 7 == 0)
+             .select((F.col("o_orderkey") + F.lit(10 ** 9))
+                     .alias("o_orderkey"),
+                     F.lit("N").alias("o_orderstatus"), "price_c"))
+    cur = survived.unionByName(added)
+
+    def digest(df):
+        return df.select(
+            "o_orderkey",
+            F.md5(F.concat_ws("|", "o_orderstatus",
+                              F.col("price_c").cast("string")))
+            .alias("dig"))
+
+    b, c = digest(base).toDF("k", "bd"), digest(cur).toDF("k", "cd")
+    return (b.join(c, "k", "full_outer")
+            .withColumn("change_type", F.when(
+                F.col("bd").isNull(), "added").when(
+                F.col("cd").isNull(), "removed").when(
+                F.col("bd") != F.col("cd"), "changed"))
+            .filter(F.col("change_type").isNotNull())
+            .select(F.col("k").alias("o_orderkey"), "change_type"))
+
+
+ORACLES["snapshot_diff"] = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c
+  FROM orders
+), cur AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         CASE WHEN o_orderkey % 3 = 0 THEN price_c + 1000
+              ELSE price_c END AS price_c
+  FROM base WHERE o_orderkey % 15 != 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, 'N', price_c
+  FROM base WHERE o_orderkey % 7 = 0
+), bd AS (
+  SELECT o_orderkey AS k,
+         md5(o_orderstatus || '|' || CAST(price_c AS VARCHAR)) AS bd
+  FROM base
+), cd AS (
+  SELECT o_orderkey AS k,
+         md5(o_orderstatus || '|' || CAST(price_c AS VARCHAR)) AS cd
+  FROM cur
+)
+SELECT coalesce(bd.k, cd.k) AS o_orderkey,
+       CASE WHEN bd.k IS NULL THEN 'added'
+            WHEN cd.k IS NULL THEN 'removed'
+            WHEN bd.bd != cd.cd THEN 'changed' END AS change_type
+FROM bd FULL OUTER JOIN cd ON bd.k = cd.k
+WHERE (bd.k IS NULL OR cd.k IS NULL OR bd.bd != cd.cd)
+"""

@@ -229,3 +229,17 @@ def test_curriculum_stages_fuzz(spark, tmp_path, seed):
     got, want = _run_query(spark, tmp_path, "documents", rows,
                            _DOC_SCHEMA, _DOC_COLS, "curriculum_stages")
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [101])
+def test_snapshot_diff_fuzz(spark, tmp_path, seed):
+    rnd = random.Random(seed)
+    rows = [(i, rnd.choice("OFP"), round(rnd.uniform(1, 9999), 2))
+            for i in rnd.sample(range(1, 500), 80)]
+    got, want = _run_query(
+        spark, tmp_path, "orders", rows,
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+        ["o_orderkey", "o_orderstatus", "o_totalprice"], "snapshot_diff")
+    assert got == want
+    kinds = {c for _, c in got}
+    assert kinds == {"added", "removed", "changed"}
