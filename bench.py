@@ -210,6 +210,19 @@ def main() -> None:
         "extended": extended,
         "sf": sf,
     }))
+    # Tail-safety: the full line above now exceeds bounded log tails
+    # (BENCH_r07.json recorded "parsed": null because the 106-entry line
+    # outgrew the tail window).  A final COMPACT line guarantees any
+    # tail-truncated capture still ends with parseable JSON carrying the
+    # headline number.
+    print(json.dumps({
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_extended": len(extended),
+    }))
     spark.stop()
 
 

@@ -713,13 +713,67 @@ FROM ranked WHERE rn = 1
 # fixed-width token-length buckets, then deterministically shuffle each
 # bucket (md5 order) and cut it into training batches of B docs.  This
 # is the batching step that minimizes padding waste — a batch only pads
-# to its own bucket ceiling, not the corpus max.  Scale shape: ONE
-# shuffle on (bucket), windows partition per bucket (corpus/width-sized,
-# further split by batch at serve time); no global sort.
+# to its own bucket ceiling, not the corpus max.
+#
+# Scale shape (two-phase ranking): real corpora concentrate mass at
+# truncation/cap lengths, so ONE bucket can hold a dominant corpus
+# fraction — a single `Window.partitionBy(bucket)` would rank it in ONE
+# task and funnel it through one node's shuffle disk.  Instead the
+# in-bucket order key (md5 hex) is split by its OWN first two hex chars
+# into 256 contiguous sub-ranges: row_number within (bucket, salt) plus
+# the broadcast cumulative count of earlier salts recovers the exact
+# global in-bucket rank (the salt is a PREFIX of the order key, so the
+# sub-ranges tile the order), while the hottest task holds ~1/256 of the
+# hottest bucket.  Same treatment as `cap_per_group`
+# (operators/sampling.py) extended from top-k capping to dense ranking.
 # ---------------------------------------------------------------------------
 
 _BUCKET_TOKENS = 16     # bucket width in tokens
 _BATCH_DOCS = 32        # batch size in documents
+
+
+def _bucketed_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count(F.col("text")).cast("long")
+        .alias("n_tokens"))
+    h = F.md5(F.col("doc_id").cast("string"))
+    return docs.select(
+        "doc_id", "n_tokens",
+        (F.col("n_tokens") / _BUCKET_TOKENS).cast("long").alias("bucket"),
+        h.alias("__h"))
+
+
+def _batch_coords(bucketed):
+    """doc_id → (batch_id, slot) from the exact (md5, doc_id) in-bucket
+    rank, computed two-phase (see module comment above)."""
+    salted = bucketed.withColumn("__salt", F.substring("__h", 1, 2))
+    sub_w = Window.partitionBy("bucket", "__salt").orderBy("__h", "doc_id")
+    sub = salted.withColumn("__sub", F.row_number().over(sub_w))
+    # ≤ n_buckets × 256 rows — broadcast the cumulative offsets
+    off_w = (Window.partitionBy("bucket").orderBy("__salt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (bucketed
+               .groupBy("bucket", F.substring("__h", 1, 2).alias("__salt"))
+               .agg(F.count("*").alias("__c"))
+               .select("bucket", "__salt",
+                       F.coalesce(F.sum("__c").over(off_w), F.lit(0))
+                       .alias("__off")))
+    rn = F.col("__off") + F.col("__sub") - 1
+    return sub.join(F.broadcast(offsets), ["bucket", "__salt"]).select(
+        "doc_id", "n_tokens", "bucket",
+        (rn / _BATCH_DOCS).cast("long").alias("batch_id"),
+        (rn % _BATCH_DOCS).cast("int").alias("slot"))
+
+
+def _batch_coords_single_window(bucketed):
+    """The naive one-window-per-bucket plan — kept ONLY as the equality
+    pin for the two-phase plan (tests/test_hygiene.py); never served."""
+    w = Window.partitionBy("bucket").orderBy("__h", "doc_id")
+    rn = F.row_number().over(w) - 1
+    return bucketed.select(
+        "doc_id", "n_tokens", "bucket",
+        (rn / _BATCH_DOCS).cast("long").alias("batch_id"),
+        (rn % _BATCH_DOCS).cast("int").alias("slot"))
 
 
 @query("length_bucket_batches")
@@ -729,20 +783,7 @@ def length_bucket_batches(spark, sf_dir):
     width, order within bucket = (md5(doc_id), doc_id) (the
     deterministic shuffle), batch_id/slot = div/mod of the dense
     rank."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", T.token_count(F.col("text")).cast("long")
-        .alias("n_tokens"))
-    h = F.md5(F.col("doc_id").cast("string"))
-    bucketed = docs.select(
-        "doc_id", "n_tokens",
-        (F.col("n_tokens") / _BUCKET_TOKENS).cast("long").alias("bucket"),
-        h.alias("__h"))
-    w = Window.partitionBy("bucket").orderBy("__h", "doc_id")
-    rn = F.row_number().over(w) - 1
-    return bucketed.select(
-        "doc_id", "n_tokens", "bucket",
-        (rn / _BATCH_DOCS).cast("long").alias("batch_id"),
-        (rn % _BATCH_DOCS).alias("slot"))
+    return _batch_coords(_bucketed_docs(spark, sf_dir))
 
 
 ORACLES["length_bucket_batches"] = f"""

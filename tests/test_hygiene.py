@@ -318,6 +318,29 @@ def test_length_bucket_batches_coordinates(spark, tmp_path):
             assert got[d][2:] == (rank // 32, rank % 32), (b, d)
 
 
+def test_length_bucket_two_phase_equals_single_window(spark, tmp_path):
+    """The served two-phase ranking (sub-rank within (bucket, md5-prefix
+    salt) + broadcast cumulative offsets) is row-identical to the naive
+    one-window-per-bucket plan — including on a corpus where one bucket
+    holds ~¾ of the docs (the hot-bucket shape the two-phase plan
+    exists for) and salts with ties across the prefix boundary."""
+    from openskidata_processor_spark.plans.hygiene import (
+        _batch_coords, _batch_coords_single_window, _bucketed_docs)
+
+    # 300 docs at one cap length (one hot bucket) + 100 spread docs
+    rows = [(i, " ".join("tok" for _ in range(48))) for i in range(300)]
+    rows += [(1000 + i, " ".join("tok" for _ in range(3 + i % 7 * 13)))
+             for i in range(100)]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    bucketed = _bucketed_docs(spark, str(tmp_path))
+    two = _batch_coords(bucketed)
+    one = _batch_coords_single_window(bucketed)
+    assert two.schema == one.schema
+    assert two.exceptAll(one).count() == 0
+    assert one.exceptAll(two).count() == 0
+
+
 def test_curriculum_stages_quartiles_and_ties(spark, tmp_path):
     """Stage cut-points are type-1 quantiles (score at rank ceil(j·n/4))
     and ties land in the LOWER stage: on 8 docs with known scores the
