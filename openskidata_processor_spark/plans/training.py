@@ -863,21 +863,26 @@ FROM d JOIN m USING (label)
 
 _WINNOW_K = 8     # k-gram width in words
 _WINNOW_W = 4     # winnow window in hashes → detects runs ≥ 11 words
-_WINNOW_POS_BASE = 65536    # key = h·2^16 + (2^16−1−pos): min(key) is the
-#                             min-hash with RIGHTMOST tie-break; bounds
-#                             docs at 65,536 k-grams (enforced below)
+_WINNOW_POS_BASE = 2 ** 23  # key = h·2^23 + (2^23−1−pos): min(key) is the
+#                             min-hash with RIGHTMOST tie-break.  h < 2^40
+#                             so key ≤ 2^63−1 — the full int64 range, no
+#                             overflow.  Bounds docs at 2^23 ≈ 8.4M
+#                             k-grams (~64 MB of text); enforced with a
+#                             per-row raise_error in winnow_fingerprints,
+#                             so an over-long doc fails LOUDLY instead of
+#                             wrapping the packed key into silently wrong
+#                             fingerprints.
 
 
-@query("winnow_fingerprint_pairs")
-def winnow_fingerprint_pairs(spark, sf_dir):
-    """(id_a, id_b, n_shared) — document pairs sharing ≥ 1 winnowed
-    fingerprint, with the count of distinct shared fingerprint hashes.
+def winnow_fingerprints(docs, B=_WINNOW_POS_BASE):
+    """(doc_id, h) — distinct winnowed fingerprint hashes for a
+    (doc_id, text, ...) frame.  Shared by the batch pair query and the
+    streaming twin so both select IDENTICAL fingerprints.
     Hash = first 10 hex chars of md5(k-gram) as BIGINT (< 2⁴⁰, so the
     pos-packed tie-break key stays exact in int64)."""
-    K, W, B = _WINNOW_K, _WINNOW_W, _WINNOW_POS_BASE
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", T.words(F.col("text")).alias("ws"))
-    kg = (docs.filter(F.size("ws") >= K)
+    K, W = _WINNOW_K, _WINNOW_W
+    kg = (docs.select("doc_id", T.words(F.col("text")).alias("ws"))
+          .filter(F.size("ws") >= K)
           .select("doc_id",
                   (F.size("ws") - K + 1).alias("nk"),
                   F.posexplode(F.transform(
@@ -887,19 +892,35 @@ def winnow_fingerprint_pairs(spark, sf_dir):
                               " ", F.slice("ws", i + 1, K))), 1, 10),
                           16, 10).cast("long")))
                   .alias("pos", "h")))
+    # the guard lives INSIDE the key expression so column pruning can
+    # never drop it: pos ≥ B would make (B−1−pos) negative and decode
+    # to h−1 — silently wrong fingerprints the oracle (same formula)
+    # could not catch
+    pos_ck = F.when(F.col("pos") < B, F.col("pos")).otherwise(
+        F.raise_error(F.format_string(
+            "winnow: doc %s has ≥ %s k-grams — exceeds the pos-packed "
+            "key base; raise _WINNOW_POS_BASE or shard the document",
+            F.col("doc_id").cast("string"), F.lit(str(B)))).cast("int"))
     keyed = kg.select(
         "doc_id", "nk", "pos",
-        (F.col("h") * B + (F.lit(B - 1) - F.col("pos"))).alias("key"))
+        (F.col("h") * B + (F.lit(B - 1) - pos_ck)).alias("key"))
     win = (Window.partitionBy("doc_id").orderBy("pos")
            .rowsBetween(0, W - 1))
     # winnowing selects per FULL window only: starts pos ≤ nk − W.
     # Decode with INTEGER div: keys exceed 2⁵³, so float division (`/`
     # + cast) rounds the mantissa and can decode h±1 for small pos —
     # cross-doc shared fingerprints at different positions then miss.
-    fp = (keyed.withColumn("m", F.min("key").over(win))
-          .filter(F.col("pos") <= F.col("nk") - W)
-          .select("doc_id", F.expr(f"m div {B}").alias("h"))
-          .distinct())
+    return (keyed.withColumn("m", F.min("key").over(win))
+            .filter(F.col("pos") <= F.col("nk") - W)
+            .select("doc_id", F.expr(f"m div {B}").alias("h"))
+            .distinct())
+
+
+@query("winnow_fingerprint_pairs")
+def winnow_fingerprint_pairs(spark, sf_dir):
+    """(id_a, id_b, n_shared) — document pairs sharing ≥ 1 winnowed
+    fingerprint, with the count of distinct shared fingerprint hashes."""
+    fp = winnow_fingerprints(_t(spark, sf_dir, "documents"))
     a = fp.toDF("id_a", "h")
     b = fp.toDF("id_b", "h")
     return (a.join(b, "h")

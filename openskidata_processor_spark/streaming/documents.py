@@ -51,7 +51,8 @@ def streaming_exact_dedup_counts(spark: SparkSession,
 
 
 def streaming_curation_stats(spark: SparkSession, sf_dir: str,
-                             max_files_per_trigger: int | None = None
+                             max_files_per_trigger: int | None = None,
+                             state_base: str | None = None
                              ) -> DataFrame:
     """Incremental corpus curation — the streaming twin of
     ``pipeline/curation.py``: per-source verdict counts after an
@@ -72,9 +73,23 @@ def streaming_curation_stats(spark: SparkSession, sf_dir: str,
       of content, so scoring each digest once — when first seen — equals
       the oracle's count over distinct digests.
 
-    Per-batch per-source INCREMENTS (a handful of rows) append to a
+    Per-batch per-source INCREMENTS (a handful of rows) land in a
     parquet ledger; the final answer is one Spark sum over it, so
     nothing unbounded ever reaches the driver.
+
+    Replay idempotency: ``foreachBatch`` can re-invoke a batch_id after
+    a failure, so BOTH writes target a ``batch=<id>`` partition
+    directory in OVERWRITE mode, and the standing-state read excludes
+    the current batch's own partition.  Every replay therefore
+    recomputes from exactly the same inputs (the micro-batch content is
+    checkpoint-pinned, other batches' partitions are immutable) and
+    overwrites its own partitions with identical content — no ordering
+    between the two writes can double-count or self-anti-join.
+
+    Pass ``state_base`` to keep the digest state + increments ledger on
+    shared storage across calls (the production standing-dedup-ledger
+    shape — on a real cluster executors cannot reach a driver-local
+    temp dir); default is a per-call temp dir, removed on return.
 
     Semantics note (vs the batch pipeline): dedup state keys
     (source, digest) — per-SOURCE unique semantics.  ``curate()`` dedups
@@ -150,7 +165,7 @@ def streaming_curation_stats(spark: SparkSession, sf_dir: str,
                 .distinct()
                 .persist())
 
-    work = tempfile.mkdtemp(prefix="stream_curate_")
+    work = state_base or tempfile.mkdtemp(prefix="stream_curate_")
     state_dir = os.path.join(work, "digest_state")   # (source, digest)
     incr_dir = os.path.join(work, "increments")      # per-batch counts
     ckpt_dir = os.path.join(work, "checkpoint")
@@ -173,7 +188,11 @@ def streaming_curation_stats(spark: SparkSession, sf_dir: str,
                             "text")
                     .dropDuplicates(["source", "digest"]))
             if os.path.exists(state_dir):
-                seen = batch_df.sparkSession.read.parquet(state_dir)
+                # exclude this batch's OWN partition: a replay after a
+                # crashed run must not anti-join its rows away (it would
+                # overwrite the increments partition with zeros)
+                seen = (batch_df.sparkSession.read.parquet(state_dir)
+                        .filter(F.col("batch") != batch_id))
                 new_uniq = pool.join(seen, ["source", "digest"],
                                      "left_anti")
             else:
@@ -200,11 +219,13 @@ def streaming_curation_stats(spark: SparkSession, sf_dir: str,
                      F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
                      F.coalesce("n_contaminated", F.lit(0))
                      .alias("n_contaminated"))
-             .write.mode("append").parquet(incr_dir))
-            # commit the batch's new digests to the standing state LAST
-            # so a replayed batch recomputes rather than double-counts
+             .write.mode("overwrite")
+             .parquet(os.path.join(incr_dir, f"batch={batch_id}")))
+            # per-batch OVERWRITE partition: replays rewrite identical
+            # content instead of appending a second copy (see docstring)
             new_uniq.select("source", "digest") \
-                .write.mode("append").parquet(state_dir)
+                .write.mode("overwrite") \
+                .parquet(os.path.join(state_dir, f"batch={batch_id}"))
         finally:
             flagged.unpersist()
             if new_uniq is not None:
@@ -223,7 +244,8 @@ def streaming_curation_stats(spark: SparkSession, sf_dir: str,
                   "n_quality long, n_dup long, n_contaminated long, "
                   "n_kept long")
     if not os.path.exists(incr_dir):         # empty source → no batches
-        shutil.rmtree(work, ignore_errors=True)
+        if state_base is None:
+            shutil.rmtree(work, ignore_errors=True)
         return spark.createDataFrame([], out_schema)
     result = (spark.read.parquet(incr_dir)
               .groupBy("source").agg(
@@ -239,12 +261,14 @@ def streaming_curation_stats(spark: SparkSession, sf_dir: str,
     # the ledger is tiny (per-source rows × batches): localCheckpoint
     # materializes it so the temp dirs can be reclaimed immediately
     result = result.localCheckpoint(eager=True)
-    shutil.rmtree(work, ignore_errors=True)
+    if state_base is None:
+        shutil.rmtree(work, ignore_errors=True)
     return result
 
 
 def streaming_winnow_pairs(spark: SparkSession, sf_dir: str,
-                           max_files_per_trigger: int | None = None
+                           max_files_per_trigger: int | None = None,
+                           state_base: str | None = None
                            ) -> DataFrame:
     """Incremental near-dup detection against standing state — the
     streaming twin of ``plans/training.py::winnow_fingerprint_pairs``:
@@ -259,19 +283,28 @@ def streaming_winnow_pairs(spark: SparkSession, sf_dir: str,
     answer exactly, regardless of arrival order — the incremental-dedup
     shape a 100 TB ingest pipeline runs instead of re-pairing the whole
     corpus per batch.  State = (doc_id, h) parquet postings (the
-    Delta-merge ledger shape at scale); re-delivered doc ids anti-join
-    out before fingerprinting, so replays are idempotent.
+    Delta-merge ledger shape at scale).
+
+    Replay idempotency: pairs and fingerprints both land in
+    ``batch=<id>`` OVERWRITE partitions, and the standing-postings read
+    excludes the current batch's own partition, so a re-invoked
+    batch_id recomputes from identical inputs and rewrites identical
+    content — never appends a second copy or self-anti-joins.
+    Re-delivered doc ids (source-level redelivery) additionally
+    anti-join out against OTHER batches' postings before
+    fingerprinting.
+
+    Pass ``state_base`` to keep the fingerprint postings + pair ledger
+    on shared storage across calls (executors on a real cluster cannot
+    reach a driver-local temp dir); default is a per-call temp dir,
+    removed on return.
     """
     import os
     import shutil
     import tempfile
 
-    from pyspark.sql import Window
+    from ..plans.training import winnow_fingerprints
 
-    from ..functions import text as T
-    from ..plans.training import (_WINNOW_K, _WINNOW_POS_BASE, _WINNOW_W)
-
-    K, W, B = _WINNOW_K, _WINNOW_W, _WINNOW_POS_BASE
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     docs_path = f"{sf_dir}/documents.parquet"
 
@@ -289,29 +322,7 @@ def streaming_winnow_pairs(spark: SparkSession, sf_dir: str,
                                    max_files_per_trigger)
         stream = reader.parquet(sf_dir)
 
-    def fingerprints(df):
-        kg = (df.select("doc_id", T.words(F.col("text")).alias("ws"))
-              .filter(F.size("ws") >= K)
-              .select("doc_id",
-                      (F.size("ws") - K + 1).alias("nk"),
-                      F.posexplode(F.transform(
-                          F.sequence(F.lit(0), F.size("ws") - K),
-                          lambda i: F.conv(F.substring(
-                              F.md5(F.concat_ws(
-                                  " ", F.slice("ws", i + 1, K))), 1, 10),
-                              16, 10).cast("long")))
-                      .alias("pos", "h")))
-        keyed = kg.select(
-            "doc_id", "nk", "pos",
-            (F.col("h") * B + (F.lit(B - 1) - F.col("pos"))).alias("key"))
-        win = (Window.partitionBy("doc_id").orderBy("pos")
-               .rowsBetween(0, W - 1))
-        return (keyed.withColumn("m", F.min("key").over(win))
-                .filter(F.col("pos") <= F.col("nk") - W)
-                .select("doc_id", F.expr(f"m div {B}").alias("h"))
-                .distinct())
-
-    work = tempfile.mkdtemp(prefix="stream_winnow_")
+    work = state_base or tempfile.mkdtemp(prefix="stream_winnow_")
     fp_state = os.path.join(work, "fp_state")       # (doc_id, h)
     pair_dir = os.path.join(work, "pairs")          # discovered pairs
     ckpt_dir = os.path.join(work, "checkpoint")
@@ -321,12 +332,16 @@ def streaming_winnow_pairs(spark: SparkSession, sf_dir: str,
         new_docs = batch_df.select("doc_id", "text") \
             .dropDuplicates(["doc_id"])
         if os.path.exists(fp_state):
-            standing = ss.read.parquet(fp_state)
+            # exclude this batch's OWN partition so a replay after a
+            # crashed run doesn't anti-join its docs away (see docstring)
+            standing = (ss.read.parquet(fp_state)
+                        .filter(F.col("batch") != batch_id)
+                        .select("doc_id", "h"))
             new_docs = new_docs.join(standing.select("doc_id").distinct(),
                                      "doc_id", "left_anti")
         else:
             standing = None
-        new_fp = fingerprints(new_docs).persist()
+        new_fp = winnow_fingerprints(new_docs).persist()
         try:
             nn = (new_fp.toDF("id_a", "h")
                   .join(new_fp.toDF("id_b", "h"), "h")
@@ -343,10 +358,12 @@ def streaming_winnow_pairs(spark: SparkSession, sf_dir: str,
                 pairs = pairs.unionByName(leg.select("id_a", "id_b"))
             (pairs.groupBy("id_a", "id_b")
              .agg(F.count("*").alias("n_shared"))
-             .write.mode("append").parquet(pair_dir))
-            # commit fingerprints LAST so a replayed batch re-pairs
-            # instead of anti-joining itself away with no pairs written
-            new_fp.write.mode("append").parquet(fp_state)
+             .write.mode("overwrite")
+             .parquet(os.path.join(pair_dir, f"batch={batch_id}")))
+            # per-batch OVERWRITE partition: replays rewrite identical
+            # content instead of appending a second copy (see docstring)
+            new_fp.write.mode("overwrite") \
+                .parquet(os.path.join(fp_state, f"batch={batch_id}"))
         finally:
             new_fp.unpersist()
 
@@ -360,10 +377,12 @@ def streaming_winnow_pairs(spark: SparkSession, sf_dir: str,
 
     out_schema = "id_a long, id_b long, n_shared long"
     if not os.path.exists(pair_dir):
-        shutil.rmtree(work, ignore_errors=True)
+        if state_base is None:
+            shutil.rmtree(work, ignore_errors=True)
         return spark.createDataFrame([], out_schema)
     result = (spark.read.parquet(pair_dir)
               .select("id_a", "id_b", "n_shared")
               .localCheckpoint(eager=True))
-    shutil.rmtree(work, ignore_errors=True)
+    if state_base is None:
+        shutil.rmtree(work, ignore_errors=True)
     return result

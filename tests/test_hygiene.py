@@ -290,6 +290,40 @@ def test_winnow_rightmost_tie_and_density(spark, tmp_path):
     assert 1 <= n_shared < n_kgrams_distinct
 
 
+def test_winnow_pos_base_guard_raises_loudly(spark):
+    """A document whose k-gram count exceeds the pos-packed key base
+    must FAIL, not wrap (B−1−pos going negative decodes to h−1 —
+    silently wrong fingerprints the shared-formula oracle can't catch).
+    Exercised with a tiny base so the test corpus stays small."""
+    import pytest
+
+    from openskidata_processor_spark.plans.training import \
+        winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(32)))],   # nk = 25 > B = 8
+        "doc_id long, text string")
+    with pytest.raises(Exception, match="winnow"):
+        winnow_fingerprints(df, B=8).collect()
+
+
+def test_winnow_long_doc_beyond_old_16bit_bound(spark, tmp_path):
+    """Docs past 2^16 k-grams fingerprint correctly under the 2^23 pos
+    base: a 12-word run shared between a ~66k-word doc (positions past
+    the old 65,536 wrap point) and a short doc still pairs."""
+    from openskidata_processor_spark.plans import QUERIES
+
+    run = " ".join(f"c{i}" for i in range(12))
+    big = " ".join(f"u{i}" for i in range(66_000)) + " " + run
+    rows = [(1, big), (2, run + " " + " ".join(f"b{i}" for i in range(7)))]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {(r.id_a, r.id_b): r.n_shared
+           for r in QUERIES["winnow_fingerprint_pairs"](
+               spark, str(tmp_path)).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 1
+
+
 def test_length_bucket_batches_coordinates(spark, tmp_path):
     """Buckets are n_tokens div 16; slots are dense 0..n−1 per bucket in
     (md5, id) order and batch_id = slot div 32 — verified by rebuilding

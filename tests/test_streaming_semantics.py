@@ -359,3 +359,81 @@ def test_streaming_winnow_cross_batch_pair_discovery(spark, tmp_path):
     pairs = {(a, b) for a, b, _ in got}
     assert {(1, 2), (1, 3), (2, 3)} <= pairs      # cross- AND in-batch
     assert all(4 not in p for p in pairs)
+
+
+def test_streaming_winnow_state_base_survives_calls(spark, tmp_path):
+    """``state_base`` keeps postings + pair ledger + checkpoint on
+    caller-owned storage: a second drain on an unchanged source resumes
+    from the checkpoint and returns the same ledger, and a third drain
+    after RE-DELIVERING an already-fingerprinted doc_id (new file, same
+    id) anti-joins it out — no duplicate pair rows, ever."""
+    from openskidata_processor_spark.streaming.documents import \
+        streaming_winnow_pairs
+
+    run = " ".join(f"c{i}" for i in range(12))
+    schema = ("doc_id long, source string, text string, lang string, "
+              "n_chars long")
+    d = tmp_path / "src"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, "s", "x0 x1 " + run, "en", 1),
+         (2, "s", run + " y0 y1", "en", 1)], schema) \
+        .coalesce(1).write.mode("append") \
+        .parquet(str(d / "documents.parquet"))
+    state = str(tmp_path / "standing_state")
+
+    first = sorted(map(tuple, streaming_winnow_pairs(
+        spark, str(d), state_base=state).collect()))
+    assert [(a, b) for a, b, _ in first] == [(1, 2)]
+    assert os.path.exists(f"{state}/fp_state")       # state survived
+
+    second = sorted(map(tuple, streaming_winnow_pairs(
+        spark, str(d), state_base=state).collect()))
+    assert second == first                           # checkpoint resume
+
+    # re-deliver doc 1 in a fresh file: the standing doc_id anti-join
+    # must drop it — the ledger stays exactly one (1, 2) row
+    spark.createDataFrame([(1, "s", "x0 x1 " + run, "en", 1)], schema) \
+        .coalesce(1).write.mode("append") \
+        .parquet(str(d / "documents.parquet"))
+    third = sorted(map(tuple, streaming_winnow_pairs(
+        spark, str(d), state_base=state).collect()))
+    assert third == first
+
+
+def test_streaming_curation_state_base_dedups_across_calls(spark,
+                                                           tmp_path):
+    """``state_base`` makes the digest state a standing dedup ledger
+    across CALLS: re-delivered content in a later drain counts as docs
+    seen but dedups against the persisted digests — n_kept unchanged."""
+    from openskidata_processor_spark.streaming.documents import \
+        streaming_curation_stats
+
+    # doc_ids chosen % 29 != 0 (pool, not benchmark); 64 plain words
+    # → quality metric 1_000_000 ≥ the 300_000 gate
+    text = " ".join(f"w{i}" for i in range(64))
+    schema = ("doc_id long, source string, text string, lang string, "
+              "n_chars long")
+    d = tmp_path / "src"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, "s", text, "en", 1), (2, "s", text + " tail", "en", 1)],
+        schema).coalesce(1).write.mode("append") \
+        .parquet(str(d / "documents.parquet"))
+    state = str(tmp_path / "standing_state")
+
+    first = {r["source"]: r.asDict() for r in streaming_curation_stats(
+        spark, str(d), state_base=state).collect()}
+    assert first["s"]["n_docs"] == 2
+    assert first["s"]["n_dup"] == 0 and first["s"]["n_kept"] == 2
+
+    # second drain: doc 1's text re-delivered under a NEW doc_id — the
+    # persisted digest state flags it as a duplicate, n_kept unchanged
+    spark.createDataFrame([(3, "s", text, "en", 1)], schema) \
+        .coalesce(1).write.mode("append") \
+        .parquet(str(d / "documents.parquet"))
+    second = {r["source"]: r.asDict() for r in streaming_curation_stats(
+        spark, str(d), state_base=state).collect()}
+    assert second["s"]["n_docs"] == 3
+    assert second["s"]["n_dup"] == 1
+    assert second["s"]["n_kept"] == 2
