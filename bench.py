@@ -104,6 +104,9 @@ EXTENDED_QUERIES = [
     "stream_winnow_pairs",
     "curriculum_stages",
     "snapshot_diff",
+    "html_extract_text",
+    "url_canonical_stats",
+    "mojibake_stats",
 ]
 
 

@@ -112,3 +112,22 @@ def test_semantic_decontamination_broadcasts_bench(spark):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_webcorpus_scan_pruning_and_shuffle_budget(spark):
+    """The web-ingestion family stays Catalyst-pure: html/mojibake are
+    per-row expression chains (ZERO exchanges, scan pruned to
+    doc_id+text); url_canonical_stats reads doc_id only and spends at
+    most its two aggregation shuffles (canonical, then domain)."""
+    for name, cols, max_exchanges in (
+            ("html_extract_text", {"doc_id", "text"}, 0),
+            ("mojibake_stats", {"doc_id", "text"}, 0),
+            ("url_canonical_stats", {"doc_id"}, 2)):
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        for unused in {"source", "lang", "n_chars", "text"} - cols:
+            assert unused not in read_schema, (
+                f"{name} scan reads unused {unused}")
+        n_exch = plan.count("Exchange hashpartitioning")
+        assert n_exch <= max_exchanges, (
+            f"{name} plans {n_exch} shuffles (budget {max_exchanges})")
