@@ -243,3 +243,85 @@ def test_snapshot_diff_fuzz(spark, tmp_path, seed):
     assert got == want
     kinds = {c for _, c in got}
     assert kinds == {"added", "removed", "changed"}
+
+
+@pytest.mark.parametrize("seed", [103, 127])
+def test_webcorpus_extract_and_mojibake_fuzz(spark, tmp_path, seed):
+    # random text includes markup-ish punctuation runs, unicode, empty
+    # docs — the extraction/repair chains must agree with the oracle on
+    # ALL of them, not just clean word-soup
+    rows = _random_docs(seed, 50)
+    for qname in ("html_extract_text", "mojibake_stats"):
+        got, want = _run_query(spark, tmp_path, "documents", rows,
+                               _DOC_SCHEMA, _DOC_COLS, qname)
+        assert got == want, qname
+
+
+@pytest.mark.parametrize("seed", [109])
+def test_url_canonical_fuzz(spark, tmp_path, seed):
+    # sparse non-contiguous doc_ids: every synthesis modulus hits
+    # partial residue classes
+    rnd = random.Random(seed)
+    ids = sorted(rnd.sample(range(0, 3000), 120))
+    rows = [(i, "s", "t", "en", 1) for i in ids]
+    got, want = _run_query(spark, tmp_path, "documents", rows,
+                           _DOC_SCHEMA, _DOC_COLS, "url_canonical_stats")
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Streaming twins: randomized corpora forced through 3 micro-batches
+# (one file per trigger) must still drain to the exact batch oracle —
+# cross-batch digest/fingerprint state under odd shapes (empty texts,
+# punctuation runs, cross-batch duplicates).
+# ---------------------------------------------------------------------------
+
+
+def _stream_src(spark, tmp_path, rows, n_files=3):
+    d = tmp_path / "src"
+    d.mkdir()
+    step = (len(rows) + n_files - 1) // n_files
+    for k in range(n_files):
+        chunk = rows[k * step:(k + 1) * step]
+        if chunk:
+            spark.createDataFrame(chunk, _DOC_SCHEMA).coalesce(1) \
+                .write.mode("append").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("seed", [113, 131])
+def test_stream_curate_fuzz(spark, tmp_path, seed):
+    import pandas as pd
+
+    from openskidata_processor_spark.streaming.documents import \
+        streaming_curation_stats
+
+    rows = _random_docs(seed, 60)
+    src = _stream_src(spark, tmp_path, rows)
+    got = sorted(map(tuple, streaming_curation_stats(
+        spark, src, max_files_per_trigger=1).collect()))
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=_DOC_COLS))
+    want = sorted(map(tuple,
+                      con.execute(ORACLES["stream_curate_stats"])
+                      .fetchall()))
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [137])
+def test_stream_winnow_fuzz(spark, tmp_path, seed):
+    import pandas as pd
+
+    from openskidata_processor_spark.streaming.documents import \
+        streaming_winnow_pairs
+
+    rows = _random_docs(seed, 45)
+    src = _stream_src(spark, tmp_path, rows)
+    got = sorted(map(tuple, streaming_winnow_pairs(
+        spark, src, max_files_per_trigger=1).collect()))
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=_DOC_COLS))
+    want = sorted(map(tuple,
+                      con.execute(ORACLES["stream_winnow_pairs"])
+                      .fetchall()))
+    assert got == want
