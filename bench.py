@@ -107,6 +107,7 @@ EXTENDED_QUERIES = [
     "html_extract_text",
     "url_canonical_stats",
     "mojibake_stats",
+    "profile_table_sketch",
 ]
 
 

@@ -1130,6 +1130,39 @@ FROM (SELECT CAST(round({c} * 100, 0) AS BIGINT) AS {c}_c FROM lineitem)"""
     for c in _PROFILE_COLS)
 
 
+@query("profile_table_sketch")
+def profile_table_sketch(spark, sf_dir):
+    """The sketch twin of ``profile_table_stats`` — the 100 TB path.
+
+    The exact profile's four ``countDistinct`` compile to an Expand
+    (one input row fans out 4×, once per distinct aggregate) and the
+    distinct sets themselves shuffle.  This twin swaps them for HLL++
+    (``approx_count_distinct``, rsd 2.5%%): every aggregate is then a
+    plain partial-aggregable function, so the whole profile is ONE
+    scan, NO Expand, constant per-column state (HLL registers) —
+    CI-pinned in tests/test_plan_audits.py.  Approximate-by-design
+    (no DuckDB oracle); error bound pinned in test_training_ops."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        v = _cents(F.col(c))
+        aggs += [F.count(F.lit(1)).alias(f"{c}__n"),
+                 F.sum(F.when(v.isNull(), 1).otherwise(0))
+                 .alias(f"{c}__nn"),
+                 F.approx_count_distinct(v, rsd=0.025).alias(f"{c}__nd"),
+                 F.min(v).alias(f"{c}__min"),
+                 F.max(v).alias(f"{c}__max"),
+                 F.sum(v).alias(f"{c}__sum")]
+    wide = li.select(*_PROFILE_COLS).agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__nd, {c}__min, {c}__max, {c}__sum"
+        for c in _PROFILE_COLS)
+    return wide.select(F.expr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(column, n_rows, n_nulls, approx_distinct, min_c, max_c, "
+        "sum_c)"))
+
+
 # ---------------------------------------------------------------------------
 # Snapshot diff (table-version comparison): classify every key across
 # two table versions as added / removed / changed — the audit a

@@ -131,3 +131,14 @@ def test_webcorpus_scan_pruning_and_shuffle_budget(spark):
         n_exch = plan.count("Exchange hashpartitioning")
         assert n_exch <= max_exchanges, (
             f"{name} plans {n_exch} shuffles (budget {max_exchanges})")
+
+
+def test_profile_sketch_has_no_expand(spark):
+    """The HLL profile twin must aggregate in one pass: the exact
+    profile pays a 4x Expand for its countDistincts; the sketch twin
+    must not — that's its entire reason to exist at 100 TB."""
+    exact = _plan(QUERIES["profile_table_stats"](spark, SF_SMOKE))
+    sketch = _plan(QUERIES["profile_table_sketch"](spark, SF_SMOKE))
+    assert "Expand" in exact          # the multiplier the twin removes
+    assert "Expand" not in sketch
+    assert sketch.count("Exchange hashpartitioning") == 0

@@ -874,3 +874,21 @@ def test_zorder_files_are_local_in_both_dims(spark):
         assert r.n_rows == 64 * 64
         assert r.max_cust - r.min_cust == 63
         assert r.max_day - r.min_day == 63
+
+
+def test_profile_table_sketch_error_bounds(spark):
+    from openskidata_processor_spark.plans import QUERIES
+    approx = {r["column"]: r for r in
+              QUERIES["profile_table_sketch"](spark, SF_SMOKE).collect()}
+    exact = {r["column"]: r for r in
+             QUERIES["profile_table_stats"](spark, SF_SMOKE).collect()}
+    assert set(approx) == set(exact)
+    for col, a in approx.items():
+        e = exact[col]
+        # everything except the distinct count is EXACT — same formulas
+        assert (a.n_rows, a.n_nulls, a.min_c, a.max_c, a.sum_c) == \
+            (e.n_rows, e.n_nulls, e.min_c, e.max_c, e.sum_c), col
+        # HLL++ rsd 2.5%: allow 3 standard errors (plus slack of 2 for
+        # tiny cardinalities where the sparse encoding is exact anyway)
+        assert abs(a.approx_distinct - e.n_distinct) <= \
+            max(2, 3 * 0.025 * e.n_distinct), col
