@@ -108,6 +108,7 @@ EXTENDED_QUERIES = [
     "url_canonical_stats",
     "mojibake_stats",
     "profile_table_sketch",
+    "chunk_documents",
 ]
 
 

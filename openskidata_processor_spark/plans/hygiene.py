@@ -884,3 +884,68 @@ SELECT doc_id, q_e6,
          + CAST(q_e6 > q3 AS INT) AS stage
 FROM s, cuts
 """
+
+
+# ---------------------------------------------------------------------------
+# RAG/retrieval chunking: cut each document into fixed-size overlapping
+# token windows (size C, stride S < C) — the serving-side counterpart of
+# pack_sequences (which packs for TRAINING; retrieval wants overlapping
+# context windows so a passage is never split across a hard boundary).
+# Scale shape: per-row sequence + slice + posexplode — no shuffle, no
+# window, the chunk fan-out is bounded by ceil(n_tokens/S) per doc.
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 32      # chunk width C in tokens
+_CHUNK_STRIDE = 24      # stride S (overlap = C − S = 8 tokens)
+
+
+@query("chunk_documents")
+def chunk_documents(spark, sf_dir):
+    """(doc_id, chunk_id, start_tok, n_tokens, chunk_md5): overlapping
+    token windows per document.  Chunk starts are 0, S, 2S, … with the
+    LAST start the smallest multiple of S covering the tail (so every
+    token lands in ≥ 1 chunk and no start begins past the text);
+    token-less docs produce no chunks."""
+    C, S = _CHUNK_TOKENS, _CHUNK_STRIDE
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.words(F.col("text")).alias("ws"))
+    nz = docs.filter(F.size("ws") > 0).select(
+        "doc_id", "ws",
+        # number of chunks: 1 + ceil(max(n − C, 0) / S), via int math
+        (F.lit(1) + F.expr(
+            f"CAST(greatest(size(ws) - {C}, 0) + {S - 1} AS BIGINT)"
+            f" div {S}")).alias("nchunks"))
+    return nz.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.col("nchunks") - 1),
+            lambda i: F.slice("ws", i * S + 1, C)))
+        .alias("chunk_id", "chunk_ws")
+    ).select(
+        "doc_id", F.col("chunk_id").cast("long").alias("chunk_id"),
+        (F.col("chunk_id") * S).cast("long").alias("start_tok"),
+        F.size("chunk_ws").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "chunk_ws")).alias("chunk_md5"))
+
+
+ORACLES["chunk_documents"] = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), nz AS (
+  SELECT doc_id, ws,
+         1 + (greatest(len(ws) - {_CHUNK_TOKENS}, 0)
+              + {_CHUNK_STRIDE - 1}) // {_CHUNK_STRIDE} AS nchunks
+  FROM w WHERE len(ws) > 0
+)
+SELECT doc_id, u.i AS chunk_id,
+       u.i * {_CHUNK_STRIDE} AS start_tok,
+       len(list_slice(ws, u.i * {_CHUNK_STRIDE} + 1,
+                      u.i * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}))
+         AS n_tokens,
+       md5(array_to_string(
+           list_slice(ws, u.i * {_CHUNK_STRIDE} + 1,
+                      u.i * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}), ' '))
+         AS chunk_md5
+FROM nz, LATERAL (SELECT unnest(generate_series(0, nchunks - 1)) AS i) u
+"""

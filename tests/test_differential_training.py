@@ -325,3 +325,11 @@ def test_stream_winnow_fuzz(spark, tmp_path, seed):
                       con.execute(ORACLES["stream_winnow_pairs"])
                       .fetchall()))
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [139, 149])
+def test_chunk_documents_fuzz(spark, tmp_path, seed):
+    rows = _random_docs(seed, 50)
+    got, want = _run_query(spark, tmp_path, "documents", rows,
+                           _DOC_SCHEMA, _DOC_COLS, "chunk_documents")
+    assert got == want

@@ -400,3 +400,32 @@ def test_curriculum_stages_quartiles_and_ties(spark, tmp_path):
         spark, str(tmp_path)).collect()}
     assert len({got[i] for i in range(6)}) == 1      # all ties together
     assert got[10] == got[11] == 4
+
+
+def test_chunk_documents_coverage_and_overlap(spark, tmp_path):
+    """Chunk invariants: starts are multiples of the stride, every
+    token is covered, consecutive chunks overlap by C−S, the tail chunk
+    may be short but never empty, a short doc yields exactly one chunk,
+    and a token-less doc yields none."""
+    from openskidata_processor_spark.plans import QUERIES
+    from openskidata_processor_spark.plans.hygiene import (
+        _CHUNK_STRIDE, _CHUNK_TOKENS)
+
+    rows = [(1, " ".join(f"w{i}" for i in range(100))),   # multi-chunk
+            (2, " ".join(f"v{i}" for i in range(10))),    # single short
+            (3, ""), (4, "   ")]                          # token-less
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = QUERIES["chunk_documents"](spark, str(tmp_path)).collect()
+    by_doc: dict = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2}
+    # doc 1: 100 tokens, C=32, S=24 → 1 + ceil(68/24) = 4 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.start_tok for r in c1] == [0, 24, 48, 72]
+    assert [r.n_tokens for r in c1] == [32, 32, 32, 28]
+    assert c1[-1].start_tok + c1[-1].n_tokens == 100     # tail covered
+    assert _CHUNK_TOKENS - _CHUNK_STRIDE == 8            # overlap pin
+    # doc 2: 10 tokens < C → exactly one (short) chunk
+    assert [(r.start_tok, r.n_tokens) for r in by_doc[2]] == [(0, 10)]
