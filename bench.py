@@ -109,6 +109,7 @@ EXTENDED_QUERIES = [
     "mojibake_stats",
     "profile_table_sketch",
     "chunk_documents",
+    "bloom_decontaminate",
 ]
 
 

@@ -949,3 +949,59 @@ SELECT doc_id, u.i AS chunk_id,
          AS chunk_md5
 FROM nz, LATERAL (SELECT unnest(generate_series(0, nchunks - 1)) AS i) u
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination — contamination_ngram's scale path.
+# The exact scan shuffles EVERY training shingle to meet the benchmark
+# side; this twin builds a 16 KiB Bloom filter from the benchmark
+# shingles (one bounded-collect aggregation pass — operators/bloom.py)
+# and evaluates it as a per-row EXPRESSION on the training side, so only
+# the ~fpr fraction of non-matching shingles (plus all true matches)
+# ever reach the verify join's shuffle.  No false negatives → the verify
+# join returns the EXACT answer; the oracle below is the plain exact
+# join, bloom-free, because the filter is semantically transparent.
+# ---------------------------------------------------------------------------
+
+
+@query("bloom_decontaminate")
+def bloom_decontaminate(spark, sf_dir):
+    """(doc_id, n_contaminated): per training document, the number of
+    distinct word 3-grams it shares with the benchmark slice — computed
+    through the bloom pre-filter, equal to the exact join's answer."""
+    from ..operators.bloom import build_bloom_bits, might_contain
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.words(F.col("text")).alias("ws"))
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            T.word_shingles(F.col("ws"), _CONTAM_N))).alias("shingle"))
+    bench_sh = (sh.filter(F.col("doc_id") % _BENCH_MOD == 0)
+                .select("shingle").distinct())
+    bits = build_bloom_bits(bench_sh, F.col("shingle"))
+    train = sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    candidates = train.filter(might_contain(F.col("shingle"), bits))
+    return (candidates.join(bench_sh, "shingle", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_contaminated")))
+
+
+ORACLES["bloom_decontaminate"] = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+            FOR i IN generate_series(1, len(ws) - 2)])) AS shingle
+  FROM w WHERE len(ws) >= {_CONTAM_N}
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {_BENCH_MOD} = 0
+)
+SELECT t.doc_id, count(*) AS n_contaminated
+FROM sh t JOIN bench b USING (shingle)
+WHERE t.doc_id % {_BENCH_MOD} <> 0
+GROUP BY 1
+"""

@@ -333,3 +333,11 @@ def test_chunk_documents_fuzz(spark, tmp_path, seed):
     got, want = _run_query(spark, tmp_path, "documents", rows,
                            _DOC_SCHEMA, _DOC_COLS, "chunk_documents")
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [151])
+def test_bloom_decontaminate_fuzz(spark, tmp_path, seed):
+    rows = _random_docs(seed, 60)
+    got, want = _run_query(spark, tmp_path, "documents", rows,
+                           _DOC_SCHEMA, _DOC_COLS, "bloom_decontaminate")
+    assert got == want
