@@ -110,6 +110,8 @@ EXTENDED_QUERIES = [
     "profile_table_sketch",
     "chunk_documents",
     "bloom_decontaminate",
+    "blocklist_filter_docs",
+    "script_stats",
 ]
 
 

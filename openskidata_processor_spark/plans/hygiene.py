@@ -1005,3 +1005,57 @@ FROM sh t JOIN bench b USING (shingle)
 WHERE t.doc_id % {_BENCH_MOD} <> 0
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Blocklist filtering (the C4 "bad words" gate): flag documents whose
+# token stream hits a curated blocklist.  Scale shape: explode words and
+# BROADCAST-join the list — for real blocklists (10^4–10^5 terms) this
+# beats the mega-regexp alternative, which defeats whole-stage codegen
+# and rescans each row once per alternation; the join is hash-probe per
+# token and the list ships once per executor.
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST = ["slow", "dup", "error"]      # stand-in for the curated list
+
+
+@query("blocklist_filter_docs")
+def blocklist_filter_docs(spark, sf_dir):
+    """(doc_id, n_words, n_hits, n_distinct_hits, blocked): per-doc
+    blocklist exposure; ``blocked`` is the C4 rule (any hit drops the
+    doc).  Docs with zero hits are KEPT in the output with zeros —
+    downstream filters need the full verdict table, not just the
+    positives."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.words(F.col("text")).alias("ws"))
+    base = docs.select("doc_id", F.size("ws").cast("long").alias("n_words"))
+    bl = spark.createDataFrame([(w,) for w in _BLOCKLIST], "w string")
+    hits = (docs.select("doc_id", F.explode("ws").alias("w"))
+            .join(F.broadcast(bl), "w")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hits"),
+                 F.countDistinct("w").alias("n_distinct_hits")))
+    return (base.join(hits, "doc_id", "left")
+            .select("doc_id", "n_words",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    F.coalesce("n_distinct_hits", F.lit(0))
+                    .alias("n_distinct_hits"))
+            .withColumn("blocked", F.col("n_hits") > 0))
+
+
+ORACLES["blocklist_filter_docs"] = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), h AS (
+  SELECT doc_id, count(*) AS n_hits, count(DISTINCT t.w) AS n_distinct_hits
+  FROM (SELECT doc_id, unnest(ws) AS w FROM w) t
+  WHERE t.w IN ({", ".join(f"'{x}'" for x in _BLOCKLIST)})
+  GROUP BY doc_id
+)
+SELECT w.doc_id, len(ws) AS n_words,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_distinct_hits, 0) AS n_distinct_hits,
+       coalesce(h.n_hits, 0) > 0 AS blocked
+FROM w LEFT JOIN h USING (doc_id)
+"""

@@ -355,3 +355,58 @@ SELECT doc_id, n_moji, n_moji > 0 AS is_damaged,
        md5(fixed) AS fixed_md5, len(fixed) AS fixed_len
 FROM counted
 """
+
+
+# ---------------------------------------------------------------------------
+# Script detection — unicode-range counting (the crawl-side signal that
+# routes documents to per-script tokenizers and catches wrong-charset
+# pages langid misses).  Counting via length-difference after a
+# char-class regexp_replace: per-row Catalyst, no shuffle.  Dominance
+# compares LETTER scripts only (digits are script-neutral) with a fixed
+# latin > cyrillic > greek > cjk tie order, mirrored in the oracle.
+# ---------------------------------------------------------------------------
+
+_SCRIPTS = [("latin", "[A-Za-z]"),
+            ("digit", "[0-9]"),
+            ("cyrillic", "[Ѐ-ӿ]"),
+            ("greek", "[Ͱ-Ͽ]"),
+            ("cjk", "[一-鿿]")]
+
+
+@query("script_stats")
+def script_stats(spark, sf_dir):
+    """(doc_id, n_latin, n_digit, n_cyrillic, n_greek, n_cjk,
+    dominant_script): per-document character counts by unicode script
+    range, and the dominant letter script."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = {name: (F.length("text")
+                     - F.length(F.regexp_replace(F.col("text"), pat, "")))
+              .cast("long") for name, pat in _SCRIPTS}
+    la, cy, gr, cj = (counts["latin"], counts["cyrillic"],
+                      counts["greek"], counts["cjk"])
+    dom = (F.when((la >= cy) & (la >= gr) & (la >= cj), "latin")
+           .when((cy >= gr) & (cy >= cj), "cyrillic")
+           .when(gr >= cj, "greek").otherwise("cjk"))
+    return docs.select(
+        "doc_id",
+        *[counts[n].alias(f"n_{n}") for n, _ in _SCRIPTS],
+        dom.alias("dominant_script"))
+
+
+ORACLES["script_stats"] = f"""
+WITH c AS (
+  SELECT doc_id,
+         {", ".join(
+             f"len(text) - len(regexp_replace(text, '{pat}', '', 'g'))"
+             f" AS n_{name}" for name, pat in _SCRIPTS)}
+  FROM documents
+)
+SELECT doc_id, n_latin, n_digit, n_cyrillic, n_greek, n_cjk,
+       CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_greek
+                 AND n_latin >= n_cjk THEN 'latin'
+            WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_cjk
+                 THEN 'cyrillic'
+            WHEN n_greek >= n_cjk THEN 'greek'
+            ELSE 'cjk' END AS dominant_script
+FROM c
+"""

@@ -341,3 +341,14 @@ def test_bloom_decontaminate_fuzz(spark, tmp_path, seed):
     got, want = _run_query(spark, tmp_path, "documents", rows,
                            _DOC_SCHEMA, _DOC_COLS, "bloom_decontaminate")
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [157, 163])
+def test_blocklist_and_script_fuzz(spark, tmp_path, seed):
+    # the WORDS pool includes cyrillic/greek tokens and empty strings —
+    # both per-row chains must agree with the oracle on all of them
+    rows = _random_docs(seed, 50)
+    for qname in ("blocklist_filter_docs", "script_stats"):
+        got, want = _run_query(spark, tmp_path, "documents", rows,
+                               _DOC_SCHEMA, _DOC_COLS, qname)
+        assert got == want, qname

@@ -142,3 +142,13 @@ def test_profile_sketch_has_no_expand(spark):
     assert "Expand" in exact          # the multiplier the twin removes
     assert "Expand" not in sketch
     assert sketch.count("Exchange hashpartitioning") == 0
+
+
+def test_blocklist_broadcasts_list_and_script_stays_per_row(spark):
+    """blocklist_filter_docs must BROADCAST the term list (hash-probe
+    per token, never a shuffled join against 10^5 terms); script_stats
+    is a pure per-row chain — zero exchanges."""
+    plan = _plan(QUERIES["blocklist_filter_docs"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    plan2 = _plan(QUERIES["script_stats"](spark, SF_SMOKE))
+    assert plan2.count("Exchange hashpartitioning") == 0
