@@ -87,6 +87,24 @@ QUERIES_TO_PROBE = [
     "scd2_user_history", "zorder_file_stats",
     "multimodal_near_dup_groups", "stream_winnow_pairs",
     "profile_table_stats",
+    # round-8 additions: web-ingestion + chunking + bloom families.
+    # Measured at 10× (local[32], 2026-08): the per-row chains stay
+    # flat — mojibake 0.4s, script 0.3s, blocklist 0.4s, chunk 2.5s,
+    # html_extract 4.5s (md5 over the wrapped HTML dominates, linear);
+    # url_canonical_stats 3.5s with canonical counts modulus-bounded
+    # while n_urls grows 10×; profile_table_sketch 1.5s vs the exact
+    # profile's 2.2s (the Expand removal).  bloom_decontaminate: 13.8s —
+    # SLOWER here than the plain join, deliberately kept as the
+    # adversarial datapoint: the word-soup corpus's tiny vocabulary
+    # makes ~every training shingle a benchmark member, so the filter
+    # admits ~100% and its 5 hashes/probe are pure overhead.  Bloom
+    # pruning pays exactly when the big side is mostly NON-matching
+    # (the real decontamination regime, where benchmark∩training is
+    # rare); the no-false-negative contract keeps the answer exact in
+    # both regimes.
+    "html_extract_text", "url_canonical_stats", "mojibake_stats",
+    "chunk_documents", "bloom_decontaminate", "blocklist_filter_docs",
+    "script_stats", "profile_table_sketch",
 ]
 
 
