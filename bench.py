@@ -112,6 +112,9 @@ EXTENDED_QUERIES = [
     "bloom_decontaminate",
     "blocklist_filter_docs",
     "script_stats",
+    "file_skipping_stats",
+    "compaction_plan",
+    "quantiles_sketch",
 ]
 
 

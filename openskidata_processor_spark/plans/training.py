@@ -1246,3 +1246,156 @@ SELECT coalesce(bd.k, cd.k) AS o_orderkey,
 FROM bd FULL OUTER JOIN cd ON bd.k = cd.k
 WHERE (bd.k IS NULL OR cd.k IS NULL OR bd.bd != cd.cd)
 """
+
+
+# ---------------------------------------------------------------------------
+# Lakehouse maintenance, continued: the PAYOFF measurement and the
+# compaction planner that complete the zorder/snapshot/SCD2 family.
+# Both operate on the FILE-STATS rollup (≤ 4096 rows by layout, at any
+# corpus scale) — maintenance planning reads stats, never data.
+# ---------------------------------------------------------------------------
+
+_SKIP_PREDS = 10       # day ∈ [q·240, q·240+239] — tiles the full
+_SKIP_WIDTH = 240      # TPC-H 1992-1998 date domain at every SF
+
+
+@query("file_skipping_stats")
+def file_skipping_stats(spark, sf_dir):
+    """(pred_id, lo_day, hi_day, n_files, n_skipped, rows_total,
+    rows_scanned): for each of 10 order-day range predicates, how many
+    Z-ordered files min/max stats prune, and the scan volume left — the
+    measurement that justifies (or retires) a Z-order layout.  Stats ×
+    10 broadcast predicate rows; no data-side work at all."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("cust"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .cast("long").alias("day"))
+    stats = _zorder_stats(orders, _Z_FILE_SHIFT)
+    preds = spark.range(_SKIP_PREDS).select(
+        F.col("id").alias("pred_id"),
+        (F.col("id") * _SKIP_WIDTH).alias("lo_day"),
+        (F.col("id") * _SKIP_WIDTH + _SKIP_WIDTH - 1).alias("hi_day"))
+    j = stats.crossJoin(F.broadcast(preds))
+    skip = (F.col("max_day") < F.col("lo_day")) | \
+        (F.col("min_day") > F.col("hi_day"))
+    return (j.groupBy("pred_id", "lo_day", "hi_day")
+            .agg(F.count("*").alias("n_files"),
+                 F.sum(F.when(skip, 1).otherwise(0)).alias("n_skipped"),
+                 F.sum("n_rows").alias("rows_total"),
+                 F.sum(F.when(~skip, F.col("n_rows")).otherwise(0))
+                 .alias("rows_scanned")))
+
+
+ORACLES["file_skipping_stats"] = f"""
+WITH d AS (
+  SELECT CAST(o_custkey AS BIGINT) AS cust,
+         CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
+           AS day
+  FROM orders
+), coded AS (
+  SELECT cust, day,
+         (SELECT {_Z_TERMS}
+          FROM (SELECT cust % {1 << _Z_BITS} AS x,
+                       day % {1 << _Z_BITS} AS y)) AS z
+  FROM d
+), stats AS (
+  SELECT z // {1 << _Z_FILE_SHIFT} AS file_id, count(*) AS n_rows,
+         min(day) AS min_day, max(day) AS max_day
+  FROM coded GROUP BY 1
+), preds AS (
+  SELECT q AS pred_id, q * {_SKIP_WIDTH} AS lo_day,
+         q * {_SKIP_WIDTH} + {_SKIP_WIDTH - 1} AS hi_day
+  FROM (SELECT unnest(generate_series(0, {_SKIP_PREDS - 1})) AS q)
+)
+SELECT pred_id, lo_day, hi_day, count(*) AS n_files,
+       sum(CASE WHEN max_day < lo_day OR min_day > hi_day
+                THEN 1 ELSE 0 END) AS n_skipped,
+       sum(n_rows) AS rows_total,
+       sum(CASE WHEN max_day < lo_day OR min_day > hi_day
+                THEN 0 ELSE n_rows END) AS rows_scanned
+FROM stats CROSS JOIN preds
+GROUP BY 1, 2, 3
+"""
+
+
+_COMPACT_TARGET = 256      # rows per compacted output file (test scale)
+
+
+@query("compaction_plan")
+def compaction_plan(spark, sf_dir):
+    """(file_id, n_rows, group_id): next-fit compaction groups over the
+    Z-ordered files in file_id order (preserving the layout's sort), a
+    group closing when the next file would push it past the row target —
+    the OPTIMIZE planner a lakehouse runs against small files.  Oversized
+    files keep their own group (left alone, the compaction convention).
+    The sequential next-fit scan runs over the FILE-STATS frame (≤ 4096
+    rows by construction), never the data — the same bounded-driver
+    shape as the pack_sequences operator it reuses."""
+    from ..operators.packing import pack_sequences
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("cust"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .cast("long").alias("day"))
+    stats = _zorder_stats(orders, _Z_FILE_SHIFT) \
+        .select("file_id", "n_rows")
+    return (pack_sequences(stats, "n_rows", "file_id",
+                           _COMPACT_TARGET, by=None)
+            .select("file_id", "n_rows",
+                    F.col("bin_id").alias("group_id")))
+
+
+ORACLES["compaction_plan"] = f"""
+WITH RECURSIVE d AS (
+  SELECT CAST(o_custkey AS BIGINT) AS cust,
+         CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
+           AS day
+  FROM orders
+), coded AS (
+  SELECT cust, day,
+         (SELECT {_Z_TERMS}
+          FROM (SELECT cust % {1 << _Z_BITS} AS x,
+                       day % {1 << _Z_BITS} AS y)) AS z
+  FROM d
+), stats AS (
+  SELECT z // {1 << _Z_FILE_SHIFT} AS file_id, count(*) AS n_rows
+  FROM coded GROUP BY 1
+), seq AS (
+  SELECT file_id, n_rows,
+         row_number() OVER (ORDER BY file_id) AS rn
+  FROM stats
+), pack AS (
+  SELECT file_id, n_rows, rn, CAST(0 AS BIGINT) AS group_id,
+         n_rows AS fill
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.file_id, s.n_rows, s.rn,
+         CASE WHEN p.fill + s.n_rows <= {_COMPACT_TARGET}
+              THEN p.group_id ELSE p.group_id + 1 END,
+         CASE WHEN p.fill + s.n_rows <= {_COMPACT_TARGET}
+              THEN p.fill + s.n_rows ELSE s.n_rows END
+  FROM pack p JOIN seq s ON s.rn = p.rn + 1
+)
+SELECT file_id, n_rows, group_id FROM pack
+"""
+
+
+@query("quantiles_sketch")
+def quantiles_sketch(spark, sf_dir):
+    """The sketch twin of ``quantiles_exact`` — Greenwald-Khanna
+    ``percentile_approx`` (accuracy 10000) per status.  The exact
+    quartiles need a per-group sort (or the exact-rank join the oracle
+    runs); the sketch is a plain partial-aggregable function — one pass,
+    bounded state, the quantile path at corpus scale.
+    Approximate-by-design (no oracle); the rank-error guarantee
+    (±n/accuracy positions) is pinned in test_training_ops."""
+    orders = (_t(spark, sf_dir, "orders")
+              .select("o_orderstatus",
+                      _cents(F.col("o_totalprice")).alias("price_c")))
+    return (orders.groupBy("o_orderstatus")
+            .agg(F.percentile_approx(
+                "price_c", [0.25, 0.5, 0.75], 10000).alias("qs"))
+            .select("o_orderstatus",
+                    F.col("qs")[0].alias("q25"),
+                    F.col("qs")[1].alias("q50"),
+                    F.col("qs")[2].alias("q75")))

@@ -105,6 +105,8 @@ QUERIES_TO_PROBE = [
     "html_extract_text", "url_canonical_stats", "mojibake_stats",
     "chunk_documents", "bloom_decontaminate", "blocklist_filter_docs",
     "script_stats", "profile_table_sketch",
+    # lakehouse maintenance: stats-side only (≤4096 file rows at any SF)
+    "file_skipping_stats", "compaction_plan", "quantiles_sketch",
 ]
 
 

@@ -352,3 +352,20 @@ def test_blocklist_and_script_fuzz(spark, tmp_path, seed):
         got, want = _run_query(spark, tmp_path, "documents", rows,
                                _DOC_SCHEMA, _DOC_COLS, qname)
         assert got == want, qname
+
+
+@pytest.mark.parametrize("seed", [167, 173])
+def test_lakehouse_maintenance_fuzz(spark, tmp_path, seed):
+    import datetime
+
+    rnd = random.Random(seed)
+    rows = [(i, rnd.randint(0, 200000),
+             datetime.date(1992, 1, 1)
+             + datetime.timedelta(days=rnd.randint(0, 3000)))
+            for i in range(100)]
+    for qname in ("file_skipping_stats", "compaction_plan"):
+        got, want = _run_query(
+            spark, tmp_path, "orders", rows,
+            "o_orderkey long, o_custkey long, o_orderdate date",
+            ["o_orderkey", "o_custkey", "o_orderdate"], qname)
+        assert got == want, qname

@@ -892,3 +892,66 @@ def test_profile_table_sketch_error_bounds(spark):
         # tiny cardinalities where the sparse encoding is exact anyway)
         assert abs(a.approx_distinct - e.n_distinct) <= \
             max(2, 3 * 0.025 * e.n_distinct), col
+
+
+def test_quantiles_sketch_rank_error_bound(spark):
+    """Greenwald-Khanna guarantee: an approx p-quantile's RANK is within
+    ±n/accuracy of p·n.  Checked against the actual per-status ranks."""
+    from openskidata_processor_spark.plans import QUERIES
+
+    approx = {r.o_orderstatus: (r.q25, r.q50, r.q75) for r in
+              QUERIES["quantiles_sketch"](spark, SF_SMOKE).collect()}
+    orders = (load_table(spark, SF_SMOKE, "orders")
+              .select("o_orderstatus",
+                      F.round(F.col("o_totalprice") * 100, 0)
+                      .cast("long").alias("v")))
+    rows = orders.collect()
+    by_status: dict = {}
+    for r in rows:
+        by_status.setdefault(r.o_orderstatus, []).append(r.v)
+    for status, vals in by_status.items():
+        vals.sort()
+        n = len(vals)
+        for p, v in zip((0.25, 0.5, 0.75), approx[status]):
+            rank_lo = sum(1 for x in vals if x < v)
+            rank_hi = sum(1 for x in vals if x <= v)
+            target = p * n
+            slack = n / 10000 + 1
+            assert rank_lo - slack <= target <= rank_hi + slack, (
+                status, p, v, rank_lo, rank_hi, target)
+
+
+def test_compaction_plan_groups_contiguous_and_bounded(spark):
+    """Groups are contiguous runs in file_id order; every group's total
+    stays within the row target unless it is a single oversized file."""
+    from openskidata_processor_spark.plans import QUERIES
+    from openskidata_processor_spark.plans.training import _COMPACT_TARGET
+
+    rows = sorted(QUERIES["compaction_plan"](spark, SF_SMOKE).collect(),
+                  key=lambda r: r.file_id)
+    assert rows
+    # contiguity: group ids are non-decreasing and step by ≤ 1
+    gids = [r.group_id for r in rows]
+    assert gids[0] == 0
+    assert all(b - a in (0, 1) for a, b in zip(gids, gids[1:]))
+    fills: dict = {}
+    for r in rows:
+        fills.setdefault(r.group_id, []).append(r.n_rows)
+    for g, ns in fills.items():
+        assert sum(ns) <= _COMPACT_TARGET or len(ns) == 1, (g, ns)
+
+
+def test_file_skipping_prunes_majority_for_narrow_predicates(spark):
+    """The Z-order layout must actually pay: across the 10 day-range
+    predicates (each 1/10 of the date domain), min/max stats prune a
+    majority of file-reads overall."""
+    from openskidata_processor_spark.plans import QUERIES
+
+    rows = QUERIES["file_skipping_stats"](spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    total_reads = sum(r.n_files for r in rows)
+    skipped = sum(r.n_skipped for r in rows)
+    assert skipped * 2 > total_reads, (skipped, total_reads)
+    for r in rows:
+        assert 0 <= r.n_skipped <= r.n_files
+        assert 0 <= r.rows_scanned <= r.rows_total
