@@ -56,14 +56,20 @@ _DRIVER_WINDOW = [
     # text analysis + dedup families (exact members)
     "text_doc_stats", "quality_docs", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_group_resolution", "knn_cosine", "dedup_embedding_pairs",
-    # training-data operators
+    # training-data operators (vocab_top_terms / sample_mixture_epochs
+    # rotated out in round 8 for the web-ingestion probes below — their
+    # families stay in-window via tfidf_doc_terms and the other two
+    # samplers, and they stay hard-gated by the identical parity check)
     "cdc_merge_upsert", "quantiles_exact", "tfidf_doc_terms",
-    "vocab_top_terms", "rollup_multi_granularity", "sample_stratified",
-    "sample_temperature_mixture", "sample_mixture_epochs",
-    # hygiene / packing
+    "rollup_multi_granularity", "sample_stratified",
+    "sample_temperature_mixture",
+    # hygiene / packing (pack_concat_bins rotated out likewise —
+    # pack_sequences keeps the packing family in-window)
     "pii_redact_docs", "quality_repetition", "contamination_ngram",
-    "dedup_passages", "pack_sequences", "pack_concat_bins",
+    "dedup_passages", "pack_sequences",
     "shard_assignment",
+    # round-8 web-ingestion + bloom probes: the new family's hard signal
+    "html_extract_text", "url_canonical_stats", "bloom_decontaminate",
     # multimodal (all real-codec paths)
     "multimodal_decode_stats", "multimodal_resize_stats",
     "multimodal_audio_stats", "multimodal_video_stats",
