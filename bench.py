@@ -115,6 +115,7 @@ EXTENDED_QUERIES = [
     "file_skipping_stats",
     "compaction_plan",
     "quantiles_sketch",
+    "stream_minhash_pairs",
 ]
 
 

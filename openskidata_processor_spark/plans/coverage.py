@@ -1591,3 +1591,18 @@ def stream_winnow_pairs(spark, sf_dir):
 from . import training as _training  # noqa: E402,F401
 
 ORACLES["stream_winnow_pairs"] = ORACLES["winnow_fingerprint_pairs"]
+
+
+@query("stream_minhash_pairs")
+def stream_minhash_pairs(spark, sf_dir):
+    """Incremental MinHash-LSH near-dup detection
+    (``streaming/documents.py::streaming_minhash_pairs``): per batch,
+    signatures + band keys for NEW documents only, candidates from the
+    in-batch ∪ new-vs-standing band joins, EXACT-Jaccard verification
+    against the standing shingle postings.  Drained ledger equals the
+    batch ``dedup_minhash_lsh`` output exactly (pinned by test) —
+    approximate-by-design like its batch twin (LSH banding can miss
+    pairs; the recall harness bounds it), so rows-only here."""
+    from ..streaming.documents import streaming_minhash_pairs
+
+    return streaming_minhash_pairs(spark, sf_dir)

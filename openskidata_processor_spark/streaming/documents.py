@@ -386,3 +386,169 @@ def streaming_winnow_pairs(spark: SparkSession, sf_dir: str,
     if state_base is None:
         shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+def streaming_minhash_pairs(spark: SparkSession, sf_dir: str,
+                            max_files_per_trigger: int | None = None,
+                            state_base: str | None = None,
+                            threshold: float = 0.8) -> DataFrame:
+    """Incremental MinHash-LSH near-dup detection — the streaming twin
+    of ``operators.dedup.minhash_dedup_pairs`` and the third member of
+    the streaming-dedup family (exact digests → winnowed runs → LSH
+    Jaccard).  Each micro-batch:
+
+    1. signatures + LSH band keys for its NEW documents only
+       (re-delivered doc ids anti-join out against standing bands);
+    2. candidate pairs = in-batch band join ∪ new-vs-standing band join
+       — a pair surfaces the moment its later document arrives;
+    3. EXACT-Jaccard verification against the standing shingle postings
+       (state ships only candidate ids' rows to the verify join);
+    4. pairs land in the ledger, bands + shingles commit to state.
+
+    Signatures, bands, candidate generation and the verify math are the
+    batch operator's own functions, and a pair's Jaccard is immutable
+    once both docs exist — so the drained ledger equals the BATCH
+    operator's output exactly (pinned by test), regardless of batching.
+    LSH recall bounds are inherited unchanged (the batch recall harness
+    covers them); like the batch path this is approximate-by-design, so
+    the catalog entry is rows-only.
+
+    State = ``batch=<id>`` OVERWRITE partitions with the standing read
+    excluding the current batch (same replay-idempotency contract as
+    the other two twins); ``state_base`` persists it across calls.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import minhash_signatures, shingle_table
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs_path = f"{sf_dir}/documents.parquet"
+
+    if os.path.isdir(docs_path):
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger",
+                                   max_files_per_trigger)
+        stream = reader.parquet(docs_path)
+    else:
+        reader = (spark.readStream.schema(schema)
+                  .option("pathGlobFilter", "documents.parquet"))
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger",
+                                   max_files_per_trigger)
+        stream = reader.parquet(sf_dir)
+
+    work = state_base or tempfile.mkdtemp(prefix="stream_minhash_")
+    band_state = os.path.join(work, "band_state")    # (doc_id, band, h)
+    sh_state = os.path.join(work, "shingle_state")   # (doc_id, shingle)
+    pair_dir = os.path.join(work, "pairs")
+    ckpt_dir = os.path.join(work, "checkpoint")
+
+    def process_batch(batch_df, batch_id):
+        ss = batch_df.sparkSession
+        new_docs = batch_df.select("doc_id", "text") \
+            .dropDuplicates(["doc_id"])
+        if os.path.exists(band_state):
+            standing_bands = (ss.read.parquet(band_state)
+                              .filter(F.col("batch") != batch_id)
+                              .select("doc_id", "band", "band_hash"))
+            new_docs = new_docs.join(
+                standing_bands.select("doc_id").distinct(),
+                "doc_id", "left_anti")
+        else:
+            standing_bands = None
+        sigs = minhash_signatures(new_docs, "doc_id", "text")
+        new_bands = _band_rows(sigs).persist()
+        new_sh = shingle_table(new_docs, "doc_id", "text") \
+            .toDF("doc_id", "shingle").persist()
+        try:
+            nn = (new_bands.toDF("id_a", "band", "band_hash")
+                  .join(new_bands.toDF("id_b", "band", "band_hash"),
+                        ["band", "band_hash"])
+                  .filter(F.col("id_a") < F.col("id_b"))
+                  .select("id_a", "id_b"))
+            cands = nn
+            if standing_bands is not None:
+                no = (new_bands.toDF("id_n", "band", "band_hash")
+                      .join(standing_bands.toDF("id_o", "band",
+                                                "band_hash"),
+                            ["band", "band_hash"])
+                      .select(F.least("id_n", "id_o").alias("id_a"),
+                              F.greatest("id_n", "id_o").alias("id_b")))
+                cands = cands.unionByName(no)
+            cands = cands.distinct()
+
+            if os.path.exists(sh_state):
+                standing_sh = (ss.read.parquet(sh_state)
+                               .filter(F.col("batch") != batch_id)
+                               .select("doc_id", "shingle"))
+                all_sh = new_sh.unionByName(standing_sh)
+            else:
+                all_sh = new_sh
+            sizes = all_sh.groupBy("doc_id").agg(
+                F.count("*").alias("set_size"))
+            a = all_sh.toDF("id_a", "shingle")
+            b = all_sh.toDF("id_b", "shingle")
+            inter = (a.join(cands, "id_a")
+                     .join(b, ["shingle", "id_b"])
+                     .groupBy("id_a", "id_b")
+                     .agg(F.count("*").alias("n_inter")))
+            (inter
+             .join(sizes.toDF("id_a", "size_a"), "id_a")
+             .join(sizes.toDF("id_b", "size_b"), "id_b")
+             .withColumn("jaccard",
+                         F.col("n_inter") / (F.col("size_a")
+                                             + F.col("size_b")
+                                             - F.col("n_inter")))
+             .filter(F.col("jaccard") >= F.lit(threshold))
+             .select("id_a", "id_b", "jaccard")
+             .write.mode("overwrite")
+             .parquet(os.path.join(pair_dir, f"batch={batch_id}")))
+            new_bands.write.mode("overwrite") \
+                .parquet(os.path.join(band_state, f"batch={batch_id}"))
+            new_sh.write.mode("overwrite") \
+                .parquet(os.path.join(sh_state, f"batch={batch_id}"))
+        finally:
+            new_bands.unpersist()
+            new_sh.unpersist()
+
+    name = f"stream_minhash_{uuid.uuid4().hex[:8]}"
+    q = (stream.writeStream.foreachBatch(process_batch)
+         .queryName(name)
+         .option("checkpointLocation", ckpt_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+    out_schema = "id_a long, id_b long, jaccard double"
+    if not os.path.exists(pair_dir):
+        if state_base is None:
+            shutil.rmtree(work, ignore_errors=True)
+        return spark.createDataFrame([], out_schema)
+    result = (spark.read.parquet(pair_dir)
+              .select("id_a", "id_b", "jaccard")
+              .localCheckpoint(eager=True))
+    if state_base is None:
+        shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+def _band_rows(sig_df: DataFrame, bands: int = 16) -> DataFrame:
+    """(id → doc_id, band, band_hash) rows with the SAME banding
+    expression as ``operators.dedup.lsh_candidate_pairs`` — kept in one
+    place so the streaming twin can never drift from the batch
+    operator's bucketing."""
+    banded = sig_df.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("sig"),
+                            b * (F.size("sig") / bands).cast("int") + 1,
+                            (F.size("sig") / bands).cast("int")),
+                    b),
+            )).alias("band", "band_hash"))
+    return banded.select(F.col("id").alias("doc_id"), "band", "band_hash")

@@ -107,6 +107,8 @@ QUERIES_TO_PROBE = [
     "script_stats", "profile_table_sketch",
     # lakehouse maintenance: stats-side only (≤4096 file rows at any SF)
     "file_skipping_stats", "compaction_plan", "quantiles_sketch",
+    # streaming LSH twin on the duplication-skew corpus
+    "stream_minhash_pairs",
 ]
 
 

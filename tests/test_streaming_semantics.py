@@ -437,3 +437,39 @@ def test_streaming_curation_state_base_dedups_across_calls(spark,
     assert second["s"]["n_docs"] == 3
     assert second["s"]["n_dup"] == 1
     assert second["s"]["n_kept"] == 2
+
+
+def test_streaming_minhash_equals_batch_across_batches(spark, tmp_path):
+    """One file per micro-batch: near-dup pairs whose members arrive in
+    DIFFERENT batches still surface (new band keys join the standing
+    postings), exact-Jaccard verification uses the standing shingle
+    state, re-delivered doc ids no-op, and the drained ledger equals
+    the batch minhash_dedup_pairs output exactly."""
+    from openskidata_processor_spark.operators.dedup import \
+        minhash_dedup_pairs
+    from openskidata_processor_spark.streaming.documents import \
+        streaming_minhash_pairs
+
+    base = " ".join(f"t{i}" for i in range(30))
+    b1 = [(1, "s", base, "en", 1)]
+    b2 = [(2, "s", base + " x1", "en", 1),          # near-dup of batch-1 #1
+          (3, "s", " ".join(f"z{i}" for i in range(25)), "en", 1)]
+    b3 = [(1, "s", base, "en", 1),                  # re-delivery: no-op
+          (4, "s", base + " y1", "en", 1)]          # near-dup of #1 and #2
+    schema = ("doc_id long, source string, text string, lang string, "
+              "n_chars long")
+    d = tmp_path / "src"
+    d.mkdir()
+    for batch in (b1, b2, b3):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append").parquet(str(d / "documents.parquet"))
+
+    got = sorted(map(tuple, streaming_minhash_pairs(
+        spark, str(d), max_files_per_trigger=1).collect()))
+    batch_docs = spark.createDataFrame(b1 + b2 + b3[1:], schema)
+    want = sorted(map(tuple, minhash_dedup_pairs(
+        batch_docs, "doc_id", "text").collect()))
+    assert got == want
+    pairs = {(a, b) for a, b, _ in got}
+    assert (1, 2) in pairs and (1, 4) in pairs      # cross-batch pairs
+    assert all(3 not in p for p in pairs)
