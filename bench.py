@@ -116,6 +116,8 @@ EXTENDED_QUERIES = [
     "compaction_plan",
     "quantiles_sketch",
     "stream_minhash_pairs",
+    "oov_rate_docs",
+    "source_overlap_matrix",
 ]
 
 

@@ -1399,3 +1399,108 @@ def quantiles_sketch(spark, sf_dir):
                     F.col("qs")[0].alias("q25"),
                     F.col("qs")[1].alias("q50"),
                     F.col("qs")[2].alias("q75")))
+
+
+# ---------------------------------------------------------------------------
+# Dataset audits: tokenizer coverage and cross-source leakage — the two
+# reports a data team runs before committing a corpus to training.
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 100        # top-K corpus terms = the "tokenizer vocabulary"
+
+
+@query("oov_rate_docs")
+def oov_rate_docs(spark, sf_dir):
+    """(doc_id, n_tokens, n_oov, oov_pm): per-document out-of-vocabulary
+    rate against the corpus top-K term vocabulary (ties broken by term,
+    exact integer per-mille) — the tokenizer-coverage report.  The
+    vocabulary is corpus-derived (one agg + one top-K sort of K rows)
+    and BROADCASTS to the per-doc join; token-less docs report 0/0/0."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.words(F.col("text")).alias("ws"))
+    toks = docs.select("doc_id", F.explode("ws").alias("w"))
+    vocab = (toks.groupBy("w").agg(F.count("*").alias("n"))
+             .orderBy(F.col("n").desc(), F.col("w"))
+             .limit(_VOCAB_K)
+             .select("w"))
+    base = docs.select("doc_id", F.size("ws").cast("long")
+                       .alias("n_tokens"))
+    oov = (toks.join(F.broadcast(vocab), "w", "left_anti")
+           .groupBy("doc_id").agg(F.count("*").alias("n_oov")))
+    return (base.join(oov, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce("n_oov", F.lit(0)).alias("n_oov"))
+            .withColumn("oov_pm",
+                        F.when(F.col("n_tokens") > 0,
+                               F.expr("(n_oov * 1000) div n_tokens"))
+                        .otherwise(F.lit(0).cast("long"))))
+
+
+ORACLES["oov_rate_docs"] = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(ws) AS w FROM w
+), vocab AS (
+  SELECT w FROM (SELECT w, count(*) AS n FROM toks GROUP BY w)
+  ORDER BY n DESC, w LIMIT {_VOCAB_K}
+), oov AS (
+  SELECT doc_id, count(*) AS n_oov FROM toks
+  WHERE w NOT IN (SELECT w FROM vocab) GROUP BY doc_id
+)
+SELECT w.doc_id, len(ws) AS n_tokens,
+       coalesce(o.n_oov, 0) AS n_oov,
+       CASE WHEN len(ws) > 0
+            THEN (coalesce(o.n_oov, 0) * 1000) // len(ws)
+            ELSE 0 END AS oov_pm
+FROM w LEFT JOIN oov o USING (doc_id)
+"""
+
+
+_OVERLAP_N = 5        # shingle width for the leakage matrix
+
+
+@query("source_overlap_matrix")
+def source_overlap_matrix(spark, sf_dir):
+    """(source_a, source_b, n_shared_shingles): for every ordered source
+    pair, how many distinct word 5-grams appear in BOTH — the
+    cross-source leakage matrix that decides whether sources can serve
+    as independent train/eval splits (shingle-level catches the fuzzy
+    leakage exact digests miss).  One shuffle on the distinct
+    (source, shingle) posting; the self-join meets on the shingle and
+    output is bounded by sources², never the corpus.  At crawl scale a
+    stop-shingle doc-frequency cap bounds the per-shingle fan-out — the
+    same ``max_doc_freq`` lever the MinHash dedup path uses."""
+    d = (_t(spark, sf_dir, "documents")
+         .select("source",
+                 F.explode(F.array_distinct(T.word_shingles(
+                     T.words(F.col("text")), _OVERLAP_N)))
+                 .alias("shingle"))
+         .distinct())
+    a = d.toDF("source_a", "shingle")
+    b = d.toDF("source_b", "shingle")
+    return (a.join(b, "shingle")
+            .filter(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count("*").alias("n_shared_shingles")))
+
+
+ORACLES["source_overlap_matrix"] = f"""
+WITH w AS (
+  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), d AS (
+  SELECT DISTINCT source,
+         unnest(list_distinct(
+           [array_to_string(list_slice(ws, i, i + {_OVERLAP_N - 1}), ' ')
+            FOR i IN generate_series(1, len(ws) - {_OVERLAP_N - 1})]))
+           AS shingle
+  FROM w WHERE len(ws) >= {_OVERLAP_N}
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*) AS n_shared_shingles
+FROM d a JOIN d b USING (shingle)
+WHERE a.source < b.source
+GROUP BY 1, 2
+"""

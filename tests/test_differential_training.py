@@ -369,3 +369,12 @@ def test_lakehouse_maintenance_fuzz(spark, tmp_path, seed):
             "o_orderkey long, o_custkey long, o_orderdate date",
             ["o_orderkey", "o_custkey", "o_orderdate"], qname)
         assert got == want, qname
+
+
+@pytest.mark.parametrize("seed", [179, 181])
+def test_dataset_audit_fuzz(spark, tmp_path, seed):
+    rows = _random_docs(seed, 50)
+    for qname in ("oov_rate_docs", "source_overlap_matrix"):
+        got, want = _run_query(spark, tmp_path, "documents", rows,
+                               _DOC_SCHEMA, _DOC_COLS, qname)
+        assert got == want, qname
