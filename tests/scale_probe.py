@@ -115,6 +115,12 @@ QUERIES_TO_PROBE = [
     # UNDER the batch dedup_minhash_lsh's 30.7s on the same corpus —
     # the incremental plan never re-pairs standing documents.
     "stream_minhash_pairs",
+    # dataset audits at 10×: oov_rate_docs 4.2s (broadcast vocab,
+    # linear); source_overlap_matrix 11.2s for the full 20×20 matrix —
+    # on this tiny-vocabulary corpus ~every shingle lives in every
+    # source (the stop-shingle worst case the doc-frequency cap exists
+    # for); output stays 190 rows regardless.
+    "oov_rate_docs", "source_overlap_matrix",
 ]
 
 
