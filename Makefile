@@ -3,7 +3,7 @@
 # run it first (round 5 shipped a 122-test ANSI regression in a snapshot
 # commit that this exact target would have caught in under two minutes).
 
-.PHONY: check test bench driver-sim
+.PHONY: check test bench driver-sim window-check
 
 # Fast regression gate (~2.5 min): formatter semantics + ANSI edge probes +
 # golden sha256-pinned end-to-end artifacts + the driver-window contract
@@ -22,6 +22,14 @@ test:
 # import failures that repo-cwd runs mask).
 driver-sim:
 	cd /tmp && python3 $(CURDIR)/tests/driver_sim.py
+
+# MANDATORY before rotating queries into the driver window: the oracle
+# type guard (the driver hash is type-sensitive — repr-normalizing local
+# compares miss HUGEINT drift; round-8 lesson) plus a driver-sim limited
+# to exactly list(queries())[:50], the slice the real driver snapshots.
+window-check:
+	python -m pytest tests/test_oracle_types.py -q
+	cd /tmp && python3 $(CURDIR)/tests/driver_sim.py --window
 
 bench:
 	python bench.py

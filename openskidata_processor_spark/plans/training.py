@@ -1308,11 +1308,11 @@ WITH d AS (
   FROM (SELECT unnest(generate_series(0, {_SKIP_PREDS - 1})) AS q)
 )
 SELECT pred_id, lo_day, hi_day, count(*) AS n_files,
-       sum(CASE WHEN max_day < lo_day OR min_day > hi_day
-                THEN 1 ELSE 0 END) AS n_skipped,
-       sum(n_rows) AS rows_total,
-       sum(CASE WHEN max_day < lo_day OR min_day > hi_day
-                THEN 0 ELSE n_rows END) AS rows_scanned
+       CAST(sum(CASE WHEN max_day < lo_day OR min_day > hi_day
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN max_day < lo_day OR min_day > hi_day
+                     THEN 0 ELSE n_rows END) AS BIGINT) AS rows_scanned
 FROM stats CROSS JOIN preds
 GROUP BY 1, 2, 3
 """

@@ -283,8 +283,9 @@ WITH urls AS (
   SELECT domain, canonical, count(*) AS n, min(doc_id) AS kept_doc
   FROM canon GROUP BY 1, 2
 )
-SELECT domain, SUM(n) AS n_urls, count(*) AS n_canonical,
-       SUM(kept_doc) AS sum_kept_doc_ids
+SELECT domain, CAST(SUM(n) AS BIGINT) AS n_urls,
+       count(*) AS n_canonical,
+       CAST(SUM(kept_doc) AS BIGINT) AS sum_kept_doc_ids
 FROM per_url GROUP BY domain
 """
 

@@ -1,6 +1,13 @@
 """Simulates the correctness driver: loads __spark_entry__.py by path from a
 NEUTRAL cwd (not the repo), runs entry() smoke, then every queries() entry at
-sf0.01 side-by-side with oracle_sql() in DuckDB, order-insensitive compare."""
+sf0.01 side-by-side with oracle_sql() in DuckDB, order-insensitive compare.
+
+CAVEAT: the REAL driver's value hash is TYPE-SENSITIVE, while this sim (and
+test_oracle_parity.py) normalizes ints through repr() — a DuckDB HUGEINT vs
+Spark BIGINT drift passes here but fails the driver (round-8 lesson:
+url_canonical_stats).  tests/test_oracle_types.py closes that gap by binding
+every oracle and rejecting HUGEINT/UHUGEINT/DECIMAL(38 output columns; run it
+(or `make window-check`) alongside this sim before shipping a rotation."""
 import importlib.util, datetime, math, sys
 import duckdb
 from pyspark.sql import SparkSession
@@ -30,6 +37,11 @@ def norm(v):
     return repr(v)
 
 qs, oracles = mod.queries(), mod.oracle_sql()
+if "--window" in sys.argv:
+    # Mirror the real driver exactly: it snapshots list(queries())[:50].
+    keep = list(qs)[:50]
+    qs = {k: qs[k] for k in keep}
+    print(f"window mode: {len(qs)} queries (list(queries())[:50])")
 fail = 0
 for name, fn in sorted(qs.items()):
     df = fn(spark, SF)
