@@ -32,7 +32,7 @@ import sys
 import time
 
 
-def build(workdir: str) -> None:
+def build(workdir: str, replicas: int = 10) -> None:
     import duckdb
 
     os.makedirs(workdir, exist_ok=True)
@@ -42,8 +42,10 @@ def build(workdir: str) -> None:
       COPY (SELECT doc_id + r * 10000000 AS doc_id, text, lang, source,
                    n_chars
             FROM read_parquet('{src}/documents.parquet'),
-                 (SELECT unnest(generate_series(0, 9)) AS r))
+                 (SELECT unnest(generate_series(0, {replicas - 1})) AS r))
       TO '{workdir}/documents.parquet' (FORMAT PARQUET)""")
+    if replicas != 10:
+        return     # the larger corpora serve the bloom probe only
     con.execute(f"""
       COPY (SELECT vec_id + r * 10000000 AS vec_id, embedding, label
             FROM read_parquet('{src}/embeddings.parquet'),
@@ -93,15 +95,11 @@ QUERIES_TO_PROBE = [
     # html_extract 4.5s (md5 over the wrapped HTML dominates, linear);
     # url_canonical_stats 3.5s with canonical counts modulus-bounded
     # while n_urls grows 10×; profile_table_sketch 1.5s vs the exact
-    # profile's 2.2s (the Expand removal).  bloom_decontaminate: 13.8s —
-    # SLOWER here than the plain join, deliberately kept as the
-    # adversarial datapoint: the word-soup corpus's tiny vocabulary
-    # makes ~every training shingle a benchmark member, so the filter
-    # admits ~100% and its 5 hashes/probe are pure overhead.  Bloom
-    # pruning pays exactly when the big side is mostly NON-matching
-    # (the real decontamination regime, where benchmark∩training is
-    # rare); the no-false-negative contract keeps the answer exact in
-    # both regimes.
+    # profile's 2.2s (the Expand removal).  bloom_decontaminate was
+    # reworked in round 9 (fixed 200-doc benchmark slice, 5-gram
+    # shingles, count-sized bitmap, one-xxhash64 probe, cached bench
+    # frame); its dedicated regime probe is ``--bloom`` below and its
+    # shuffle-volume contract is CI-pinned in tests/test_bloom.py.
     "html_extract_text", "url_canonical_stats", "mojibake_stats",
     "chunk_documents", "bloom_decontaminate", "blocklist_filter_docs",
     "script_stats", "profile_table_sketch",
@@ -250,12 +248,152 @@ def hot_bucket_probe() -> None:
     bucketed.unpersist()
 
 
+def bloom_probe(replicas: int = 80) -> None:
+    """Bloom pre-join pruning vs the bloom-free exact join in the
+    PRODUCTION decontamination shape: the benchmark is its own SMALL
+    table (the 500-doc sf0.01 documents corpus — disjoint from sf0.1,
+    ~1% 5-gram shingle overlap, so training is mostly NON-matching) and
+    the training corpus is a ``replicas``× replica set.  The catalog
+    query's in-corpus ``doc_id < 200`` slice exists only so its DuckDB
+    oracle is self-contained on one table; at scale the eval suite is a
+    separate table, and forcing it out of an unclustered 100 TB corpus
+    would charge the bloom build a full-corpus scan it never pays in
+    production.
+
+    Regime A (broadcastable bench, AQE on — the toy scale): both plans
+    broadcast the bench shingles; the bloom probe is expected OVERHEAD
+    here, and the number to watch is that it stays small.  Regime B
+    (autoBroadcastJoinThreshold=-1 — emulates a benchmark-shingle set
+    past the broadcast threshold, the bloom niche: a 37M-key eval suite
+    is gigabytes as strings but 32 MiB as a bitmap): the exact twin
+    must shuffle EVERY training shingle; the bloom path shuffles only
+    the ~1%-pass candidates.  Each timed run is fully self-contained
+    (its own bench scan / sizing / build / persist), so the bloom build
+    cost is charged to the bloom side.  Also asserts the two answers
+    are identical (no false negatives + verify join).
+
+    Cost model (measured 2026-08, local[32], phase-accounted
+    min-of-2): the bloom side pays a ~1 s warm serial prefix (bench
+    scan+count ~0.5 s + bitmap build ~0.4 s — driver job latency,
+    corpus-independent) plus ~0.1 s per 1M training shingles for the
+    one-xxhash64 probe, and saves the exact twin's training-shingle
+    exchange+sort, LINEAR in the corpus.  Local NVMe shuffles these
+    corpora at memory speed, so the wall-clock margin is thin and noisy
+    below ~40× (40×: regime B 29.0 vs 27.3 s — inside host noise); at
+    80× (default here) the bloom path edges ahead (regime B 61.3 vs
+    61.7 s).  The structural claim — the verify join's shuffle INPUT is
+    cut to ≲2% of the exact twin's with zero false negatives — is
+    pinned deterministically in CI
+    (tests/test_bloom.py::test_bloom_prunes_verify_shuffle_volume);
+    on a network-shuffled cluster that volume ratio, not this host's
+    NVMe wall-clock, is the operative number and the crossover moves
+    far left."""
+    import time as _time
+
+    workdir = "/tmp/sfbig" if replicas == 10 else f"/tmp/sfbig{replicas}"
+    if not os.path.exists(f"{workdir}/documents.parquet"):
+        build(workdir, replicas=replicas)
+    bench_table = "/root/testdata/sf0.01/documents.parquet"
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from openskidata_processor_spark.operators.bloom import (
+        build_bloom_bits, might_contain, size_bits)
+    from openskidata_processor_spark.plans.analytics import _t
+    from openskidata_processor_spark.plans.hygiene import _bloom_shingles
+
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "64")
+             .config("spark.driver.memory", "16g")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def bench_shingles():
+        return (_bloom_shingles(spark.read.parquet(bench_table))
+                .select("shingle").distinct().coalesce(8))
+
+    def train_shingles():
+        return _bloom_shingles(_t(spark, workdir, "documents"))
+
+    def exact_twin(bench_sh):
+        return (train_shingles()
+                .join(bench_sh, "shingle", "left_semi")
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("n_contaminated")))
+
+    def bloom_query(bench_sh, bits):
+        return (train_shingles()
+                .filter(might_contain(F.col("shingle"), bits))
+                .join(bench_sh, "shingle", "left_semi")
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("n_contaminated")))
+
+    def timed(fn):
+        t0 = _time.perf_counter()
+        r = fn()
+        return r, _time.perf_counter() - t0
+
+    # warm the scan cache once so neither side is charged first-read IO
+    _t(spark, workdir, "documents").write.format(
+        "noop").mode("overwrite").save()
+    noop = lambda df: df.write.format(  # noqa: E731
+        "noop").mode("overwrite").save()
+    for regime, thresh in (("A broadcastable", "10485760"),
+                           ("B non-broadcastable", "-1")):
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", thresh)
+        # phase-accounted, interleaved, min-of-2 per phase: run-order /
+        # GC noise at this corpus size is ±3 s, larger than the margin
+        # a single run can resolve.  The bloom serial prefix (bench
+        # scan+count, bitmap build) re-runs UNCACHED each repeat and is
+        # charged to the bloom total; the verify query and the exact
+        # twin share one cached bench frame per repeat so the ONLY
+        # difference between the two timed queries is probe-vs-shuffle.
+        phases = {k: [] for k in ("bench", "build", "bloom_q", "exact_q")}
+        for _ in range(2):
+            bench_sh, dt = timed(
+                lambda: bench_shingles().persist())
+            n, dt2 = timed(bench_sh.count)
+            phases["bench"].append(dt + dt2)
+            bits, dt = timed(lambda: build_bloom_bits(
+                bench_sh, F.col("shingle"), n_bits=size_bits(n)))
+            phases["build"].append(dt)
+            _, dt = timed(lambda: noop(bloom_query(bench_sh, bits)))
+            phases["bloom_q"].append(dt)
+            _, dt = timed(lambda: noop(exact_twin(bench_sh)))
+            phases["exact_q"].append(dt)
+            bench_sh.unpersist()
+        m = {k: min(v) for k, v in phases.items()}
+        bloom_total = m["bench"] + m["build"] + m["bloom_q"]
+        exact_total = m["bench"] + m["exact_q"]
+        print(f"regime {regime}: bloom {bloom_total:.1f}s "
+              f"(bench {m['bench']:.1f} + build {m['build']:.1f} + "
+              f"query {m['bloom_q']:.1f}) vs exact {exact_total:.1f}s "
+              f"(bench {m['bench']:.1f} + query {m['exact_q']:.1f})",
+              flush=True)
+    bench_sh = bench_shingles().persist()
+    bits = build_bloom_bits(bench_sh, F.col("shingle"),
+                            n_bits=size_bits(bench_sh.count()))
+    diff = (bloom_query(bench_sh, bits)
+            .exceptAll(exact_twin(bench_sh)).count())
+    bench_sh.unpersist()
+    print(f"output identical: {diff == 0}", flush=True)
+
+
 def main() -> None:
     if "--skew" in sys.argv:
         skew_probe()
         return
     if "--hot-bucket" in sys.argv:
         hot_bucket_probe()
+        return
+    if "--bloom" in sys.argv:
+        rest = sys.argv[sys.argv.index("--bloom") + 1:]
+        bloom_probe(int(rest[0]) if rest else 80)
         return
     workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfbig"
     if not os.path.exists(f"{workdir}/documents.parquet"):
