@@ -20,10 +20,37 @@ column to bound state, which the documents table doesn't carry.
 
 from __future__ import annotations
 
+import json
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _pin_source(work: str, sf_dir: str) -> None:
+    """Enforce the one-source-per-``state_base`` contract: the
+    Structured Streaming checkpoint inside ``state_base`` records the
+    file source's path + offsets, so resuming it against a DIFFERENT
+    source directory would drain from the OLD source's offsets — a
+    silently stale (or failed) result.  First use writes a marker with
+    the absolute source path; any later call with a different source
+    fails loudly instead."""
+    marker = os.path.join(work, "source.json")
+    src = os.path.abspath(sf_dir)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            pinned = json.load(f)["source"]
+        if pinned != src:
+            raise ValueError(
+                f"state_base {work!r} is pinned to source {pinned!r}; "
+                f"refusing to resume its checkpoint against {src!r} — "
+                f"one source directory per state_base (use a fresh "
+                f"state_base for a different corpus)")
+    else:
+        os.makedirs(work, exist_ok=True)
+        with open(marker, "w") as f:
+            json.dump({"source": src}, f)
 
 
 def streaming_exact_dedup_counts(spark: SparkSession,
@@ -166,6 +193,8 @@ def streaming_curation_stats(spark: SparkSession, sf_dir: str,
                 .persist())
 
     work = state_base or tempfile.mkdtemp(prefix="stream_curate_")
+    if state_base:
+        _pin_source(work, sf_dir)   # one source per state_base
     state_dir = os.path.join(work, "digest_state")   # (source, digest)
     incr_dir = os.path.join(work, "increments")      # per-batch counts
     ckpt_dir = os.path.join(work, "checkpoint")
@@ -323,6 +352,8 @@ def streaming_winnow_pairs(spark: SparkSession, sf_dir: str,
         stream = reader.parquet(sf_dir)
 
     work = state_base or tempfile.mkdtemp(prefix="stream_winnow_")
+    if state_base:
+        _pin_source(work, sf_dir)   # one source per state_base
     fp_state = os.path.join(work, "fp_state")       # (doc_id, h)
     pair_dir = os.path.join(work, "pairs")          # discovered pairs
     ckpt_dir = os.path.join(work, "checkpoint")
@@ -402,7 +433,10 @@ def streaming_minhash_pairs(spark: SparkSession, sf_dir: str,
     2. candidate pairs = in-batch band join ∪ new-vs-standing band join
        — a pair surfaces the moment its later document arrives;
     3. EXACT-Jaccard verification against the standing shingle postings
-       (state ships only candidate ids' rows to the verify join);
+       — BOTH verify legs are candidate-pruned: the intersection join
+       and the set-size aggregation see only candidate ids' posting
+       rows (one semi-join on the candidate id set), so per-batch state
+       work is O(candidates), not O(total standing state);
     4. pairs land in the ledger, bands + shingles commit to state.
 
     Signatures, bands, candidate generation and the verify math are the
@@ -441,6 +475,8 @@ def streaming_minhash_pairs(spark: SparkSession, sf_dir: str,
         stream = reader.parquet(sf_dir)
 
     work = state_base or tempfile.mkdtemp(prefix="stream_minhash_")
+    if state_base:
+        _pin_source(work, sf_dir)   # one source per state_base
     band_state = os.path.join(work, "band_state")    # (doc_id, band, h)
     sh_state = os.path.join(work, "shingle_state")   # (doc_id, shingle)
     pair_dir = os.path.join(work, "pairs")
@@ -463,6 +499,7 @@ def streaming_minhash_pairs(spark: SparkSession, sf_dir: str,
         new_bands = _band_rows(sigs).persist()
         new_sh = shingle_table(new_docs, "doc_id", "text") \
             .toDF("doc_id", "shingle").persist()
+        cands = None
         try:
             nn = (new_bands.toDF("id_a", "band", "band_hash")
                   .join(new_bands.toDF("id_b", "band", "band_hash"),
@@ -478,7 +515,7 @@ def streaming_minhash_pairs(spark: SparkSession, sf_dir: str,
                       .select(F.least("id_n", "id_o").alias("id_a"),
                               F.greatest("id_n", "id_o").alias("id_b")))
                 cands = cands.unionByName(no)
-            cands = cands.distinct()
+            cands = cands.distinct().persist()
 
             if os.path.exists(sh_state):
                 standing_sh = (ss.read.parquet(sh_state)
@@ -487,10 +524,19 @@ def streaming_minhash_pairs(spark: SparkSession, sf_dir: str,
                 all_sh = new_sh.unionByName(standing_sh)
             else:
                 all_sh = new_sh
-            sizes = all_sh.groupBy("doc_id").agg(
+            # prune the standing postings to candidate docs BEFORE any
+            # aggregation: a typical batch's candidate set is tiny next
+            # to the standing corpus, and the semi-join keeps every
+            # shingle row of a kept doc, so set_size stays exact
+            cand_ids = (cands.select(F.col("id_a").alias("doc_id"))
+                        .unionByName(cands.select(F.col("id_b")
+                                                  .alias("doc_id")))
+                        .distinct())
+            cand_sh = all_sh.join(cand_ids, "doc_id", "left_semi")
+            sizes = cand_sh.groupBy("doc_id").agg(
                 F.count("*").alias("set_size"))
-            a = all_sh.toDF("id_a", "shingle")
-            b = all_sh.toDF("id_b", "shingle")
+            a = cand_sh.toDF("id_a", "shingle")
+            b = cand_sh.toDF("id_b", "shingle")
             inter = (a.join(cands, "id_a")
                      .join(b, ["shingle", "id_b"])
                      .groupBy("id_a", "id_b")
@@ -513,6 +559,8 @@ def streaming_minhash_pairs(spark: SparkSession, sf_dir: str,
         finally:
             new_bands.unpersist()
             new_sh.unpersist()
+            if cands is not None:
+                cands.unpersist()
 
     name = f"stream_minhash_{uuid.uuid4().hex[:8]}"
     q = (stream.writeStream.foreachBatch(process_batch)

@@ -401,6 +401,37 @@ def test_streaming_winnow_state_base_survives_calls(spark, tmp_path):
     assert third == first
 
 
+def test_state_base_pinned_to_one_source(spark, tmp_path):
+    """The checkpoint inside ``state_base`` records the file source's
+    path + offsets, so resuming it against a DIFFERENT source dir would
+    drain stale offsets; all three streaming twins must fail loudly
+    instead of resuming (ADVICE r8: one-source-per-state_base)."""
+    import pytest
+
+    from openskidata_processor_spark.streaming.documents import (
+        streaming_curation_stats, streaming_minhash_pairs,
+        streaming_winnow_pairs)
+
+    run = " ".join(f"c{i}" for i in range(12))
+    schema = ("doc_id long, source string, text string, lang string, "
+              "n_chars long")
+    d1, d2 = tmp_path / "src1", tmp_path / "src2"
+    for d in (d1, d2):
+        d.mkdir()
+        spark.createDataFrame([(1, "s", run, "en", 1)], schema) \
+            .coalesce(1).write.mode("append") \
+            .parquet(str(d / "documents.parquet"))
+
+    for fn in (streaming_winnow_pairs, streaming_curation_stats,
+               streaming_minhash_pairs):
+        state = str(tmp_path / f"state_{fn.__name__}")
+        fn(spark, str(d1), state_base=state)
+        with pytest.raises(ValueError, match="pinned to source"):
+            fn(spark, str(d2), state_base=state)
+        # the original source still resumes fine
+        fn(spark, str(d1), state_base=state)
+
+
 def test_streaming_curation_state_base_dedups_across_calls(spark,
                                                            tmp_path):
     """``state_base`` makes the digest state a standing dedup ledger
