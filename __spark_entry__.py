@@ -68,10 +68,14 @@ _DRIVER_WINDOW = [
     "pii_redact_docs", "quality_repetition", "contamination_ngram",
     "dedup_passages", "pack_sequences",
     "shard_assignment",
-    # round-8 web-ingestion + bloom probes: the new family's hard signal
+    # round-8 web-ingestion + bloom probes, and the round-9 language-ID
+    # stage completing the crawl family (HTML→URL→mojibake→script→lang)
     "html_extract_text", "url_canonical_stats", "bloom_decontaminate",
-    # multimodal (all real-codec paths)
-    "multimodal_decode_stats", "multimodal_resize_stats",
+    "lang_id_confusion",
+    # multimodal (multimodal_resize_stats rotated out for lang_id —
+    # the family keeps four in-window entries and resize stays
+    # hard-gated by the identical parity check + its pytest suite)
+    "multimodal_decode_stats",
     "multimodal_audio_stats", "multimodal_video_stats",
     "multimodal_frame_sample",
     # streaming

@@ -411,3 +411,125 @@ SELECT doc_id, n_latin, n_digit, n_cyrillic, n_greek, n_cjk,
             ELSE 'cjk' END AS dominant_script
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# Language identification — the fastText-style crawl stage (Joulin 2016:
+# character-n-gram features, linear model, argmax over languages),
+# re-expressed as train → broadcast-model join → integer-score argmax so
+# the whole pipeline is closed-form and DuckDB-oracle-checkable:
+#
+# 1. MODEL: character trigrams of each training doc's first 256 chars
+#    (the standard LID practice of scoring a bounded prefix — cost per
+#    row is corpus-independent), counted per (lang, ngram) and pruned to
+#    the top-200 ngrams per language (count DESC, ngram ASC — fully
+#    deterministic).  The pruned model is ≤ langs × 200 rows — always
+#    broadcastable; the pre-pruning frame is bounded by the FEATURE
+#    space (≤ charset³ rows per language), not the corpus, so the
+#    per-language top-K window never sees corpus-scale input.
+# 2. SCORE: test-doc trigram occurrences join the broadcast model;
+#    score(doc, lang) = Σ model-count over the doc's trigram
+#    occurrences — all-integer (no log-prob floats, whose
+#    summation-order drift would break the driver's value hash).
+# 3. ARGMAX: max(struct(score, lang)) per doc — ties break to the
+#    lexicographically larger language, mirrored in the oracle's
+#    ORDER BY score DESC, lang DESC.  Docs with no model hit → 'unk'.
+#
+# Output is the confusion matrix (true lang × predicted lang), the
+# routing/quality signal a crawl pipeline actually monitors.  On this
+# synthetic corpus every lang shares one vocabulary, so the matrix
+# mostly collapses into the majority class — the MACHINERY (model
+# build, broadcast scoring, deterministic argmax) is what's under test,
+# exactly like the multimodal codec family's deterministic fakes.
+# ---------------------------------------------------------------------------
+
+_LID_HEAD = 256       # score a bounded prefix — corpus-independent cost
+_LID_N = 3            # character trigrams
+_LID_TOPK = 200       # model rows per language (broadcast-sized)
+_LID_TRAIN_MOD = 5    # doc_id % 5 == 0 trains; the rest is scored
+
+
+def _char_trigrams(text_col):
+    """Array of character trigrams over the first ``_LID_HEAD`` chars;
+    empty (never a descending ``sequence`` — ANSI) below 3 chars."""
+    head = F.substring(text_col, 1, _LID_HEAD)
+    return F.when(
+        F.length(head) >= _LID_N,
+        F.transform(
+            F.sequence(F.lit(1), F.length(head) - (_LID_N - 1)),
+            lambda i: head.substr(i, F.lit(_LID_N)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@query("lang_id_confusion")
+def lang_id_confusion(spark, sf_dir):
+    """(true_lang, pred_lang, n_docs): character-trigram language-ID
+    confusion matrix — model trained on the doc_id % 5 == 0 split,
+    scored over the rest via a broadcast join + integer argmax."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    grams = _char_trigrams(F.col("text")).alias("__grams")
+
+    model_counts = (docs.filter(F.col("doc_id") % _LID_TRAIN_MOD == 0)
+                    .select("lang", F.explode(grams).alias("ngram"))
+                    .groupBy("lang", "ngram")
+                    .agg(F.count("*").alias("cnt")))
+    rk = F.row_number().over(
+        Window.partitionBy("lang")
+        .orderBy(F.col("cnt").desc(), F.col("ngram").asc()))
+    model = (model_counts.withColumn("__rk", rk)
+             .filter(F.col("__rk") <= _LID_TOPK)
+             .select(F.col("lang").alias("cand_lang"), "ngram", "cnt"))
+
+    test = docs.filter(F.col("doc_id") % _LID_TRAIN_MOD != 0)
+    scores = (test.select("doc_id", F.explode(grams).alias("ngram"))
+              .join(F.broadcast(model), "ngram")
+              .groupBy("doc_id", "cand_lang")
+              .agg(F.sum("cnt").alias("score")))
+    pred = (scores.groupBy("doc_id")
+            .agg(F.max(F.struct("score", "cand_lang")).alias("__m"))
+            .select("doc_id", F.col("__m.cand_lang").alias("pred_lang")))
+    return (test.select("doc_id", F.col("lang").alias("true_lang"))
+            .join(pred, "doc_id", "left")
+            .groupBy("true_lang",
+                     F.coalesce("pred_lang", F.lit("unk"))
+                     .alias("pred_lang"))
+            .agg(F.count("*").alias("n_docs")))
+
+
+ORACLES["lang_id_confusion"] = f"""
+WITH d AS (
+  SELECT doc_id, lang, substr(text, 1, {_LID_HEAD}) AS head
+  FROM documents
+), g AS (
+  SELECT doc_id, lang,
+         unnest([substr(head, i, {_LID_N})
+                 FOR i IN generate_series(1, len(head) - {_LID_N - 1})])
+           AS ngram
+  FROM d
+), model AS (
+  SELECT cand_lang, ngram, cnt FROM (
+    SELECT lang AS cand_lang, ngram, count(*) AS cnt,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY count(*) DESC, ngram ASC) AS rk
+    FROM g WHERE doc_id % {_LID_TRAIN_MOD} = 0
+    GROUP BY lang, ngram)
+  WHERE rk <= {_LID_TOPK}
+), pred AS (
+  SELECT doc_id, cand_lang AS pred_lang FROM (
+    SELECT g.doc_id, m.cand_lang,
+           row_number() OVER (PARTITION BY g.doc_id
+                              ORDER BY CAST(SUM(m.cnt) AS BIGINT) DESC,
+                                       m.cand_lang DESC) AS rk
+    FROM g JOIN model m USING (ngram)
+    WHERE g.doc_id % {_LID_TRAIN_MOD} <> 0
+    GROUP BY g.doc_id, m.cand_lang)
+  WHERE rk = 1
+)
+SELECT d.lang AS true_lang, coalesce(p.pred_lang, 'unk') AS pred_lang,
+       count(*) AS n_docs
+FROM d LEFT JOIN pred p USING (doc_id)
+WHERE d.doc_id % {_LID_TRAIN_MOD} <> 0
+GROUP BY 1, 2
+"""

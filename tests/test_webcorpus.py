@@ -117,3 +117,50 @@ def test_mojibake_no_pattern_prefixes_a_later_one():
     for i, early in enumerate(bads):
         for late in bads[i + 1:]:
             assert not late.startswith(early), (early, late)
+
+
+# ---------------------------------------------------------------------------
+# Language identification
+# ---------------------------------------------------------------------------
+
+
+def test_lang_id_classifies_tiebreaks_and_unks(spark, tmp_path):
+    """On a corpus with genuinely distinct per-language vocabularies the
+    trigram model must recover the labels; a doc whose trigrams the
+    model never saw predicts 'unk'; and two languages trained on
+    IDENTICAL text tie on every score, so the argmax must break to the
+    lexicographically larger language (the pinned deterministic rule)."""
+    from openskidata_processor_spark.plans import QUERIES
+
+    rows = [
+        # train split (doc_id % 5 == 0)
+        (0, "aa", "xxxxxxxx"),
+        (5, "bb", "yyyyyyyy"),
+        (10, "cc", "qqqqqqqq"),
+        (15, "dd", "qqqqqqqq"),     # identical to cc → tie partner
+        # test split
+        (1, "aa", "xxxxx"),         # only aa trigrams → aa
+        (2, "bb", "yyyyy"),         # only bb trigrams → bb
+        (3, "aa", "zzzzz"),         # unseen trigrams → unk
+        (4, "cc", "qqqqq"),         # ties cc/dd → dd (larger lang)
+    ]
+    spark.createDataFrame(rows, "doc_id long, lang string, text string") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    got = {(r.true_lang, r.pred_lang): r.n_docs
+           for r in QUERIES["lang_id_confusion"](
+               spark, str(tmp_path)).collect()}
+    assert got == {("aa", "aa"): 1, ("bb", "bb"): 1,
+                   ("aa", "unk"): 1, ("cc", "dd"): 1}
+
+
+def test_lang_id_model_is_broadcast_and_prefix_bounded(spark):
+    """The scoring join must be a broadcast of the ≤ langs×200-row
+    model (the training side is never shuffled onto the test side), and
+    the trigram source must be the bounded 256-char prefix."""
+    from conftest import SF_SMOKE
+    from openskidata_processor_spark.plans import QUERIES
+
+    plan = (QUERIES["lang_id_confusion"](spark, SF_SMOKE)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "substring" in plan and "256" in plan
