@@ -118,6 +118,8 @@ EXTENDED_QUERIES = [
     "stream_minhash_pairs",
     "oov_rate_docs",
     "source_overlap_matrix",
+    # round-9 addition: trained-model language identification
+    "lang_id_confusion",
 ]
 
 
