@@ -118,8 +118,10 @@ EXTENDED_QUERIES = [
     "stream_minhash_pairs",
     "oov_rate_docs",
     "source_overlap_matrix",
-    # round-9 addition: trained-model language identification
+    # round-9 additions: trained-model language identification and
+    # CCNet line-level boilerplate removal
     "lang_id_confusion",
+    "line_dedup_docs",
 ]
 
 

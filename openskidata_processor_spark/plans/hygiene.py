@@ -292,6 +292,102 @@ FROM ranked GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# CCNet-style line-level dedup (Wenzek 2019): lines whose NORMALIZED
+# form (lowercase, digits folded to 0 — the exact CCNet trick, so
+# "page 3 of 7" and "page 4 of 9" hash together) recur corpus-wide past
+# a frequency threshold are boilerplate (nav text, footers, cookie
+# banners) and are REMOVED; the document is reassembled from its
+# surviving lines in original order.  Differs from dedup_passages on
+# both axes: frequency-threshold removal (not keep-first), and the
+# deliverable is the REBUILT text (md5-pinned), not counts.
+#
+# Scale shape: two shuffles, both content/key-derived — count-over-
+# window partitioned by line hash (partitions are duplicate groups,
+# tiny by construction — boilerplate with freq > K has at most
+# total/K distinct hashes and each group is just its occurrences), then
+# the doc_id regroup for reassembly.  Reassembly is
+# collect_list(struct(idx, line)) → array_sort → concat: collect_list
+# skips the nulls the boilerplate CASE leaves, and array_sort on the
+# (idx, line) struct makes the order deterministic regardless of
+# arrival order.  No broadcast set is assumed: the over-frequent-hash
+# set is bounded by total/K, which at 100 TB is NOT driver-sized —
+# the window form keeps it distributed.
+# ---------------------------------------------------------------------------
+
+_LINE_WORDS = 8       # synthesized "line" = 8-word chunk (corpus has no \n)
+_LINE_MAX_FREQ = 2    # normalized lines seen MORE than this are boilerplate
+
+
+@query("line_dedup_docs")
+def line_dedup_docs(spark, sf_dir):
+    """(doc_id, n_lines, n_removed, clean_len, clean_md5): CCNet
+    line-level boilerplate removal — normalized-line corpus frequency
+    threshold, then in-order document reassembly."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.words(F.col("text")).alias("ws"))
+    n_chunks = F.ceil(F.size("ws") / F.lit(_LINE_WORDS)).cast("int")
+    chunks = F.when(
+        F.size("ws") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("ws"), i * _LINE_WORDS + 1,
+                             _LINE_WORDS)),
+        )).otherwise(F.array().cast("array<string>"))
+    lines = docs.select(
+        "doc_id", F.posexplode(chunks).alias("idx", "line"))
+    h = F.md5(F.regexp_replace(F.lower(F.col("line")), "[0-9]", "0"))
+    freq = F.count("*").over(Window.partitionBy(h.alias("__h")))
+    flagged = lines.withColumn(
+        "boiler", freq > _LINE_MAX_FREQ)
+    clean = F.concat_ws(
+        " ", F.transform(
+            F.array_sort(F.collect_list(
+                F.when(~F.col("boiler"),
+                       F.struct(F.col("idx"), F.col("line"))))),
+            lambda s: s.getField("line")))
+    return (flagged.groupBy("doc_id")
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum(F.when(F.col("boiler"), 1).otherwise(0))
+                 .alias("n_removed"),
+                 F.length(clean).alias("clean_len"),
+                 F.md5(clean).alias("clean_md5")))
+
+
+ORACLES["line_dedup_docs"] = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         unnest([i - 1 FOR i IN generate_series(1,
+                 CAST(ceil(len(ws) / {_LINE_WORDS}.0) AS BIGINT))]) AS idx,
+         unnest([array_to_string(
+                   ws[(i-1)*{_LINE_WORDS}+1 : i*{_LINE_WORDS}], ' ')
+                 FOR i IN generate_series(1,
+                 CAST(ceil(len(ws) / {_LINE_WORDS}.0) AS BIGINT))]) AS line
+  FROM w WHERE len(ws) > 0
+), flagged AS (
+  SELECT doc_id, idx, line,
+         count(*) OVER (PARTITION BY
+           md5(regexp_replace(lower(line), '[0-9]', '0', 'g')))
+           > {_LINE_MAX_FREQ} AS boiler
+  FROM lines
+)
+SELECT doc_id, count(*) AS n_lines,
+       CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       len(coalesce(
+         string_agg(CASE WHEN NOT boiler THEN line END, ' '
+                    ORDER BY idx), '')) AS clean_len,
+       md5(coalesce(
+         string_agg(CASE WHEN NOT boiler THEN line END, ' '
+                    ORDER BY idx), '')) AS clean_md5
+FROM flagged GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing — greedy next-fit, per-source shards
 # ---------------------------------------------------------------------------
 

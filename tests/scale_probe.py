@@ -119,6 +119,12 @@ QUERIES_TO_PROBE = [
     # source (the stop-shingle worst case the doc-frequency cap exists
     # for); output stays 190 rows regardless.
     "oov_rate_docs", "source_overlap_matrix",
+    # round-9 additions: trained-model LID (model bounded by the
+    # feature space — corpus growth only adds scoring rows) and CCNet
+    # line dedup (duplicate-group windows; the 10× replica corpus makes
+    # EVERY line ≥10-frequent, the adversarial all-boilerplate case —
+    # most docs rebuild to "", and the signal is wall time staying flat)
+    "lang_id_confusion", "line_dedup_docs",
 ]
 
 

@@ -429,3 +429,44 @@ def test_chunk_documents_coverage_and_overlap(spark, tmp_path):
     assert _CHUNK_TOKENS - _CHUNK_STRIDE == 8            # overlap pin
     # doc 2: 10 tokens < C → exactly one (short) chunk
     assert [(r.start_tok, r.n_tokens) for r in by_doc[2]] == [(0, 10)]
+
+
+def test_line_dedup_removes_boilerplate_and_reassembles(spark, tmp_path):
+    """CCNet line dedup vectors: a normalized-identical line ("page 3
+    of 7" vs "page 4 of 9" — digits fold to 0) appearing 3× corpus-wide
+    is boilerplate and is removed from EVERY document; surviving lines
+    reassemble in original order (md5-pinned); a doc losing all its
+    lines rebuilds to the empty string."""
+    import hashlib
+
+    from openskidata_processor_spark.plans import QUERIES
+    from openskidata_processor_spark.plans.hygiene import _LINE_WORDS
+
+    assert _LINE_WORDS == 8
+    boiler = ["page 3 of 7 click here to close",
+              "page 4 of 9 click here to close",
+              "page 5 of 2 click here to close"]   # one normalized line
+    keep_a = "alpha beta gamma delta epsilon zeta eta theta"
+    keep_b = "iota kappa lambda mu nu xi omicron pi"
+    rows = [
+        (1, f"{keep_a} {boiler[0]} {keep_b}"),   # middle line removed
+        (2, f"{boiler[1]} {keep_a}"),            # leading line removed
+        (3, boiler[2]),                          # rebuilds to ""
+        (4, keep_b),                             # untouched
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in
+           QUERIES["line_dedup_docs"](spark, str(tmp_path)).collect()}
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert (got[1].n_lines, got[1].n_removed) == (3, 1)
+    assert got[1].clean_md5 == md5(f"{keep_a} {keep_b}")   # order kept
+    assert (got[2].n_lines, got[2].n_removed) == (2, 1)
+    assert got[2].clean_md5 == md5(keep_a)
+    assert (got[3].n_lines, got[3].n_removed) == (1, 1)
+    assert got[3].clean_len == 0 and got[3].clean_md5 == md5("")
+    assert (got[4].n_lines, got[4].n_removed) == (1, 0)
+    assert got[4].clean_md5 == md5(keep_b)
