@@ -378,3 +378,18 @@ def test_dataset_audit_fuzz(spark, tmp_path, seed):
         got, want = _run_query(spark, tmp_path, "documents", rows,
                                _DOC_SCHEMA, _DOC_COLS, qname)
         assert got == want, qname
+
+
+@pytest.mark.parametrize("seed", [191, 193])
+def test_lang_id_and_line_dedup_fuzz(spark, tmp_path, seed):
+    # round-9 crawl stages on the odd-shape corpus: the WORDS pool's
+    # cyrillic/greek tokens stress the CHARACTER-level trigram split
+    # (Spark substring/split('') vs DuckDB substr/len must both count
+    # codepoints) and line_dedup's lower()+digit-fold normalization;
+    # empty and punctuation-only texts exercise the below-3-chars and
+    # zero-word guards on both sides
+    rows = _random_docs(seed, 60)
+    for qname in ("lang_id_confusion", "line_dedup_docs"):
+        got, want = _run_query(spark, tmp_path, "documents", rows,
+                               _DOC_SCHEMA, _DOC_COLS, qname)
+        assert got == want, qname
