@@ -748,7 +748,7 @@ def stream_stateful_sessions(spark, sf_dir):
     return stateful_user_sessions(spark, sf_dir)
 
 
-ORACLES["stream_stateful_sessions"] = """
+_SESSIONS_ORACLE = """
 WITH flagged AS (
   SELECT user_id,
          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
@@ -761,6 +761,19 @@ SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM flagged GROUP BY user_id
 """
+
+ORACLES["stream_stateful_sessions"] = _SESSIONS_ORACLE
+
+# ``streaming/events.py::stateful_user_sessions_tws`` — the SAME
+# sessionization on Spark 4's State-V2 API (transformWithStateInPandas
+# + typed ValueState, RocksDB provider) — is deliberately NOT a catalog
+# entry: State V2's Python worker needs a working google.protobuf,
+# which this container lacks (ImportError: cannot import name
+# 'descriptor'), so registering it would put a guaranteed-ERR row in
+# the driver artifact.  The implementation + its oracle-equality
+# contract test live behind an env gate
+# (tests/test_streaming_semantics.py::test_sessions_tws_equals_v1),
+# the same pattern as the tippecanoe and NSIDC live paths.
 
 
 @query("dedup_group_resolution")

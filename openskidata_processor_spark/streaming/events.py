@@ -176,6 +176,88 @@ def stateful_user_sessions(spark: SparkSession, sf_dir: str,
     return spark.table(name)
 
 
+def stateful_user_sessions_tws(spark: SparkSession, sf_dir: str,
+                               gap_minutes: int = 30) -> DataFrame:
+    """The SAME gap sessionization on Spark 4's State-V2 API
+    (``transformWithStateInPandas`` + ``StatefulProcessor`` +
+    ``ValueState``) — the successor to ``applyInPandasWithState`` and
+    the extension point for operators needing typed state composition
+    (value/list/map state, timers, TTL) rather than one opaque tuple.
+
+    Semantics are pinned EQUAL to :func:`stateful_user_sessions` (and
+    both to the ``sessionize_user_sessions`` SQL oracle): per-user
+    (n_sessions, last_us, n_events) ValueState, a new session when the
+    event gap exceeds ``gap_minutes``.  State V2 requires the RocksDB
+    state store provider; the session's prior provider setting is
+    restored after the drain."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = _ntz_to_ltz(
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema)
+    stream = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    if isinstance(schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "sess", "n_sessions long, last_us long, n_events long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._st.exists():
+                n_sessions, last_us, n_events = self._st.get()
+            else:
+                n_sessions, last_us, n_events = 0, None, 0
+            pdf = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            for ts in pdf["ts"]:
+                us = int(ts.value // 1000)   # pandas ns → µs
+                if last_us is None or us - last_us > gap_us:
+                    n_sessions += 1
+                last_us = us
+            n_events += len(pdf)
+            self._st.update((n_sessions, last_us, n_events))
+            yield pd.DataFrame({"user_id": [key[0]],
+                                "n_sessions": [n_sessions],
+                                "n_events": [n_events]})
+
+        def close(self) -> None:
+            pass
+
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionProcessor(),
+        outputStructType="user_id long, n_sessions long, n_events long",
+        outputMode="Update",
+        timeMode="None")
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        name = f"sessions_tws_{uuid.uuid4().hex[:8]}"
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    return spark.table(name)
+
+
 def stream_static_enriched_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join — the standard streaming-ETL shape:
     an unbounded event stream joins a slowly-changing dimension (here the

@@ -504,3 +504,34 @@ def test_streaming_minhash_equals_batch_across_batches(spark, tmp_path):
     pairs = {(a, b) for a, b, _ in got}
     assert (1, 2) in pairs and (1, 4) in pairs      # cross-batch pairs
     assert all(3 not in p for p in pairs)
+
+
+def _state_v2_available() -> bool:
+    """Spark 4's State-V2 Python worker (transformWithStateInPandas)
+    speaks protobuf to the state server; this container's
+    google.protobuf install is broken (cannot import descriptor), which
+    crashes the worker at query start."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _state_v2_available(),
+                    reason="google.protobuf broken in this container — "
+                           "State V2 Python worker cannot start")
+def test_sessions_tws_equals_v1(spark):
+    """Spark 4 State-V2 twin (transformWithStateInPandas + typed
+    ValueState, RocksDB provider) must produce exactly the
+    applyInPandasWithState operator's sessionization — the contract
+    that gates the API migration."""
+    from conftest import SF_SMOKE
+    from openskidata_processor_spark.streaming.events import (
+        stateful_user_sessions, stateful_user_sessions_tws)
+
+    got = sorted(map(tuple,
+                     stateful_user_sessions_tws(spark, SF_SMOKE).collect()))
+    want = sorted(map(tuple,
+                      stateful_user_sessions(spark, SF_SMOKE).collect()))
+    assert got == want
