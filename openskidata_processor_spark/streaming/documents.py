@@ -433,10 +433,13 @@ def streaming_minhash_pairs(spark: SparkSession, sf_dir: str,
     2. candidate pairs = in-batch band join ∪ new-vs-standing band join
        — a pair surfaces the moment its later document arrives;
     3. EXACT-Jaccard verification against the standing shingle postings
-       — BOTH verify legs are candidate-pruned: the intersection join
-       and the set-size aggregation see only candidate ids' posting
-       rows (one semi-join on the candidate id set), so per-batch state
-       work is O(candidates), not O(total standing state);
+       — once standing state exists, BOTH verify legs are
+       candidate-pruned: the intersection join and the set-size
+       aggregation see only candidate ids' posting rows (one semi-join
+       on the candidate id set), so per-batch state work is
+       O(candidates), not O(total standing state); the first batch has
+       no standing state and skips the pruning jobs (its postings are
+       batch-sized already);
     4. pairs land in the ledger, bands + shingles commit to state.
 
     Signatures, bands, candidate generation and the verify math are the
@@ -518,21 +521,26 @@ def streaming_minhash_pairs(spark: SparkSession, sf_dir: str,
             cands = cands.distinct().persist()
 
             if os.path.exists(sh_state):
+                # prune the standing postings to candidate docs BEFORE
+                # any aggregation: a typical batch's candidate set is
+                # tiny next to the standing corpus, and the semi-join
+                # keeps every shingle row of a kept doc, so set_size
+                # stays exact.  Only worth it WITH standing state — on
+                # the first batch all_sh is already batch-sized and the
+                # candidate-id distinct + semi-join would be pure extra
+                # jobs (non-candidate sizes drop out of the inter join
+                # anyway).
                 standing_sh = (ss.read.parquet(sh_state)
                                .filter(F.col("batch") != batch_id)
                                .select("doc_id", "shingle"))
                 all_sh = new_sh.unionByName(standing_sh)
+                cand_ids = (cands.select(F.col("id_a").alias("doc_id"))
+                            .unionByName(cands.select(F.col("id_b")
+                                                      .alias("doc_id")))
+                            .distinct())
+                cand_sh = all_sh.join(cand_ids, "doc_id", "left_semi")
             else:
-                all_sh = new_sh
-            # prune the standing postings to candidate docs BEFORE any
-            # aggregation: a typical batch's candidate set is tiny next
-            # to the standing corpus, and the semi-join keeps every
-            # shingle row of a kept doc, so set_size stays exact
-            cand_ids = (cands.select(F.col("id_a").alias("doc_id"))
-                        .unionByName(cands.select(F.col("id_b")
-                                                  .alias("doc_id")))
-                        .distinct())
-            cand_sh = all_sh.join(cand_ids, "doc_id", "left_semi")
+                cand_sh = new_sh
             sizes = cand_sh.groupBy("doc_id").agg(
                 F.count("*").alias("set_size"))
             a = cand_sh.toDF("id_a", "shingle")
