@@ -119,11 +119,13 @@ QUERIES_TO_PROBE = [
     # source (the stop-shingle worst case the doc-frequency cap exists
     # for); output stays 190 rows regardless.
     "oov_rate_docs", "source_overlap_matrix",
-    # round-9 additions: trained-model LID (model bounded by the
-    # feature space — corpus growth only adds scoring rows) and CCNet
-    # line dedup (duplicate-group windows; the 10× replica corpus makes
-    # EVERY line ≥10-frequent, the adversarial all-boilerplate case —
-    # most docs rebuild to "", and the signal is wall time staying flat)
+    # round-9 additions, measured at 10× (local[32], 2026-08):
+    # lang_id_confusion 13.9s — 12.7M scored trigram rows after the
+    # arrays_zip vectorization (was 30.7s per-index); the model side is
+    # bounded by the FEATURE space, corpus growth only adds scoring
+    # rows.  line_dedup_docs 3.1s — the replica corpus makes EVERY
+    # line ≥10-frequent, the adversarial all-boilerplate case (most
+    # docs rebuild to ""), and the duplicate-group windows stay flat.
     "lang_id_confusion", "line_dedup_docs",
 ]
 
