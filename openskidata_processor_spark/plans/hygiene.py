@@ -301,17 +301,23 @@ FROM ranked GROUP BY 1
 # both axes: frequency-threshold removal (not keep-first), and the
 # deliverable is the REBUILT text (md5-pinned), not counts.
 #
-# Scale shape: two shuffles, both content/key-derived — count-over-
-# window partitioned by line hash (partitions are duplicate groups,
-# tiny by construction — boilerplate with freq > K has at most
-# total/K distinct hashes and each group is just its occurrences), then
-# the doc_id regroup for reassembly.  Reassembly is
+# Scale shape: the boilerplate set is computed as a partial-aggregated
+# groupBy(hash).count → filter(freq > K) — NOT a count-over-window,
+# which would make WindowExec SORT every line row by its hash; only a
+# per-group count is needed, so the hash aggregate (no sort) wins at
+# corpus scale.  The flag then comes back via a LEFT join against that
+# over-frequent set: it holds at most total/K distinct hashes, so in
+# practice AQE broadcasts it and the line frame reaches the doc_id
+# regroup with ZERO extra shuffles; past the broadcast threshold the
+# same plan degrades to one hash-partitioned join on the line hash —
+# still sort-free, never driver-collected.  The agg+join-back shape
+# tokenizes the docs twice (boiler pass, flag pass) — at scale two
+# pruned scans are cheaper than the window form's single scan + full
+# sort-shuffle of every line row.  Reassembly is
 # collect_list(struct(idx, line)) → array_sort → concat: collect_list
 # skips the nulls the boilerplate CASE leaves, and array_sort on the
 # (idx, line) struct makes the order deterministic regardless of
-# arrival order.  No broadcast set is assumed: the over-frequent-hash
-# set is bounded by total/K, which at 100 TB is NOT driver-sized —
-# the window form keeps it distributed.
+# arrival order.
 # ---------------------------------------------------------------------------
 
 _LINE_WORDS = 8       # synthesized "line" = 8-word chunk (corpus has no \n)
@@ -335,11 +341,16 @@ def line_dedup_docs(spark, sf_dir):
                              _LINE_WORDS)),
         )).otherwise(F.array().cast("array<string>"))
     lines = docs.select(
-        "doc_id", F.posexplode(chunks).alias("idx", "line"))
-    h = F.md5(F.regexp_replace(F.lower(F.col("line")), "[0-9]", "0"))
-    freq = F.count("*").over(Window.partitionBy(h.alias("__h")))
-    flagged = lines.withColumn(
-        "boiler", freq > _LINE_MAX_FREQ)
+        "doc_id", F.posexplode(chunks).alias("idx", "line"),
+        F.md5(F.regexp_replace(F.lower(F.col("line")), "[0-9]", "0"))
+        .alias("__h"))
+    boiler = (lines.groupBy("__h")
+              .agg(F.count("*").alias("__freq"))
+              .filter(F.col("__freq") > _LINE_MAX_FREQ)
+              .select("__h", F.lit(True).alias("__boiler")))
+    flagged = (lines.join(boiler, "__h", "left")
+               .withColumn("boiler",
+                           F.coalesce(F.col("__boiler"), F.lit(False))))
     clean = F.concat_ws(
         " ", F.transform(
             F.array_sort(F.collect_list(
