@@ -122,6 +122,7 @@ EXTENDED_QUERIES = [
     # CCNet line-level boilerplate removal
     "lang_id_confusion",
     "line_dedup_docs",
+    "stream_ivf_index",
 ]
 
 

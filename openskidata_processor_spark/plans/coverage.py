@@ -1606,6 +1606,23 @@ from . import training as _training  # noqa: E402,F401
 ORACLES["stream_winnow_pairs"] = ORACLES["winnow_fingerprint_pairs"]
 
 
+@query("stream_ivf_index")
+def stream_ivf_index(spark, sf_dir):
+    """Incremental IVF vector-index maintenance
+    (``streaming/embeddings.py::streaming_ivf_index``): centroids
+    frozen from the batch operator's own sample-trained spherical
+    k-means, each micro-batch assigns only its NEW vectors to their
+    cell, postings land in replay-idempotent ``batch=<id>`` partitions.
+    Output is the per-cell posting sizes — the index-balance signal an
+    IVF deployment monitors.  Approximate family (float-argmax cell
+    assignment has no SQL twin): rows-only here; pinned EQUAL to the
+    batch assignment of the same corpus in pytest, incl. a forced
+    multi-batch drain and a re-delivery."""
+    from ..streaming.embeddings import streaming_ivf_index
+
+    return streaming_ivf_index(spark, sf_dir)
+
+
 @query("stream_minhash_pairs")
 def stream_minhash_pairs(spark, sf_dir):
     """Incremental MinHash-LSH near-dup detection

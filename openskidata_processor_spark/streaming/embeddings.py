@@ -1,0 +1,123 @@
+"""Structured Streaming over the embeddings table: incremental IVF
+index maintenance — the vector-index-freshness shape a production
+similarity-search deployment runs.
+
+A 100 TB corpus's ANN index is not rebuilt per ingest: the centroid
+model is trained once (or per scheduled rebuild) and FROZEN, and new
+vectors are assigned to their cell incrementally as they arrive; only
+the posting lists grow.  This module is the streaming twin of the
+assignment half of ``operators/similarity.py::ivf_ann_topk``:
+
+1. centroids come from the SAME sample-trained spherical k-means as the
+   batch operator (deterministic hash-ordered sample), trained on the
+   static table once per call — the standing model;
+2. each micro-batch assigns its NEW vectors (re-delivered vec_ids
+   anti-join out against the standing postings) to their single nearest
+   cell with the batch operator's own GEMM pandas UDF — a cell id is
+   immutable once assigned (the model is frozen), so the drained index
+   equals the batch assignment of the same corpus exactly (pinned by
+   test, including a forced multi-batch drain and a top-k query served
+   from the drained postings);
+3. assignments land in ``batch=<id>`` OVERWRITE parquet partitions with
+   the standing read excluding the current batch — the same
+   replay-idempotency contract as the document-stream twins — and
+   ``state_base`` persists the postings across calls (one source per
+   state_base, enforced by the shared marker).
+
+Output: (cell, n_vectors) — the per-cell posting sizes, the index-
+balance signal an IVF deployment monitors (a hot cell means the frozen
+centroids have drifted from the data and a rebuild is due).
+Approximate-by-design family: cell assignment is an argmax over float
+dot products, not SQL-expressible — rows-only in the driver, equality
+pinned against the batch assignment in pytest.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .documents import _pin_source
+
+
+def streaming_ivf_index(spark: SparkSession, sf_dir: str,
+                        max_files_per_trigger: int | None = None,
+                        state_base: str | None = None,
+                        n_centroids: int = 16) -> DataFrame:
+    """Incremental IVF posting maintenance over the embeddings stream;
+    returns the drained index's per-cell sizes (cell, n_vectors)."""
+    from ..operators.similarity import _ivf_cells_udf, _train_ivf_centroids
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    static = spark.read.parquet(emb_path)
+    # the standing model: same deterministic sample + training loop as
+    # the batch ivf_ann_topk, so streaming and batch assignments are
+    # bit-identical for the same corpus
+    cells = _ivf_cells_udf(
+        _train_ivf_centroids(static, "embedding", n_centroids,
+                             sample_size=2048, n_iters=8), 1)
+
+    schema = static.schema
+    if os.path.isdir(emb_path):
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger",
+                                   max_files_per_trigger)
+        stream = reader.parquet(emb_path)
+    else:
+        reader = (spark.readStream.schema(schema)
+                  .option("pathGlobFilter", "embeddings.parquet"))
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger",
+                                   max_files_per_trigger)
+        stream = reader.parquet(sf_dir)
+
+    work = state_base or tempfile.mkdtemp(prefix="stream_ivf_")
+    if state_base:
+        _pin_source(work, sf_dir)   # one source per state_base
+    post_dir = os.path.join(work, "postings")     # (vec_id, cell)
+    ckpt_dir = os.path.join(work, "checkpoint")
+
+    def process_batch(batch_df, batch_id):
+        ss = batch_df.sparkSession
+        new_vecs = (batch_df.select("vec_id", "embedding")
+                    .dropDuplicates(["vec_id"]))
+        if os.path.exists(post_dir):
+            # exclude this batch's OWN partition so a replay after a
+            # crashed run doesn't anti-join its vectors away
+            standing = (ss.read.parquet(post_dir)
+                        .filter(F.col("batch") != batch_id)
+                        .select("vec_id"))
+            new_vecs = new_vecs.join(standing, "vec_id", "left_anti")
+        assigned = new_vecs.select(
+            "vec_id", cells(F.col("embedding"))[0].alias("cell"))
+        # per-batch OVERWRITE partition: replays rewrite identical
+        # content (the frozen model makes assignment deterministic)
+        assigned.write.mode("overwrite") \
+            .parquet(os.path.join(post_dir, f"batch={batch_id}"))
+
+    name = f"stream_ivf_{uuid.uuid4().hex[:8]}"
+    q = (stream.writeStream.foreachBatch(process_batch)
+         .queryName(name)
+         .option("checkpointLocation", ckpt_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+    out_schema = "cell int, n_vectors long"
+    if not os.path.exists(post_dir):
+        if state_base is None:
+            shutil.rmtree(work, ignore_errors=True)
+        return spark.createDataFrame([], out_schema)
+    result = (spark.read.parquet(post_dir)
+              .groupBy("cell").agg(F.count("*").alias("n_vectors"))
+              .select(F.col("cell").cast("int"), "n_vectors")
+              .localCheckpoint(eager=True))
+    if state_base is None:
+        shutil.rmtree(work, ignore_errors=True)
+    return result

@@ -535,3 +535,66 @@ def test_sessions_tws_equals_v1(spark):
     want = sorted(map(tuple,
                       stateful_user_sessions(spark, SF_SMOKE).collect()))
     assert got == want
+
+
+def test_streaming_ivf_index_equals_batch_assignment(spark, tmp_path):
+    """The drained IVF postings must equal the batch assignment of the
+    same corpus under the same frozen centroids — across a forced
+    one-file-per-batch drain, with a re-delivered vec_id (new file,
+    same id) anti-joined out, and the catalog's per-cell rollup
+    consistent with the postings."""
+    import numpy as np
+
+    from openskidata_processor_spark.operators.similarity import (
+        _ivf_cells_udf, _train_ivf_centroids)
+    from openskidata_processor_spark.streaming.embeddings import (
+        streaming_ivf_index)
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    d = tmp_path / "src"
+    d.mkdir()
+    emb_dir = d / "embeddings.parquet"
+    rows_all = []
+    for b in range(3):
+        rows = [(b * 100 + i, rng.normal(size=8).tolist(), "x")
+                for i in range(40)]
+        rows_all += rows
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label string") \
+            .coalesce(1).write.mode("append").parquet(str(emb_dir))
+    state = str(tmp_path / "ivf_state")
+
+    counts = {r.cell: r.n_vectors for r in streaming_ivf_index(
+        spark, str(d), max_files_per_trigger=1,
+        state_base=state).collect()}
+    postings = {r.vec_id: r.cell for r in
+                spark.read.parquet(f"{state}/postings")
+                .select("vec_id", "cell").collect()}
+
+    static = spark.read.parquet(str(emb_dir))
+    cells = _ivf_cells_udf(
+        _train_ivf_centroids(static, "embedding", 16,
+                             sample_size=2048, n_iters=8), 1)
+    want = {r.vec_id: r.cell for r in
+            static.select(
+                "vec_id", cells(F.col("embedding"))[0].alias("cell"))
+            .collect()}
+    assert postings == want                      # index == batch assign
+    assert sum(counts.values()) == len(rows_all)
+    agg = {}
+    for c in postings.values():
+        agg[c] = agg.get(c, 0) + 1
+    assert counts == agg                         # rollup consistent
+
+    # re-deliver vec_id 0 in a fresh file: the standing anti-join must
+    # drop it — postings unchanged after a second drain
+    spark.createDataFrame(
+        [(0, rng.normal(size=8).tolist(), "x")],
+        "vec_id long, embedding array<double>, label string") \
+        .coalesce(1).write.mode("append").parquet(str(emb_dir))
+    streaming_ivf_index(spark, str(d), state_base=state)
+    after = {r.vec_id: r.cell for r in
+             spark.read.parquet(f"{state}/postings")
+             .select("vec_id", "cell").collect()}
+    assert after == want
