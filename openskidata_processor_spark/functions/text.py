@@ -30,25 +30,31 @@ def words(col: Column) -> Column:
     return F.filter(F.split(col, " "), lambda w: w != "")
 
 
-def word_shingles(words_col: Column, n: int = 3) -> Column:
-    """Array of word n-grams ("shingles") joined by single spaces.
+def zip_ngrams(arr_col: Column, n: int, join) -> Column:
+    """Array of n-grams over an array column, built as ``arrays_zip``
+    of n shifted slices + ONE transform — O(len) array work per row.
+    (The obvious per-index ``transform(sequence, i -> ...)``
+    construction measured ~15-20× slower for word shingles and ~6×
+    for char trigrams: each element pays an interpreted lambda
+    round-trip, and the expression falls out of the vectorized path.)
 
-    Built as ``arrays_zip`` of n shifted slices + one transform — O(len)
-    array work per document.  (The obvious per-index
-    ``transform(sequence, i -> concat_ws(slice(ws, i, n)))`` construction
-    measured ~15-20× slower: each element pays an interpreted slice+copy,
-    and the expression falls out of the vectorized path.)
-
-    Documents shorter than ``n`` words yield an empty array (never a
-    descending ``sequence`` — important under ANSI mode).
+    ``join`` receives the n per-position element Columns and returns
+    the combined gram.  Inputs shorter than ``n`` yield an empty array
+    (never a descending ``sequence`` — important under ANSI mode).
     """
-    k = F.greatest(F.size(words_col) - (n - 1), F.lit(0))
-    zipped = F.arrays_zip(*[F.slice(words_col, i + 1, k) for i in range(n)])
+    k = F.greatest(F.size(arr_col) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(arr_col, i + 1, k) for i in range(n)])
     make = F.transform(
-        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
-    return F.when(F.size(words_col) >= n, make).otherwise(
+        zipped, lambda s: join(*[s[str(i)] for i in range(n)]))
+    return F.when(F.size(arr_col) >= n, make).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(words_col: Column, n: int = 3) -> Column:
+    """Array of word n-grams ("shingles") joined by single spaces."""
+    return zip_ngrams(words_col, n,
+                      lambda *ws: F.concat_ws(" ", *ws))
 
 
 def token_count(col: Column) -> Column:

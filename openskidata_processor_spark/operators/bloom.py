@@ -125,9 +125,11 @@ def might_contain(key: Column, bits: list[int],
     probability ≈ fpr.  Pure Catalyst — evaluate it in a .filter()
     BEFORE an exact join to prune the big side's shuffle."""
     n_bits = len(bits) * 64
-    # one array LITERAL, not CreateArray(lit, lit, ...): a 2048-argument
-    # CreateArray is re-evaluated per row and its codegen blows the JVM
-    # method-size limit (measured 4× slowdown on a 240k-row probe side)
+    # F.lit(list) expands to array(lit, lit, ...) exactly like the
+    # explicit F.array form, and the optimizer constant-folds BOTH to a
+    # single array literal before execution — the forms are
+    # plan-equivalent; lit(list) is kept only because it issues one
+    # py4j call at construction instead of ~n_bits/64
     arr = F.lit([int(w) for w in bits])
     cond = None
     for p in _positions(key, n_bits, n_hashes):

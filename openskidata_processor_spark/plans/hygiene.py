@@ -1113,25 +1113,30 @@ def bloom_decontaminate(spark, sf_dir):
     distinct word 5-grams it shares with the fixed benchmark set —
     computed through the sized bloom pre-filter + broadcast verify
     join, equal to the plain exact join's answer."""
-    from ..operators.bloom import build_bloom_bits, might_contain
-
-    from ..operators.bloom import size_bits
+    from ..operators.bloom import build_bloom_bits, might_contain, size_bits
 
     docs = _t(spark, sf_dir, "documents")
-    # persisted + coalesced: the bench frame is read twice more after
-    # sizing (bitmap build, verify join) and `doc_id < N` cannot
-    # row-group-prune a corpus parquet whose id ranges interleave —
-    # without the persist each pass re-scans the WHOLE documents table
-    # (measured: the r8 version's dominant cost); without the coalesce
-    # the 10k-row cache is 64 near-empty partitions and the build job
-    # is pure task scheduling.  Bounded: distinct shingles of a fixed
-    # 200-doc benchmark.
+    # localCheckpoint(eager) + coalesce: the bench frame is read twice
+    # more after sizing (bitmap build, verify join) and `doc_id < N`
+    # cannot row-group-prune a corpus parquet whose id ranges
+    # interleave — without the materialization each pass re-scans the
+    # WHOLE documents table (measured: the r8 version's dominant cost);
+    # without the coalesce the 10k-row frame is 64 near-empty
+    # partitions and the build job is pure task scheduling.
+    # localCheckpoint rather than persist: a persist() the caller never
+    # sees cannot be unpersisted and leaks one cached relation per
+    # invocation into the session's CacheManager, while a
+    # localCheckpointed RDD is reclaimed by the ContextCleaner once the
+    # returned frame is garbage-collected.  Bounded: distinct shingles
+    # of a fixed 200-doc benchmark.
     bench_sh = (_bloom_shingles(
         docs.filter(F.col("doc_id") < _BLOOM_BENCH_DOCS))
-        .select("shingle").distinct().coalesce(8).persist())
-    # the frame is already distinct, so count() is the exact key count
-    # AND the cache-materializing action — one job where the generic
-    # approx_count_distinct sizing path would take two
+        .select("shingle").distinct().coalesce(8)
+        .localCheckpoint(eager=True))
+    # the frame is already distinct and already materialized, so
+    # count() is the exact key count at the cost of one cheap job over
+    # the checkpointed partitions — no generic approx_count_distinct
+    # sizing pass over the source
     bits = build_bloom_bits(bench_sh, F.col("shingle"),
                             n_bits=size_bits(bench_sh.count()))
     train = _bloom_shingles(

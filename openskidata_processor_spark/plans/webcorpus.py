@@ -451,21 +451,15 @@ _LID_TRAIN_MOD = 5    # doc_id % 5 == 0 trains; the rest is scored
 
 def _char_trigrams(text_col):
     """Array of character trigrams over the first ``_LID_HEAD`` chars;
-    empty below 3 chars.  Built as ``split('')`` → ``arrays_zip`` of
-    n shifted slices + one transform (the ``functions/text.py
-    word_shingles`` idiom) — the per-index
-    ``transform(sequence, i -> substr(head, i, 3))`` construction
-    measured ~6× slower at the 10× probe (30.7 s → see commit), each
-    element paying an interpreted lambda round-trip."""
+    empty below 3 chars.  ``split('')`` → the shared vectorized
+    ``zip_ngrams`` idiom (functions/text.py) — its per-index
+    ``transform(sequence, i -> substr(head, i, 3))`` predecessor
+    measured ~6× slower at the 10× probe (30.7 s vs 13.9 s)."""
+    from ..functions.text import zip_ngrams
+
     head = F.substring(text_col, 1, _LID_HEAD)
-    chars = F.split(head, "")
-    k = F.greatest(F.length(head) - (_LID_N - 1), F.lit(0))
-    zipped = F.arrays_zip(*[F.slice(chars, i + 1, k)
-                            for i in range(_LID_N)])
-    make = F.transform(
-        zipped, lambda s: F.concat(*[s[str(i)] for i in range(_LID_N)]))
-    return F.when(F.length(head) >= _LID_N, make).otherwise(
-        F.array().cast("array<string>"))
+    return zip_ngrams(F.split(head, ""), _LID_N,
+                      lambda *cs: F.concat(*cs))
 
 
 @query("lang_id_confusion")

@@ -28,6 +28,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _file_stream(spark: SparkSession, sf_dir: str, table: str,
+                 max_files_per_trigger: int | None = None):
+    """File-source stream over ``{sf_dir}/{table}.parquet`` with the
+    static table's schema.  The file source needs a DIRECTORY basePath:
+    stream the table directory when it is one (parts inside), else glob
+    the single file out of ``sf_dir`` (the testdata layout).  Shared by
+    every foreachBatch twin so the layout handling lives once."""
+    path = f"{sf_dir}/{table}.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger",
+                                   max_files_per_trigger)
+        return reader.parquet(path)
+    reader = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", f"{table}.parquet"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(sf_dir)
+
+
 def _pin_source(work: str, sf_dir: str) -> None:
     """Enforce the one-source-per-``state_base`` contract: the
     Structured Streaming checkpoint inside ``state_base`` records the
@@ -140,25 +162,8 @@ def streaming_curation_stats(spark: SparkSession, sf_dir: str,
     from ..functions import text as T
     from ..pipeline.curation import BENCH_MOD, QUALITY_MIN_E6, SHINGLE_N
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    docs_path = f"{sf_dir}/documents.parquet"
-
-    # the file-stream source requires a DIRECTORY basePath: stream the
-    # table directory when documents.parquet is one (parts inside),
-    # else glob the single file out of sf_dir (the testdata layout)
-    if os.path.isdir(docs_path):
-        reader = spark.readStream.schema(schema)
-        if max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger",
-                                   max_files_per_trigger)
-        stream = reader.parquet(docs_path)
-    else:
-        reader = (spark.readStream.schema(schema)
-                  .option("pathGlobFilter", "documents.parquet"))
-        if max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger",
-                                   max_files_per_trigger)
-        stream = reader.parquet(sf_dir)
+    stream = _file_stream(spark, sf_dir, "documents",
+                          max_files_per_trigger)
 
     def flags(df):
         text = F.col("text")
@@ -334,22 +339,8 @@ def streaming_winnow_pairs(spark: SparkSession, sf_dir: str,
 
     from ..plans.training import winnow_fingerprints
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    docs_path = f"{sf_dir}/documents.parquet"
-
-    if os.path.isdir(docs_path):
-        reader = spark.readStream.schema(schema)
-        if max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger",
-                                   max_files_per_trigger)
-        stream = reader.parquet(docs_path)
-    else:
-        reader = (spark.readStream.schema(schema)
-                  .option("pathGlobFilter", "documents.parquet"))
-        if max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger",
-                                   max_files_per_trigger)
-        stream = reader.parquet(sf_dir)
+    stream = _file_stream(spark, sf_dir, "documents",
+                          max_files_per_trigger)
 
     work = state_base or tempfile.mkdtemp(prefix="stream_winnow_")
     if state_base:
@@ -460,22 +451,8 @@ def streaming_minhash_pairs(spark: SparkSession, sf_dir: str,
 
     from ..operators.dedup import minhash_signatures, shingle_table
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    docs_path = f"{sf_dir}/documents.parquet"
-
-    if os.path.isdir(docs_path):
-        reader = spark.readStream.schema(schema)
-        if max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger",
-                                   max_files_per_trigger)
-        stream = reader.parquet(docs_path)
-    else:
-        reader = (spark.readStream.schema(schema)
-                  .option("pathGlobFilter", "documents.parquet"))
-        if max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger",
-                                   max_files_per_trigger)
-        stream = reader.parquet(sf_dir)
+    stream = _file_stream(spark, sf_dir, "documents",
+                          max_files_per_trigger)
 
     work = state_base or tempfile.mkdtemp(prefix="stream_minhash_")
     if state_base:

@@ -9,15 +9,20 @@ the posting lists grow.  This module is the streaming twin of the
 assignment half of ``operators/similarity.py::ivf_ann_topk``:
 
 1. centroids come from the SAME sample-trained spherical k-means as the
-   batch operator (deterministic hash-ordered sample), trained on the
-   static table once per call — the standing model;
+   batch operator (deterministic hash-ordered sample), trained ONCE at
+   a state_base's first use and persisted beside the postings — later
+   calls RELOAD them rather than retraining, because retraining on the
+   grown corpus would re-sample and assign new vectors under a
+   different model than the standing postings (an index rebuild is a
+   new state_base);
 2. each micro-batch assigns its NEW vectors (re-delivered vec_ids
-   anti-join out against the standing postings) to their single nearest
-   cell with the batch operator's own GEMM pandas UDF — a cell id is
-   immutable once assigned (the model is frozen), so the drained index
-   equals the batch assignment of the same corpus exactly (pinned by
-   test, including a forced multi-batch drain and a top-k query served
-   from the drained postings);
+   anti-join out against the standing postings; intra-batch duplicate
+   ids resolve deterministically to the lexicographically smallest
+   embedding) to their single nearest cell with the batch operator's
+   own GEMM pandas UDF — a cell id is immutable once assigned (the
+   model is frozen), so the drained index equals the batch assignment
+   of the same corpus under the frozen model exactly (pinned by test,
+   including a forced multi-batch drain and a re-delivery);
 3. assignments land in ``batch=<id>`` OVERWRITE parquet partitions with
    the standing read excluding the current batch — the same
    replay-idempotency contract as the document-stream twins — and
@@ -42,7 +47,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .documents import _pin_source
+from .documents import _file_stream, _pin_source
 
 
 def streaming_ivf_index(spark: SparkSession, sf_dir: str,
@@ -51,42 +56,54 @@ def streaming_ivf_index(spark: SparkSession, sf_dir: str,
                         n_centroids: int = 16) -> DataFrame:
     """Incremental IVF posting maintenance over the embeddings stream;
     returns the drained index's per-cell sizes (cell, n_vectors)."""
+    import json
+
+    import numpy as np
+
     from ..operators.similarity import _ivf_cells_udf, _train_ivf_centroids
 
     emb_path = f"{sf_dir}/embeddings.parquet"
     static = spark.read.parquet(emb_path)
-    # the standing model: same deterministic sample + training loop as
-    # the batch ivf_ann_topk, so streaming and batch assignments are
-    # bit-identical for the same corpus
-    cells = _ivf_cells_udf(
-        _train_ivf_centroids(static, "embedding", n_centroids,
-                             sample_size=2048, n_iters=8), 1)
-
-    schema = static.schema
-    if os.path.isdir(emb_path):
-        reader = spark.readStream.schema(schema)
-        if max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger",
-                                   max_files_per_trigger)
-        stream = reader.parquet(emb_path)
-    else:
-        reader = (spark.readStream.schema(schema)
-                  .option("pathGlobFilter", "embeddings.parquet"))
-        if max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger",
-                                   max_files_per_trigger)
-        stream = reader.parquet(sf_dir)
 
     work = state_base or tempfile.mkdtemp(prefix="stream_ivf_")
     if state_base:
         _pin_source(work, sf_dir)   # one source per state_base
+    cents_file = os.path.join(work, "centroids.json")
+    if os.path.exists(cents_file):
+        # the standing model is FROZEN at first use: retraining on a
+        # later call would re-sample the (grown) corpus and assign new
+        # vectors under a different model than the standing postings —
+        # the drained index would equal the batch assignment of NO
+        # single model.  An index rebuild is a new state_base.
+        with open(cents_file) as f:
+            cents = np.array(json.load(f))
+    else:
+        # same deterministic sample + training loop as the batch
+        # ivf_ann_topk, so streaming and batch assignments are
+        # bit-identical for the same corpus
+        cents = _train_ivf_centroids(static, "embedding", n_centroids,
+                                     sample_size=2048, n_iters=8)
+        os.makedirs(work, exist_ok=True)
+        with open(cents_file, "w") as f:
+            json.dump(cents.tolist(), f)
+    cells = _ivf_cells_udf(cents, 1)
+
+    stream = _file_stream(spark, sf_dir, "embeddings",
+                          max_files_per_trigger)
+
     post_dir = os.path.join(work, "postings")     # (vec_id, cell)
     ckpt_dir = os.path.join(work, "checkpoint")
 
     def process_batch(batch_df, batch_id):
         ss = batch_df.sparkSession
+        # intra-batch duplicate vec_ids resolve DETERMINISTICALLY to
+        # the lexicographically smallest embedding (array comparison):
+        # a bare dropDuplicates keeps an arrival-order-dependent row,
+        # so the same corpus could index differently across trigger
+        # sizings or a crashed-batch replay
         new_vecs = (batch_df.select("vec_id", "embedding")
-                    .dropDuplicates(["vec_id"]))
+                    .groupBy("vec_id")
+                    .agg(F.min("embedding").alias("embedding")))
         if os.path.exists(post_dir):
             # exclude this batch's OWN partition so a replay after a
             # crashed run doesn't anti-join its vectors away

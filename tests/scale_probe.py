@@ -386,10 +386,15 @@ def bloom_probe(replicas: int = 80) -> None:
     bench_sh = bench_shingles().persist()
     bits = build_bloom_bits(bench_sh, F.col("shingle"),
                             n_bits=size_bits(bench_sh.count()))
-    diff = (bloom_query(bench_sh, bits)
-            .exceptAll(exact_twin(bench_sh)).count())
+    bq, eq = bloom_query(bench_sh, bits), exact_twin(bench_sh)
+    # SYMMETRIC multiset compare, and assert rather than print: a
+    # one-sided exceptAll(bloom, exact) is blind to a whole doc MISSING
+    # from the bloom side — the exact failure mode (a false negative)
+    # this check exists to catch
+    diff = bq.exceptAll(eq).count() + eq.exceptAll(bq).count()
     bench_sh.unpersist()
-    print(f"output identical: {diff == 0}", flush=True)
+    assert diff == 0, f"bloom vs exact answers differ in {diff} rows"
+    print("output identical: True", flush=True)
 
 
 def main() -> None:

@@ -75,17 +75,17 @@ def test_bloom_decontaminate_plan_prefilters_before_join(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "element_at" in plan          # the probe expression exists
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
-    # the TRAINING side is never shuffled: every hash exchange is either
-    # the final groupBy(doc_id) agg or the bench-side shingle distinct
-    # (bounded by the fixed 200-doc benchmark; it prints twice when the
-    # persisted frame's InMemoryRelation re-renders its build plan)
+    # the TRAINING side is never shuffled: the bench side is a
+    # localCheckpointed RDD (materialized once — no re-scan, no leaked
+    # CacheManager entry), so the only hash exchange left in the plan
+    # is the final groupBy(doc_id) agg
     exchanges = [l for l in plan.splitlines()
                  if "Exchange hashpartitioning" in l]
     doc_exchanges = [l for l in exchanges if "doc_id" in l]
     assert len(doc_exchanges) == 1, exchanges             # final agg only
     for l in exchanges:
         assert "doc_id" in l or "shingle" in l, l
-    assert "InMemoryTableScan" in plan    # bench frame persisted (1 scan)
+    assert "ExistingRDD" in plan     # bench frame checkpointed (1 scan)
     # and the shingle exchange (if present) feeds the broadcast build,
     # not the probe side: the probe side's filter is pre-exchange
     assert plan.index("element_at") > plan.index("BroadcastHashJoin")

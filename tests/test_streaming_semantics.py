@@ -598,3 +598,25 @@ def test_streaming_ivf_index_equals_batch_assignment(spark, tmp_path):
              spark.read.parquet(f"{state}/postings")
              .select("vec_id", "cell").collect()}
     assert after == want
+
+    # genuinely NEW vectors in a third drain must be assigned under the
+    # ORIGINAL frozen centroids (persisted in state_base), not a model
+    # retrained on the grown corpus — the index must equal the batch
+    # assignment of ONE model
+    new_rows = [(900 + i, rng.normal(size=8).tolist(), "x")
+                for i in range(10)]
+    spark.createDataFrame(
+        new_rows, "vec_id long, embedding array<double>, label string") \
+        .coalesce(1).write.mode("append").parquet(str(emb_dir))
+    streaming_ivf_index(spark, str(d), state_base=state)
+    final = {r.vec_id: r.cell for r in
+             spark.read.parquet(f"{state}/postings")
+             .select("vec_id", "cell").collect()}
+    want_new = {r.vec_id: r.cell for r in
+                spark.createDataFrame(
+                    new_rows,
+                    "vec_id long, embedding array<double>, label string")
+                .select("vec_id",
+                        cells(F.col("embedding"))[0].alias("cell"))
+                .collect()}   # `cells` holds the ORIGINAL 3-file model
+    assert final == {**want, **want_new}
