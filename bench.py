@@ -123,6 +123,12 @@ EXTENDED_QUERIES = [
     "lang_id_confusion",
     "line_dedup_docs",
     "stream_ivf_index",
+    # round-9 tokenizer family: BPE pair stats / iterative merge
+    # learning, PMI collocations, leakage-safe holdout split
+    "bpe_pair_stats",
+    "bpe_learn_merges",
+    "pmi_collocations",
+    "split_holdout_stats",
 ]
 
 

@@ -5,5 +5,6 @@ from . import raster  # noqa: F401  (registers R1-R3 §2.8 projection math)
 from . import training  # noqa: F401  (registers CDC merge / sampling / quantiles / tfidf / sketches)
 from . import hygiene  # noqa: F401  (registers PII / repetition / contamination / passages / packing / sharding)
 from . import webcorpus  # noqa: F401  (registers HTML extraction / URL canonicalization / mojibake repair)
+from . import tokenizer  # noqa: F401  (registers BPE pair stats / merge learning / PMI collocations / holdout split)
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,250 @@
+"""Tokenizer-training + corpus-statistics catalog extension — the
+vocabulary-side operators a 100 TB LLM-data pipeline runs after hygiene:
+
+- ``bpe_pair_stats``     : first BPE iteration — corpus → distinct-word
+                           vocab (ONE map-side-combining groupBy; Heaps'
+                           law makes everything downstream
+                           corpus-independent) → freq-weighted adjacent
+                           character-pair counts, deterministic top-64.
+- ``bpe_learn_merges``   : full iterative BPE merge learning
+                           (operators/bpe.py — incremental pair-count
+                           maintenance; iterative argmax per round is not
+                           SQL-expressible → no DuckDB oracle; rows-only
+                           driver check + differential pytest against a
+                           pure-Python Sennrich reference and the naive
+                           full-recount twin).
+- ``pmi_collocations``   : top bigram collocations ranked by PMI.  The
+                           rank key is the exact-integer lift
+                           ``c_xy·N·10⁶ div (c_x·c_y)`` (PMI = log of
+                           lift/10⁶ — a monotone transform, so the
+                           ranking is identical) computed in
+                           DECIMAL(38)/HUGEINT so the driver's
+                           type-sensitive value hash matches bit-for-bit
+                           with no float log anywhere.
+- ``split_holdout_stats``: leakage-safe train/valid/test split — the
+                           split key is the md5 bucket of the document's
+                           exact-dup group (md5 of the text), so
+                           byte-identical duplicates can never straddle
+                           splits; the output carries the computed
+                           cross-split leak count (0 by construction,
+                           but measured, not asserted).
+
+Reference anchor: the reference feeds its outputs to downstream format
+consumers (openskidata-processor README pipeline diagram); these queries
+are the engine-side operators the training-data consumer needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators.bpe import learn_bpe, word_vocab
+from .analytics import _t, query
+from .oracles import ORACLES
+
+_BPE_TOPK = 64        # pairs reported by the one-iteration stats query
+# Merges learned by the registered query.  Each merge is inherently one
+# sequential argmax→delta round trip (~3 stages); at toy bench scale the
+# stage-latency floor (~0.7 s/merge on local[32], data-independent)
+# dominates, so the catalog entry demonstrates 8 rounds — the operator
+# API (operators/bpe.py::learn_bpe) takes any n; the pytest reference
+# pin runs 16.
+_BPE_MERGES = 8
+_PMI_MIN_COUNT = 5    # collocation support threshold
+_PMI_TOPK = 50
+_SPLIT_TRAIN_PCT = 80  # md5-bucket split: [0,80) train, [80,90) valid,
+_SPLIT_VALID_PCT = 90  # [90,100) test
+
+
+# ---------------------------------------------------------------------------
+# BPE first-iteration pair statistics (oracle-backed)
+# ---------------------------------------------------------------------------
+
+@query("bpe_pair_stats")
+def bpe_pair_stats(spark, sf_dir):
+    """(pair, pair_count, n_words): freq-weighted adjacent character-pair
+    counts over the distinct-word vocab — the argmax input of BPE's first
+    merge.  The corpus is scanned once (word groupBy with map-side
+    combine); the pair explode runs over the vocab frame only."""
+    vocab = word_vocab(_t(spark, sf_dir, "documents"))
+    pairs = vocab.select(
+        "w", "freq",
+        F.explode(T.zip_ngrams(F.filter(F.split(F.col("w"), ""),
+                                        lambda c: c != ""),
+                               2, lambda x, y: F.concat(x, y)))
+        .alias("pair"))
+    return (pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("pair_count"),
+                 F.countDistinct("w").alias("n_words"))
+            .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+            .limit(_BPE_TOPK))
+
+
+ORACLES["bpe_pair_stats"] = f"""
+WITH w AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+), v AS (
+  SELECT w, count(*) AS freq FROM w GROUP BY w
+), p AS (
+  SELECT w, freq,
+         unnest([substr(w, i, 2)
+                 FOR i IN generate_series(1, len(w) - 1)]) AS pair
+  FROM v WHERE len(w) >= 2
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+FROM p GROUP BY pair
+ORDER BY pair_count DESC, pair ASC
+LIMIT {_BPE_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE merge learning (no SQL oracle — iterative argmax; pinned
+# by tests/test_tokenizer_ops.py against a pure-Python Sennrich reference
+# and the naive full-recount twin)
+# ---------------------------------------------------------------------------
+
+@query("bpe_learn_merges")
+def bpe_learn_merges(spark, sf_dir):
+    """(merge_rank, left, right, merged, pair_count): the first
+    ``_BPE_MERGES`` BPE merges learned from the documents corpus with
+    incremental pair-count maintenance (operators/bpe.py).  Driver
+    traffic is one 1-row argmax collect per merge; the result frame is
+    the learned merge table itself (≤ ``_BPE_MERGES`` rows)."""
+    vocab = word_vocab(_t(spark, sf_dir, "documents"))
+    merges = learn_bpe(vocab, _BPE_MERGES)
+    schema = ("merge_rank INT, left STRING, right STRING, "
+              "merged STRING, pair_count BIGINT")
+    return spark.createDataFrame(
+        [(m["merge_rank"], m["left"], m["right"], m["merged"],
+          m["pair_count"]) for m in merges],
+        schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (oracle-backed, exact-integer rank key)
+# ---------------------------------------------------------------------------
+
+@query("pmi_collocations")
+def pmi_collocations(spark, sf_dir):
+    """(bigram, c_xy, c_x, c_y, lift_ppm): top-50 bigram collocations by
+    PMI.  lift_ppm = c_xy·N·10⁶ div (c_x·c_y) — 10⁶ means independence;
+    PMI = log(lift_ppm/10⁶).  All-integer DECIMAL(38) arithmetic (the
+    Spark DIV ≡ DuckDB // on positives), so no float drift can break the
+    driver hash; the 1-row total joins in via broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = T.words(F.col("text"))
+    toks = docs.select(F.explode(ws).alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").alias("c_w"))
+    tot = uni.agg(F.sum("c_w").alias("n_tokens"))
+    big = (docs.select(F.explode(
+               T.zip_ngrams(ws, 2, lambda x, y: F.concat_ws(" ", x, y)))
+               .alias("bigram"))
+           .groupBy("bigram").agg(F.count("*").alias("c_xy"))
+           .filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+           .withColumn("__x", F.split(F.col("bigram"), " ")[0])
+           .withColumn("__y", F.split(F.col("bigram"), " ")[1]))
+    j = (big.join(uni.select(F.col("w").alias("__x"),
+                             F.col("c_w").alias("c_x")), "__x")
+         .join(uni.select(F.col("w").alias("__y"),
+                          F.col("c_w").alias("c_y")), "__y")
+         .crossJoin(F.broadcast(tot)))
+    lift = F.expr(
+        "CAST(CAST(c_xy AS DECIMAL(38,0)) * n_tokens * 1000000 "
+        "DIV (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)")
+    return (j.select("bigram", "c_xy", "c_x", "c_y",
+                     lift.alias("lift_ppm"))
+            .orderBy(F.col("lift_ppm").desc(), F.col("bigram").asc())
+            .limit(_PMI_TOPK))
+
+
+ORACLES["pmi_collocations"] = f"""
+WITH d AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), u AS (
+  SELECT unnest(ws) AS w FROM d
+), uni AS (
+  SELECT w, count(*) AS c_w FROM u GROUP BY w
+), tot AS (
+  SELECT count(*) AS n_tokens FROM u
+), bg AS (
+  SELECT unnest([ws[i] || ' ' || ws[i+1]
+                 FOR i IN generate_series(1, len(ws) - 1)]) AS bigram
+  FROM d WHERE len(ws) >= 2
+), big AS (
+  SELECT bigram, count(*) AS c_xy FROM bg GROUP BY bigram
+  HAVING count(*) >= {_PMI_MIN_COUNT}
+)
+SELECT b.bigram, CAST(b.c_xy AS BIGINT) AS c_xy,
+       CAST(ux.c_w AS BIGINT) AS c_x, CAST(uy.c_w AS BIGINT) AS c_y,
+       CAST(b.c_xy::HUGEINT * t.n_tokens * 1000000
+            // (ux.c_w::HUGEINT * uy.c_w) AS BIGINT) AS lift_ppm
+FROM big b
+JOIN uni ux ON ux.w = string_split(b.bigram, ' ')[1]
+JOIN uni uy ON uy.w = string_split(b.bigram, ' ')[2],
+     tot t
+ORDER BY lift_ppm DESC, bigram ASC
+LIMIT {_PMI_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe grouped holdout split (oracle-backed)
+# ---------------------------------------------------------------------------
+
+@query("split_holdout_stats")
+def split_holdout_stats(spark, sf_dir):
+    """(split, n_docs, n_groups, sum_tokens, n_leaked_groups): documents
+    assigned to train/valid/test by the md5 bucket of their exact-dup
+    GROUP (md5 of the text), never the row — byte-identical duplicates
+    land in one split by construction.  n_leaked_groups counts groups
+    observed in >1 split (must be 0; computed, not assumed)."""
+    docs = _t(spark, sf_dir, "documents")
+    grp = F.md5(F.col("text"))
+    bucket = (F.conv(F.substring(grp, 1, 4), 16, 10)
+              .cast("long") % 100)
+    split = (F.when(bucket < _SPLIT_TRAIN_PCT, "train")
+             .when(bucket < _SPLIT_VALID_PCT, "valid")
+             .otherwise("test"))
+    tagged = docs.select(
+        grp.alias("grp"), split.alias("split"),
+        T.token_count(F.col("text")).alias("n_tok"))
+    leaked = (tagged.groupBy("grp")
+              .agg(F.countDistinct("split").alias("ns"))
+              .agg(F.coalesce(
+                  F.sum(F.when(F.col("ns") > 1, 1).otherwise(0)),
+                  F.lit(0)).alias("n_leaked_groups")))
+    return (tagged.groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("grp").alias("n_groups"),
+                 F.sum(F.col("n_tok").cast("long")).alias("sum_tokens"))
+            .crossJoin(F.broadcast(leaked)))
+
+
+ORACLES["split_holdout_stats"] = f"""
+WITH t AS (
+  SELECT md5(text) AS grp,
+         CASE WHEN ('0x' || substr(md5(text), 1, 4))::BIGINT % 100
+                   < {_SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN ('0x' || substr(md5(text), 1, 4))::BIGINT % 100
+                   < {_SPLIT_VALID_PCT} THEN 'valid'
+              ELSE 'test' END AS split,
+         len(regexp_extract_all(text,
+             '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_tok
+  FROM documents
+), leaked AS (
+  SELECT CAST(coalesce(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_leaked_groups
+  FROM (SELECT grp, count(DISTINCT split) AS ns FROM t GROUP BY grp)
+)
+SELECT split, count(*) AS n_docs,
+       CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       n_leaked_groups
+FROM t, leaked
+GROUP BY split, n_leaked_groups
+"""

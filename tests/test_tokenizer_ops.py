@@ -1,0 +1,207 @@
+"""BPE tokenizer training, PMI collocations, and holdout-split tests.
+
+``bpe_learn_merges`` has no DuckDB oracle (per-round argmax is not
+SQL-expressible), so its gate is differential: a pure-Python Sennrich
+(2016) reference implementation pins the full merge sequence on the
+smoke corpus, on crafted overlap/tie corpora, and on random fuzz
+corpora; the incremental pair-count maintenance is additionally pinned
+against the naive full-recount twin (``incremental=False``).  The
+greedy-apply fold (`encode_words`) is pinned against the reference's
+training-state segmentation.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+from openskidata_processor_spark.operators.bpe import (
+    chars, encode_words, learn_bpe, merge_pair, word_vocab)
+from openskidata_processor_spark.plans import QUERIES
+
+
+# --- pure-Python Sennrich reference -----------------------------------------
+
+def _apply(syms, a, b):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def ref_bpe(vocab: dict[str, int], n_merges: int, min_count: int = 2):
+    """Reference learner: argmax by (count desc, pair asc), greedy
+    left-to-right non-overlapping apply.  Returns (merges, word_states)."""
+    words = {w: list(w) for w in vocab}
+    merges = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, freq in vocab.items():
+            syms = words[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        best_cnt = max(counts.values())
+        if best_cnt < min_count:
+            break
+        a, b = min(p for p, c in counts.items() if c == best_cnt)
+        merges.append((rank, a, b, a + b, best_cnt))
+        for w in words:
+            words[w] = _apply(words[w], a, b)
+    return merges, words
+
+
+def _py_vocab(texts):
+    vocab: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                vocab[w] = vocab.get(w, 0) + 1
+    return vocab
+
+
+def _smoke_texts():
+    con = duckdb.connect()
+    return [r[0] for r in con.sql(
+        f"SELECT text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()]
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+# --- learner vs reference ----------------------------------------------------
+
+def test_learn_matches_reference_on_smoke(spark):
+    from openskidata_processor_spark.plans.tokenizer import _BPE_MERGES
+
+    expected, _ = ref_bpe(_py_vocab(_smoke_texts()), _BPE_MERGES)
+    got = [(r["merge_rank"], r["left"], r["right"], r["merged"],
+            r["pair_count"])
+           for r in sorted(QUERIES["bpe_learn_merges"](
+               spark, SF_SMOKE).collect(),
+               key=lambda r: r["merge_rank"])]
+    assert got == expected
+
+
+def test_learn_16_matches_reference_on_smoke(spark):
+    """Deeper pin than the registered query's 8 rounds: 16 merges via
+    the operator API (multi-char symbols merging with each other)."""
+    texts = _smoke_texts()
+    expected, _ = ref_bpe(_py_vocab(texts), 16)
+    got = [(m["merge_rank"], m["left"], m["right"], m["merged"],
+            m["pair_count"])
+           for m in learn_bpe(word_vocab(_docs_df(spark, texts)), 16)]
+    assert got == expected
+
+
+# overlap runs, tie pairs, multi-char symbol growth, unicode
+_CRAFTED = [
+    "aaa aaaa ab ab ab",
+    "abab baba aa bb",
+    "xxyy xxyy xyxy",
+    "ггг ггд дгг",
+    "mississippi mississippi miss",
+    "a b ab ba",
+]
+
+
+def test_incremental_equals_recount_and_reference(spark):
+    vocab_df = word_vocab(_docs_df(spark, _CRAFTED))
+    inc = learn_bpe(vocab_df, 10, min_count=1)
+    naive = learn_bpe(vocab_df, 10, min_count=1, incremental=False)
+    assert inc == naive
+    expected, _ = ref_bpe(_py_vocab(_CRAFTED), 10, min_count=1)
+    got = [(m["merge_rank"], m["left"], m["right"], m["merged"],
+            m["pair_count"]) for m in inc]
+    assert got == expected
+
+
+def test_merge_fold_edge_semantics(spark):
+    df = spark.createDataFrame(
+        [("aaa",), ("aaaa",), ("ababab",), ("",), ("a",)], ["w"])
+    out = {r["w"]: (r["m_aa"], r["m_ba"]) for r in df.select(
+        "w",
+        merge_pair(chars(F.col("w")), "a", "a").alias("m_aa"),
+        merge_pair(chars(F.col("w")), "b", "a").alias("m_ba")).collect()}
+    assert out["aaa"] == (["aa", "a"], ["a", "a", "a"])
+    assert out["aaaa"] == (["aa", "aa"], ["a", "a", "a", "a"])
+    assert out["ababab"] == (["a", "b", "a", "b", "a", "b"],
+                             ["a", "ba", "ba", "b"])
+    assert out[""] == ([], [])
+    assert out["a"] == (["a"], ["a"])
+
+
+def test_encode_words_reproduces_training_state(spark):
+    texts = _CRAFTED
+    merges_py, words_py = ref_bpe(_py_vocab(texts), 8, min_count=1)
+    merges = [{"merge_rank": r, "left": a, "right": b, "merged": m,
+               "pair_count": c} for r, a, b, m, c in merges_py]
+    vocab_df = word_vocab(_docs_df(spark, texts))
+    start = vocab_df.select("w", "freq", chars(F.col("w")).alias("syms"))
+    got = {r["w"]: r["syms"]
+           for r in encode_words(start, merges).collect()}
+    assert got == words_py
+
+
+@pytest.mark.parametrize("seed", [5, 17, 29])
+def test_learn_fuzz_vs_reference(spark, seed):
+    rnd = random.Random(seed)
+    alpha = "abcдg"
+    texts = [" ".join("".join(rnd.choice(alpha)
+                              for _ in range(rnd.randint(1, 6)))
+                      for _ in range(rnd.randint(0, 15)))
+             for _ in range(12)]
+    expected, _ = ref_bpe(_py_vocab(texts), 6, min_count=1)
+    got = [(m["merge_rank"], m["left"], m["right"], m["merged"],
+            m["pair_count"])
+           for m in learn_bpe(word_vocab(_docs_df(spark, texts)), 6,
+                              min_count=1)]
+    assert got == expected
+
+
+# --- holdout split ------------------------------------------------------------
+
+def test_holdout_split_partitions_and_never_leaks(spark):
+    rows = QUERIES["split_holdout_stats"](spark, SF_SMOKE).collect()
+    n_total = duckdb.sql(
+        f"SELECT count(*) FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')").fetchone()[0]
+    assert {r["split"] for r in rows} <= {"train", "valid", "test"}
+    assert sum(r["n_docs"] for r in rows) == n_total
+    assert all(r["n_leaked_groups"] == 0 for r in rows)
+    again = QUERIES["split_holdout_stats"](spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+# --- PMI collocations ---------------------------------------------------------
+
+def test_pmi_lift_self_consistent(spark):
+    rows = QUERIES["pmi_collocations"](spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 50
+    n_tokens = duckdb.sql(
+        f"""SELECT count(*) FROM (
+              SELECT unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> ''))
+              FROM read_parquet('{SF_SMOKE}/documents.parquet'))"""
+    ).fetchone()[0]
+    for r in rows:
+        assert r["c_xy"] >= 5
+        assert r["lift_ppm"] == (r["c_xy"] * n_tokens * 1_000_000) // (
+            r["c_x"] * r["c_y"])
+    lifts = [r["lift_ppm"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
