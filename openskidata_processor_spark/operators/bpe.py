@@ -23,8 +23,12 @@ Scale design:
    full-recount twin (``incremental=False``) is retained as the pytest
    equality pin (tests/test_tokenizer_ops.py).
 3. **Bounded driver traffic.**  The only collect is the 1-row argmax per
-   merge; lineage is cut every ``checkpoint_every`` merges with
-   ``localCheckpoint`` so plan depth stays O(1) per iteration.
+   merge; lineage is cut per merge (standing counts) and every
+   ``checkpoint_every`` merges (word state) via
+   ``operators.barrier.truncate_lineage`` — localCheckpoint locally,
+   reliable ``checkpoint()`` on a cluster with
+   ``SPARK_GRAFT_RELIABLE_CHECKPOINT=1`` so executor loss cannot kill a
+   long training run.
 
 The within-word merge is a greedy left-to-right scan expressed as a
 pure-Catalyst ``aggregate()`` fold (no Python in the hot path):
@@ -40,6 +44,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .barrier import truncate_lineage
 
 
 def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -116,9 +122,9 @@ def learn_bpe(vocab: DataFrame, n_merges: int, min_count: int = 2,
     drops below ``min_count``.  ``incremental=False`` recomputes the
     pair counts from scratch each iteration (the equality-pin twin).
     """
-    cur = vocab.select("w", "freq", chars(F.col("w")).alias("syms"))
-    cur = cur.localCheckpoint()
-    pc = pair_counts(cur).localCheckpoint() if incremental else None
+    cur = truncate_lineage(
+        vocab.select("w", "freq", chars(F.col("w")).alias("syms")))
+    pc = truncate_lineage(pair_counts(cur)) if incremental else None
 
     merges: list[dict] = []
     for rank in range(n_merges):
@@ -156,14 +162,14 @@ def learn_bpe(vocab: DataFrame, n_merges: int, min_count: int = 2,
             # |standing pairs| + |affected-word pairs| rows.
             pc = (pc.unionByName(old_p).unionByName(new_p)
                   .groupBy("l", "r").agg(F.sum("cnt").alias("cnt"))
-                  .filter(F.col("cnt") > 0)
-                  .localCheckpoint())
+                  .filter(F.col("cnt") > 0))
+            pc = truncate_lineage(pc)
         cur = cur.withColumn(
             "syms",
             F.when(hit, merge_pair(F.col("syms"), a, b))
             .otherwise(F.col("syms")))
         if (rank + 1) % checkpoint_every == 0:
-            cur = cur.localCheckpoint()
+            cur = truncate_lineage(cur, eager=False)
     return merges
 
 
@@ -180,5 +186,5 @@ def encode_words(word_syms: DataFrame, merges: list[dict]) -> DataFrame:
             F.when(hit, merge_pair(F.col("syms"), m["left"], m["right"]))
             .otherwise(F.col("syms")))
         if (i + 1) % 4 == 0:
-            cur = cur.localCheckpoint()
+            cur = truncate_lineage(cur, eager=False)
     return cur

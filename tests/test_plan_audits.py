@@ -152,3 +152,39 @@ def test_blocklist_broadcasts_list_and_script_stays_per_row(spark):
     assert "BroadcastHashJoin" in plan
     plan2 = _plan(QUERIES["script_stats"](spark, SF_SMOKE))
     assert plan2.count("Exchange hashpartitioning") == 0
+
+
+def test_bpe_pair_stats_runs_on_vocab_not_corpus(spark):
+    """bpe_pair_stats' pair explode must sit above the word aggregate
+    (vocab frame, corpus-independent): exactly two exchanges (word
+    groupBy, pair groupBy) and a TakeOrdered top-K — never a global
+    sort — with the scan pruned to the text column.  (Cache cleared
+    first: pmi_collocations' persisted unigram frame plan-matches the
+    vocab subtree and would replace the word exchange with an
+    InMemoryTableScan in a shared session.)"""
+    spark.catalog.clearCache()
+    plan = _plan(QUERIES["bpe_pair_stats"](spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "TakeOrderedAndProject" in plan
+    assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_pmi_caches_unigrams_and_broadcasts_total(spark):
+    """pmi_collocations consumes the unigram frame three times (c_x
+    join, c_y join, 1-row total) — it must flow through the materialize
+    barrier (InMemoryTableScan) so the corpus is scanned twice, not
+    four times, and the 1-row total must broadcast."""
+    plan = _plan(QUERIES["pmi_collocations"](spark, SF_SMOKE))
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_split_holdout_is_two_agg_passes(spark):
+    """split_holdout_stats: per-row split tagging plus two aggregations
+    (per-split stats, per-group leak check) with the 1-row leak count
+    broadcast back; the scan reads only the text column."""
+    plan = _plan(QUERIES["split_holdout_stats"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "ReadSchema: struct<text:string>" in plan
