@@ -60,9 +60,16 @@ _DRIVER_WINDOW = [
     # rotated out in round 8 for the web-ingestion probes below — their
     # families stay in-window via tfidf_doc_terms and the other two
     # samplers, and they stay hard-gated by the identical parity check)
+    # (sample_temperature_mixture rotated out in round 9 for the
+    # tokenizer-family probes below — sample_stratified keeps the
+    # sampler family in-window; it stays hard-gated by the identical
+    # parity check)
     "cdc_merge_upsert", "quantiles_exact", "tfidf_doc_terms",
     "rollup_multi_granularity", "sample_stratified",
-    "sample_temperature_mixture",
+    # round-9 tokenizer family: BPE first-iteration pair stats and the
+    # leakage-safe grouped holdout split (pmi_collocations stays
+    # parity-gated outside the window)
+    "bpe_pair_stats", "split_holdout_stats",
     # hygiene / packing (pack_concat_bins rotated out likewise —
     # pack_sequences keeps the packing family in-window)
     "pii_redact_docs", "quality_repetition", "contamination_ngram",
@@ -72,12 +79,12 @@ _DRIVER_WINDOW = [
     # stage completing the crawl family (HTML→URL→mojibake→script→lang)
     "html_extract_text", "url_canonical_stats", "bloom_decontaminate",
     "lang_id_confusion",
-    # multimodal (multimodal_resize_stats rotated out for lang_id —
-    # the family keeps four in-window entries and resize stays
-    # hard-gated by the identical parity check + its pytest suite)
+    # multimodal (multimodal_resize_stats rotated out for lang_id in
+    # round 9, multimodal_frame_sample for the tokenizer probes — the
+    # family keeps three in-window entries; both rotated-out queries
+    # stay hard-gated by the identical parity check + the pytest suite)
     "multimodal_decode_stats",
     "multimodal_audio_stats", "multimodal_video_stats",
-    "multimodal_frame_sample",
     # streaming
     "stream_event_counts", "stream_stateful_sessions", "stream_dedup_exact",
     "stream_lake_ingest",

@@ -393,3 +393,32 @@ def test_lang_id_and_line_dedup_fuzz(spark, tmp_path, seed):
         got, want = _run_query(spark, tmp_path, "documents", rows,
                                _DOC_SCHEMA, _DOC_COLS, qname)
         assert got == want, qname
+
+
+@pytest.mark.parametrize("seed", [7, 61])
+def test_bpe_pair_stats_fuzz(spark, tmp_path, seed):
+    rows = _random_docs(seed, 50)
+    got, want = _run_query(spark, tmp_path, "documents", rows,
+                           _DOC_SCHEMA, _DOC_COLS, "bpe_pair_stats")
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [3, 41])
+def test_pmi_collocations_fuzz(spark, tmp_path, seed):
+    # collocations need repeated bigrams: longer docs over a small vocab
+    rnd = random.Random(seed)
+    small = ["alpha", "beta", "gamma", "год", "x1", "a"]
+    rows = [(i, f"src{i % 2}",
+             " ".join(rnd.choice(small) for _ in range(rnd.randint(0, 60))),
+             "en", 0) for i in range(40)]
+    got, want = _run_query(spark, tmp_path, "documents", rows,
+                           _DOC_SCHEMA, _DOC_COLS, "pmi_collocations")
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [29, 47])
+def test_split_holdout_fuzz(spark, tmp_path, seed):
+    rows = _random_docs(seed, 80)
+    got, want = _run_query(spark, tmp_path, "documents", rows,
+                           _DOC_SCHEMA, _DOC_COLS, "split_holdout_stats")
+    assert got == want
