@@ -127,6 +127,7 @@ EXTENDED_QUERIES = [
     # learning, PMI collocations, leakage-safe holdout split
     "bpe_pair_stats",
     "bpe_learn_merges",
+    "bpe_encode_stats",
     "pmi_collocations",
     "split_holdout_stats",
 ]

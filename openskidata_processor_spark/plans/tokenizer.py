@@ -253,3 +253,56 @@ SELECT split, count(*) AS n_docs,
 FROM t, leaked
 GROUP BY split, n_leaked_groups
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE train-then-apply (no SQL oracle — the merge table is learned;
+# pinned by the pure-Python reference in tests/test_tokenizer_ops.py)
+# ---------------------------------------------------------------------------
+
+_BPE_ENC_MERGES = 4   # the APPLY machinery is what this query exercises;
+                      # merge depth is orthogonal (bpe_learn_merges runs 8)
+
+
+@query("bpe_encode_stats")
+def bpe_encode_stats(spark, sf_dir):
+    """(source, n_docs, sum_words, sum_chars, sum_tokens,
+    tokens_per_1e6_chars): learn ``_BPE_ENC_MERGES`` merges, apply them
+    to the vocab (operators/bpe.py::encode_words), and report per-source
+    corpus compression.  Scale shape: the corpus aggregates to
+    (source, word, cnt) FIRST (map-side combine — no per-occurrence
+    join, so stop-word skew never reaches a shuffle key), then joins the
+    encoded vocab's token counts; every post-corpus frame is
+    vocab-sized.  All-integer output (``div``), hash-stable."""
+    from ..operators.bpe import chars as bpe_chars
+    from ..operators.bpe import encode_words, learn_bpe, word_vocab
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", T.words(F.col("text")).alias("ws"))
+    vocab = word_vocab(
+        _t(spark, sf_dir, "documents"))
+    merges = learn_bpe(vocab, _BPE_ENC_MERGES)
+    enc = (encode_words(
+        vocab.select("w", "freq", bpe_chars(F.col("w")).alias("syms")),
+        merges)
+        .select("w", F.size("syms").alias("n_tok"),
+                F.length("w").alias("n_chr")))
+
+    per_doc = docs.select("source", F.explode("ws").alias("w"))
+    by_word = (per_doc.groupBy("source", "w")
+               .agg(F.count("*").alias("cnt")))
+    tok = (by_word.join(enc, "w")
+           .groupBy("source")
+           .agg(F.sum("cnt").alias("sum_words"),
+                F.sum(F.col("cnt") * F.col("n_chr")).alias("sum_chars"),
+                F.sum(F.col("cnt") * F.col("n_tok")).alias("sum_tokens")))
+    n_docs = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    ratio = F.expr("CAST(CAST(sum_tokens AS DECIMAL(38,0)) * 1000000 "
+                   "DIV CAST(sum_chars AS DECIMAL(38,0)) AS BIGINT)")
+    return (n_docs.join(tok, "source", "left")
+            .select("source", "n_docs",
+                    F.coalesce("sum_words", F.lit(0)).alias("sum_words"),
+                    F.coalesce("sum_chars", F.lit(0)).alias("sum_chars"),
+                    F.coalesce("sum_tokens", F.lit(0)).alias("sum_tokens"),
+                    F.when(F.coalesce("sum_chars", F.lit(0)) > 0, ratio)
+                    .otherwise(F.lit(0)).alias("tokens_per_1e6_chars")))

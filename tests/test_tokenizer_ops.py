@@ -205,3 +205,31 @@ def test_pmi_lift_self_consistent(spark):
             r["c_x"] * r["c_y"])
     lifts = [r["lift_ppm"] for r in rows]
     assert lifts == sorted(lifts, reverse=True)
+
+
+# --- BPE train-then-apply stats -------------------------------------------
+
+def test_encode_stats_matches_reference(spark):
+    from openskidata_processor_spark.plans.tokenizer import _BPE_ENC_MERGES
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT source, text FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')").fetchall()
+    _, words_state = ref_bpe(_py_vocab(t for _, t in docs),
+                             _BPE_ENC_MERGES)
+    exp: dict[str, list[int]] = {}
+    for src, text in docs:
+        e = exp.setdefault(src, [0, 0, 0, 0])
+        e[0] += 1
+        for w in text.split(" "):
+            if w:
+                e[1] += 1
+                e[2] += len(w)
+                e[3] += len(words_state[w])
+    expected = sorted(
+        (src, n, sw, sc, st, (st * 1_000_000) // sc if sc else 0)
+        for src, (n, sw, sc, st) in exp.items())
+    got = sorted(map(tuple, QUERIES["bpe_encode_stats"](
+        spark, SF_SMOKE).collect()))
+    assert got == expected
