@@ -39,7 +39,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..operators.bpe import learn_bpe, word_vocab
+from ..operators.bpe import chars as bpe_chars
+from ..operators.bpe import encode_words, learn_bpe, word_vocab
 from .analytics import _t, query
 from .oracles import ORACLES
 
@@ -70,8 +71,7 @@ def bpe_pair_stats(spark, sf_dir):
     vocab = word_vocab(_t(spark, sf_dir, "documents"))
     pairs = vocab.select(
         "w", "freq",
-        F.explode(T.zip_ngrams(F.filter(F.split(F.col("w"), ""),
-                                        lambda c: c != ""),
+        F.explode(T.zip_ngrams(bpe_chars(F.col("w")),
                                2, lambda x, y: F.concat(x, y)))
         .alias("pair"))
     return (pairs.groupBy("pair")
@@ -273,14 +273,18 @@ def bpe_encode_stats(spark, sf_dir):
     (source, word, cnt) FIRST (map-side combine — no per-occurrence
     join, so stop-word skew never reaches a shuffle key), then joins the
     encoded vocab's token counts; every post-corpus frame is
-    vocab-sized.  All-integer output (``div``), hash-stable."""
-    from ..operators.bpe import chars as bpe_chars
-    from ..operators.bpe import encode_words, learn_bpe, word_vocab
+    vocab-sized.  The (source, word) frame flows through the materialize
+    barrier and the learner's vocab derives FROM it, so the corpus text
+    is scanned exactly once (plus one column-pruned source-only scan for
+    doc counts).  All-integer output (``div``), hash-stable."""
+    from ..operators.barrier import materialize
 
     docs = _t(spark, sf_dir, "documents").select(
         "source", T.words(F.col("text")).alias("ws"))
-    vocab = word_vocab(
-        _t(spark, sf_dir, "documents"))
+    by_word = materialize(
+        docs.select("source", F.explode("ws").alias("w"))
+        .groupBy("source", "w").agg(F.count("*").alias("cnt")))
+    vocab = by_word.groupBy("w").agg(F.sum("cnt").alias("freq"))
     merges = learn_bpe(vocab, _BPE_ENC_MERGES)
     enc = (encode_words(
         vocab.select("w", "freq", bpe_chars(F.col("w")).alias("syms")),
@@ -288,9 +292,6 @@ def bpe_encode_stats(spark, sf_dir):
         .select("w", F.size("syms").alias("n_tok"),
                 F.length("w").alias("n_chr")))
 
-    per_doc = docs.select("source", F.explode("ws").alias("w"))
-    by_word = (per_doc.groupBy("source", "w")
-               .agg(F.count("*").alias("cnt")))
     tok = (by_word.join(enc, "w")
            .groupBy("source")
            .agg(F.sum("cnt").alias("sum_words"),
