@@ -130,6 +130,8 @@ EXTENDED_QUERIES = [
     "bpe_encode_stats",
     "pmi_collocations",
     "split_holdout_stats",
+    # composed end-to-end: hygiene -> dedup -> split -> train-only BPE
+    "training_corpus_stats",
 ]
 
 

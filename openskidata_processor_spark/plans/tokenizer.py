@@ -28,6 +28,16 @@ vocabulary-side operators a 100 TB LLM-data pipeline runs after hygiene:
                            splits; the output carries the computed
                            cross-split leak count (0 by construction,
                            but measured, not asserted).
+- ``bpe_encode_stats``   : BPE train-then-apply — per-source corpus
+                           compression with the corpus pre-aggregated to
+                           (source, word, cnt) before the vocab join (no
+                           per-occurrence join; stop-word skew never
+                           reaches a shuffle key).
+- ``training_corpus_stats``: the composed end-to-end prep — hygiene gate
+                           → exact dedup → leakage-safe split → BPE
+                           learned on the TRAIN split only → per-split
+                           token statistics; pinned end-to-end against
+                           the pure-Python reference composition.
 
 Reference anchor: the reference feeds its outputs to downstream format
 consumers (openskidata-processor README pipeline diagram); these queries
@@ -307,3 +317,79 @@ def bpe_encode_stats(spark, sf_dir):
                     F.coalesce("sum_tokens", F.lit(0)).alias("sum_tokens"),
                     F.when(F.coalesce("sum_chars", F.lit(0)) > 0, ratio)
                     .otherwise(F.lit(0)).alias("tokens_per_1e6_chars")))
+
+
+# ---------------------------------------------------------------------------
+# Composed end-to-end: hygiene → dedup → leakage-safe split → BPE
+# (train-split-only) → per-split token statistics.  No SQL oracle (the
+# merge table is learned); pinned end-to-end against the pure-Python
+# reference composition in tests/test_tokenizer_ops.py.
+# ---------------------------------------------------------------------------
+
+_PIPE_MIN_TOKENS = 8   # integer hygiene gate (no float thresholds —
+                       # cross-engine/py-reference comparable by identity)
+
+
+@query("training_corpus_stats")
+def training_corpus_stats(spark, sf_dir):
+    """(split, n_docs, sum_words, sum_tokens, tokens_per_1e6_chars):
+    the whole training-data prep as ONE composed DAG —
+
+    1. hygiene: drop docs under ``_PIPE_MIN_TOKENS`` tokens (integer
+       gate, TOKEN_REGEX);
+    2. exact dedup, keep-first (min doc_id per text md5) — ONE
+       content-keyed shuffle via min(struct(doc_id, text));
+    3. leakage-safe split: md5-bucket of the text (identical policy to
+       ``split_holdout_stats`` — dup groups are single rows here by
+       construction of step 2);
+    4. BPE merges learned from the TRAIN split only (the tokenizer must
+       never see held-out text), then applied to every split's vocab —
+       held-out words still encode (merges apply to any char sequence);
+    5. per-split stats over the pre-aggregated (split, word, cnt) frame
+       (map-side combine; no per-occurrence join).
+    """
+    from ..operators.barrier import materialize
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = docs.filter(T.token_count(F.col("text")) >= _PIPE_MIN_TOKENS)
+    uniq = (kept.groupBy(F.md5(F.col("text")).alias("grp"))
+            .agg(F.min(F.struct("doc_id", "text")).alias("keep"))
+            .select("grp", F.col("keep.text").alias("text")))
+    bucket = (F.conv(F.substring(F.col("grp"), 1, 4), 16, 10)
+              .cast("long") % 100)
+    split = (F.when(bucket < _SPLIT_TRAIN_PCT, "train")
+             .when(bucket < _SPLIT_VALID_PCT, "valid")
+             .otherwise("test"))
+    tagged = uniq.select(split.alias("split"),
+                         T.words(F.col("text")).alias("ws"))
+
+    by_word = materialize(
+        tagged.select("split", F.explode("ws").alias("w"))
+        .groupBy("split", "w").agg(F.count("*").alias("cnt")))
+    train_vocab = (by_word.filter(F.col("split") == "train")
+                   .select("w", F.col("cnt").alias("freq")))
+    merges = learn_bpe(train_vocab, _BPE_ENC_MERGES)
+    vocab_all = by_word.groupBy("w").agg(F.sum("cnt").alias("freq"))
+    enc = (encode_words(
+        vocab_all.select("w", "freq",
+                         bpe_chars(F.col("w")).alias("syms")),
+        merges)
+        .select("w", F.size("syms").alias("n_tok"),
+                F.length("w").alias("n_chr")))
+
+    n_docs = tagged.groupBy("split").agg(F.count("*").alias("n_docs"))
+    ratio = F.expr("CAST(CAST(sum_tokens AS DECIMAL(38,0)) * 1000000 "
+                   "DIV CAST(sum_chars AS DECIMAL(38,0)) AS BIGINT)")
+    tok = (by_word.join(enc, "w")
+           .groupBy("split")
+           .agg(F.sum("cnt").alias("sum_words"),
+                F.sum(F.col("cnt") * F.col("n_chr")).alias("sum_chars"),
+                F.sum(F.col("cnt") * F.col("n_tok")).alias("sum_tokens")))
+    return (n_docs.join(tok, "split", "left")
+            .select("split", "n_docs",
+                    F.coalesce("sum_words", F.lit(0)).alias("sum_words"),
+                    F.coalesce("sum_tokens", F.lit(0))
+                    .alias("sum_tokens"),
+                    F.when(F.coalesce("sum_chars", F.lit(0)) > 0, ratio)
+                    .otherwise(F.lit(0))
+                    .alias("tokens_per_1e6_chars")))

@@ -233,3 +233,55 @@ def test_encode_stats_matches_reference(spark):
     got = sorted(map(tuple, QUERIES["bpe_encode_stats"](
         spark, SF_SMOKE).collect()))
     assert got == expected
+
+
+# --- composed end-to-end pipeline -------------------------------------------
+
+def test_training_pipeline_matches_reference(spark):
+    """training_corpus_stats pinned against the same composition done in
+    pure Python: token-count gate → md5 keep-first dedup → md5-bucket
+    split → BPE learned on train only → per-split token sums."""
+    import hashlib
+    import re
+
+    from openskidata_processor_spark.plans.tokenizer import (
+        _BPE_ENC_MERGES, _PIPE_MIN_TOKENS, _SPLIT_TRAIN_PCT,
+        _SPLIT_VALID_PCT)
+
+    tok_re = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")
+    kept = [t for t in _smoke_texts()
+            if len(tok_re.findall(t)) >= _PIPE_MIN_TOKENS]
+    uniq: dict[str, str] = {}
+    for t in kept:
+        uniq.setdefault(hashlib.md5(t.encode("utf-8")).hexdigest(), t)
+
+    def split_of(digest):
+        b = int(digest[:4], 16) % 100
+        return ("train" if b < _SPLIT_TRAIN_PCT
+                else "valid" if b < _SPLIT_VALID_PCT else "test")
+
+    train_texts = [t for d, t in uniq.items() if split_of(d) == "train"]
+    merges, _ = ref_bpe(_py_vocab(train_texts), _BPE_ENC_MERGES)
+    mseq = [(a, b) for _, a, b, _, _ in merges]
+
+    def n_tok(w):
+        syms = list(w)
+        for a, b in mseq:
+            syms = _apply(syms, a, b)
+        return len(syms)
+
+    exp: dict[str, list[int]] = {}
+    for d, t in uniq.items():
+        e = exp.setdefault(split_of(d), [0, 0, 0, 0])
+        e[0] += 1
+        for w in t.split(" "):
+            if w:
+                e[1] += 1
+                e[2] += len(w)
+                e[3] += n_tok(w)
+    expected = sorted(
+        (s, n, sw, st, (st * 1_000_000) // sc if sc else 0)
+        for s, (n, sw, sc, st) in exp.items())
+    got = sorted(map(tuple, QUERIES["training_corpus_stats"](
+        spark, SF_SMOKE).collect()))
+    assert got == expected
