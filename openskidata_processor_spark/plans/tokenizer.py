@@ -270,8 +270,11 @@ GROUP BY split, n_leaked_groups
 # pinned by the pure-Python reference in tests/test_tokenizer_ops.py)
 # ---------------------------------------------------------------------------
 
-_BPE_ENC_MERGES = 4   # the APPLY machinery is what this query exercises;
-                      # merge depth is orthogonal (bpe_learn_merges runs 8)
+_BPE_ENC_MERGES = 2   # the APPLY machinery is what this query exercises;
+                      # merge depth is orthogonal (bpe_learn_merges runs 8,
+                      # the pytest reference pin 16) and each learned merge
+                      # costs one sequential argmax round (~1 s job floor
+                      # at toy scale)
 
 
 @query("bpe_encode_stats")

@@ -141,6 +141,11 @@ QUERIES_TO_PROBE = [
     # split_holdout_stats 0.8s → 1.3s (pure per-row chain, linear).
     "bpe_pair_stats", "bpe_learn_merges", "pmi_collocations",
     "split_holdout_stats",
+    # train-then-apply + composed prep at 10× (local[32], 2026-08):
+    # bpe_encode_stats 4.9s → 6.1s, training_corpus_stats 6.3s → 7.7s —
+    # the learned-merge job floor is flat, only the corpus-scale word
+    # and hygiene passes add the ~1.3s delta at 10× data.
+    "bpe_encode_stats", "training_corpus_stats",
 ]
 
 
