@@ -363,8 +363,12 @@ def training_corpus_stats(spark, sf_dir):
     split = (F.when(bucket < _SPLIT_TRAIN_PCT, "train")
              .when(bucket < _SPLIT_VALID_PCT, "valid")
              .otherwise("test"))
-    tagged = uniq.select(split.alias("split"),
-                         T.words(F.col("text")).alias("ws"))
+    # The post-dedup tagged corpus feeds TWO consumers (the word
+    # aggregation and the per-split doc counts); without the barrier the
+    # hygiene filter + dedup shuffle run twice.  MEMORY_AND_DISK with
+    # lineage retained — spill-safe and recompute-safe at corpus scale.
+    tagged = materialize(uniq.select(split.alias("split"),
+                                     T.words(F.col("text")).alias("ws")))
 
     by_word = materialize(
         tagged.select("split", F.explode("ws").alias("w"))

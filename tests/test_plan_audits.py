@@ -188,3 +188,14 @@ def test_split_holdout_is_two_agg_passes(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_training_pipeline_reuses_tagged_corpus(spark):
+    """training_corpus_stats' post-dedup tagged frame feeds both the
+    word aggregation and the doc counts — it must flow through the
+    materialize barrier (InMemoryTableScan) so the hygiene filter +
+    dedup shuffle run once, not twice; the scan is pruned to
+    (doc_id, text)."""
+    plan = _plan(QUERIES["training_corpus_stats"](spark, SF_SMOKE))
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "CartesianProduct" not in plan
