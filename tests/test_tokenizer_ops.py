@@ -285,3 +285,32 @@ def test_training_pipeline_matches_reference(spark):
     got = sorted(map(tuple, QUERIES["training_corpus_stats"](
         spark, SF_SMOKE).collect()))
     assert got == expected
+
+
+# --- batched property test: the fold IS the reference scan -------------------
+
+def test_merge_fold_property_batch(spark):
+    """200 random (symbol-array, pair) cases — multi-char symbols,
+    self-pairs, unicode, degenerate arrays — evaluated as ONE DataFrame
+    pass: the Catalyst fold must equal the reference greedy scan on
+    every row."""
+    rnd = random.Random(99)
+    syms_pool = ["a", "b", "ab", "ba", "aa", "д", "дa", "x"]
+    cases = []
+    for _ in range(200):
+        syms = [rnd.choice(syms_pool) for _ in range(rnd.randint(0, 9))]
+        left, right = rnd.choice(syms_pool), rnd.choice(syms_pool)
+        cases.append((syms, left, right))
+    df = spark.createDataFrame(
+        [(i, s, l, r) for i, (s, l, r) in enumerate(cases)],
+        "i int, syms array<string>, l string, r string")
+    # one expression per distinct pair keeps this a single collect
+    out = {}
+    for (left, right) in {(l, r) for _, l, r in cases}:
+        sub = df.filter((F.col("l") == left) & (F.col("r") == right))
+        for row in sub.select(
+                "i", merge_pair(F.col("syms"), left, right)
+                .alias("m")).collect():
+            out[row["i"]] = row["m"]
+    for i, (syms, left, right) in enumerate(cases):
+        assert out[i] == _apply(syms, left, right), (syms, left, right)
