@@ -132,6 +132,8 @@ EXTENDED_QUERIES = [
     "split_holdout_stats",
     # composed end-to-end: hygiene -> dedup -> split -> train-only BPE
     "training_corpus_stats",
+    # streaming vocab-ledger twin of bpe_pair_stats
+    "stream_bpe_pair_stats",
 ]
 
 

@@ -102,6 +102,25 @@ def merge_pair(syms: Column, left: str, right: str) -> Column:
         ).otherwise(F.concat(acc, F.array(x))))
 
 
+def pair_stats_over_vocab(vocab: DataFrame, topk: int) -> DataFrame:
+    """(pair, pair_count, n_words): deterministic top-``topk``
+    freq-weighted adjacent character-pair counts over a (w, freq) vocab
+    frame — the argmax input of BPE's first merge.  Shared by the batch
+    catalog query and its streaming twin (the standing vocab ledger
+    drains into exactly this computation at re-train time)."""
+    from ..functions.text import zip_ngrams
+
+    pairs = vocab.select(
+        "w", "freq",
+        F.explode(zip_ngrams(chars(F.col("w")), 2,
+                             lambda x, y: F.concat(x, y))).alias("pair"))
+    return (pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("pair_count"),
+                 F.countDistinct("w").alias("n_words"))
+            .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+            .limit(topk))
+
+
 def pair_counts(word_syms: DataFrame) -> DataFrame:
     """(l, r, cnt): freq-weighted adjacent-pair counts over the vocab
     frame (with within-word multiplicity, per the reference trainer)."""

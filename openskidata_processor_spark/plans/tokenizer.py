@@ -50,7 +50,8 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..operators.bpe import chars as bpe_chars
-from ..operators.bpe import encode_words, learn_bpe, word_vocab
+from ..operators.bpe import (encode_words, learn_bpe,
+                             pair_stats_over_vocab, word_vocab)
 from .analytics import _t, query
 from .oracles import ORACLES
 
@@ -79,16 +80,7 @@ def bpe_pair_stats(spark, sf_dir):
     merge.  The corpus is scanned once (word groupBy with map-side
     combine); the pair explode runs over the vocab frame only."""
     vocab = word_vocab(_t(spark, sf_dir, "documents"))
-    pairs = vocab.select(
-        "w", "freq",
-        F.explode(T.zip_ngrams(bpe_chars(F.col("w")),
-                               2, lambda x, y: F.concat(x, y)))
-        .alias("pair"))
-    return (pairs.groupBy("pair")
-            .agg(F.sum("freq").alias("pair_count"),
-                 F.countDistinct("w").alias("n_words"))
-            .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
-            .limit(_BPE_TOPK))
+    return pair_stats_over_vocab(vocab, _BPE_TOPK)
 
 
 ORACLES["bpe_pair_stats"] = f"""
@@ -400,3 +392,22 @@ def training_corpus_stats(spark, sf_dir):
                     F.when(F.coalesce("sum_chars", F.lit(0)) > 0, ratio)
                     .otherwise(F.lit(0))
                     .alias("tokens_per_1e6_chars")))
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin: incremental vocab-ledger maintenance whose drained
+# pair statistics equal the batch query bit-for-bit (same oracle SQL).
+# ---------------------------------------------------------------------------
+
+@query("stream_bpe_pair_stats")
+def stream_bpe_pair_stats(spark, sf_dir):
+    """(pair, pair_count, n_words): streaming twin of bpe_pair_stats —
+    each micro-batch adds its word counts to a replay-idempotent vocab
+    ledger (OVERWRITE batch partitions); the drained ledger feeds the
+    identical pair-stats computation (streaming/documents.py)."""
+    from ..streaming.documents import streaming_vocab_pair_stats
+
+    return streaming_vocab_pair_stats(spark, sf_dir, topk=_BPE_TOPK)
+
+
+ORACLES["stream_bpe_pair_stats"] = ORACLES["bpe_pair_stats"]

@@ -585,3 +585,74 @@ def _band_rows(sig_df: DataFrame, bands: int = 16) -> DataFrame:
                     b),
             )).alias("band", "band_hash"))
     return banded.select(F.col("id").alias("doc_id"), "band", "band_hash")
+
+
+def streaming_vocab_pair_stats(spark: SparkSession, sf_dir: str,
+                               max_files_per_trigger: int | None = None,
+                               state_base: str | None = None,
+                               topk: int = 64) -> DataFrame:
+    """Incremental tokenizer-statistics maintenance — the streaming twin
+    of ``plans.tokenizer.bpe_pair_stats``.
+
+    A 100 TB pipeline doesn't re-scan the corpus to refresh tokenizer
+    statistics as new documents land: each micro-batch contributes its
+    word counts to a standing VOCAB LEDGER, and the BPE pair statistics
+    derive from the drained ledger at re-train time (a vocab-sized
+    computation, corpus-independent).  Per batch the work is one
+    explode + map-side-combined word groupBy over the NEW documents
+    only; no standing state is read back per batch (word counts are
+    purely additive).
+
+    Replay idempotency: the per-batch counts land in an OVERWRITE
+    ``batch=<id>`` partition of the ledger, so a re-delivered batch_id
+    rewrites identical content instead of double-counting (same
+    contract as the curation/winnow/minhash twins).  Pass ``state_base``
+    to keep the ledger + checkpoint on shared storage across calls; the
+    one-source-per-state_base contract is enforced by ``_pin_source``.
+
+    Output: (pair, pair_count, n_words) — identical to the batch
+    query's oracle after an availableNow drain.
+    """
+    import shutil
+    import tempfile
+
+    from ..functions.text import words
+    from ..operators.bpe import pair_stats_over_vocab
+
+    work = state_base or tempfile.mkdtemp(prefix="stream_vocab_")
+    if state_base:
+        _pin_source(work, sf_dir)   # fail the contract before any read
+    stream = _file_stream(spark, sf_dir, "documents",
+                          max_files_per_trigger)
+    ledger_dir = os.path.join(work, "vocab_ledger")
+    ckpt_dir = os.path.join(work, "checkpoint")
+
+    def process_batch(batch_df, batch_id):
+        (batch_df
+         .select(F.explode(words(F.col("text"))).alias("w"))
+         .groupBy("w").agg(F.count("*").alias("freq"))
+         .write.mode("overwrite")
+         .parquet(os.path.join(ledger_dir, f"batch={batch_id}")))
+
+    name = f"stream_vocab_{uuid.uuid4().hex[:8]}"
+    q = (stream.writeStream.foreachBatch(process_batch)
+         .queryName(name)
+         .option("checkpointLocation", ckpt_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+    if not os.path.exists(ledger_dir):       # empty source → no batches
+        if state_base is None:
+            shutil.rmtree(work, ignore_errors=True)
+        return spark.createDataFrame(
+            [], "pair string, pair_count long, n_words long")
+    vocab = (spark.read.parquet(ledger_dir)
+             .groupBy("w").agg(F.sum("freq").alias("freq")))
+    # the result is topk rows: localCheckpoint materializes it so the
+    # per-call temp ledger can be reclaimed immediately
+    result = pair_stats_over_vocab(vocab, topk).localCheckpoint(
+        eager=True)
+    if state_base is None:
+        shutil.rmtree(work, ignore_errors=True)
+    return result

@@ -620,3 +620,71 @@ def test_streaming_ivf_index_equals_batch_assignment(spark, tmp_path):
                         cells(F.col("embedding"))[0].alias("cell"))
                 .collect()}   # `cells` holds the ORIGINAL 3-file model
     assert final == {**want, **want_new}
+
+
+def test_streaming_vocab_pair_stats_forced_multi_batch(spark, tmp_path):
+    """The vocab ledger must accumulate word counts across micro-batches
+    (one file per trigger) and drain into EXACTLY the batch pair-stats
+    oracle — words recurring in later batches must merge their counts,
+    not shadow or double-count them."""
+    import duckdb
+    import pandas as pd
+
+    from openskidata_processor_spark.plans import ORACLES
+    from openskidata_processor_spark.streaming.documents import \
+        streaming_vocab_pair_stats
+
+    b1 = [(1, "s1", "banana bandana", "en", 14)]
+    b2 = [(2, "s1", "banana cabana", "en", 13)]
+    b3 = [(3, "s2", "nаnа banana", "en", 11)]   # cyrillic а variant
+    schema = ("doc_id long, source string, text string, lang string, "
+              "n_chars long")
+    d = tmp_path / "stream_vocab_src"
+    d.mkdir()
+    tbl = d / "documents.parquet"
+    for batch in (b1, b2, b3):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append").parquet(str(tbl))
+
+    got = sorted(map(tuple, streaming_vocab_pair_stats(
+        spark, str(d), max_files_per_trigger=1).collect()))
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        b1 + b2 + b3, columns=["doc_id", "source", "text", "lang",
+                               "n_chars"]))
+    want = sorted(map(tuple,
+                      con.execute(ORACLES["stream_bpe_pair_stats"])
+                      .fetchall()))
+    assert got == want
+    # cross-batch accumulation really happened: 'banana' appears in all
+    # three batches, so pair 'an' counts 3 docs' worth of occurrences
+    by_pair = {p: (c, n) for p, c, n in got}
+    assert by_pair["an"][0] >= 6
+
+
+def test_streaming_vocab_state_base_pinned_and_reusable(spark, tmp_path):
+    """state_base keeps the ledger across calls (idempotent drain: a
+    second call with no new files returns the same answer) and refuses
+    a different source directory."""
+    import pytest as _pytest
+
+    from openskidata_processor_spark.streaming.documents import \
+        streaming_vocab_pair_stats
+
+    d = tmp_path / "src_a"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, "s1", "alpha beta alpha", "en", 16)],
+        "doc_id long, source string, text string, lang string, "
+        "n_chars long").coalesce(1).write.parquet(
+        str(d / "documents.parquet"))
+    state = str(tmp_path / "vocab_state")
+    first = sorted(map(tuple, streaming_vocab_pair_stats(
+        spark, str(d), state_base=state).collect()))
+    second = sorted(map(tuple, streaming_vocab_pair_stats(
+        spark, str(d), state_base=state).collect()))
+    assert first == second and first
+    other = tmp_path / "src_b"
+    other.mkdir()
+    with _pytest.raises(ValueError, match="pinned to source"):
+        streaming_vocab_pair_stats(spark, str(other), state_base=state)
