@@ -134,6 +134,8 @@ EXTENDED_QUERIES = [
     "training_corpus_stats",
     # streaming vocab-ledger twin of bpe_pair_stats
     "stream_bpe_pair_stats",
+    # privacy-governance audit: k-anonymity generalization lattice
+    "k_anonymity_stats",
 ]
 
 

@@ -1228,3 +1228,83 @@ SELECT w.doc_id, len(ws) AS n_words,
        coalesce(h.n_hits, 0) > 0 AS blocked
 FROM w LEFT JOIN h USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Re-identification risk audit: k-anonymity over a generalization lattice
+# (Sweeney 2002).  The PII family redacts direct identifiers
+# (pii_redact_docs); this measures the RESIDUAL risk from
+# quasi-identifiers — the class sizes a linkage attacker joins on — at
+# three generalization levels, all from ONE rollup aggregation (a single
+# Expand pass, no per-level rescans).
+# ---------------------------------------------------------------------------
+
+_KANON_BAND_CENTS = 100_000          # $1000 account-balance bands
+_KANON_SHIFT = 10_000_000            # makes banding non-negative so
+                                     # Spark's truncating div == DuckDB's
+                                     # flooring // (they differ below 0)
+
+
+@query("k_anonymity_stats")
+def k_anonymity_stats(spark, sf_dir):
+    """(level, k_band, n_classes, n_rows): k-anonymity class-size
+    distribution over the customer quasi-identifiers at three
+    generalization levels — 0: (nation, $1000-balance band, segment),
+    1: drop segment, 2: nation only.  k_band buckets the equivalence-
+    class size ('1' = directly linkable rows).  One ``rollup`` computes
+    every level (QI columns coalesced to sentinels first, so rollup
+    nulls are unambiguous); integer banding is shift-then-div, exact on
+    both engines."""
+    band = F.expr(
+        f"CAST((CAST(round(coalesce(c_acctbal, 0.0) * 100, 0) AS BIGINT)"
+        f" + {_KANON_SHIFT}) DIV {_KANON_BAND_CENTS}"
+        f" - {_KANON_SHIFT // _KANON_BAND_CENTS} AS BIGINT)")
+    qi = (_t(spark, sf_dir, "customer")
+          .select(F.coalesce(F.col("c_nationkey"), F.lit(-1))
+                  .alias("nation"),
+                  band.alias("band"),
+                  F.coalesce(F.col("c_mktsegment"), F.lit("<null>"))
+                  .alias("segment")))
+    classes = (qi.rollup("nation", "band", "segment")
+               .agg(F.count("*").alias("k")))
+    level = (F.when(F.col("segment").isNotNull()
+                    & F.col("band").isNotNull(), 0)
+             .when(F.col("band").isNotNull(), 1)
+             .when(F.col("nation").isNotNull(), 2))
+    k_band = (F.when(F.col("k") == 1, "1")
+              .when(F.col("k") <= 4, "2-4")
+              .when(F.col("k") <= 9, "5-9")
+              .when(F.col("k") <= 24, "10-24")
+              .otherwise("25+"))
+    return (classes
+            .withColumn("level", level)
+            .filter(F.col("level").isNotNull())
+            .groupBy("level", k_band.alias("k_band"))
+            .agg(F.count("*").alias("n_classes"),
+                 F.sum("k").alias("n_rows")))
+
+
+ORACLES["k_anonymity_stats"] = f"""
+WITH qi AS (
+  SELECT coalesce(c_nationkey, -1) AS nation,
+         (CAST(round(coalesce(c_acctbal, 0.0) * 100, 0) AS BIGINT)
+          + {_KANON_SHIFT}) // {_KANON_BAND_CENTS}
+          - {_KANON_SHIFT // _KANON_BAND_CENTS} AS band,
+         coalesce(c_mktsegment, '<null>') AS segment
+  FROM customer
+), classes AS (
+  SELECT nation, band, segment, count(*) AS k,
+         CASE WHEN GROUPING(segment) = 0 AND GROUPING(band) = 0 THEN 0
+              WHEN GROUPING(band) = 0 THEN 1
+              WHEN GROUPING(nation) = 0 THEN 2 END AS level
+  FROM qi GROUP BY ROLLUP (nation, band, segment)
+)
+SELECT level, CASE WHEN k = 1 THEN '1'
+                   WHEN k <= 4 THEN '2-4'
+                   WHEN k <= 9 THEN '5-9'
+                   WHEN k <= 24 THEN '10-24'
+                   ELSE '25+' END AS k_band,
+       count(*) AS n_classes, CAST(SUM(k) AS BIGINT) AS n_rows
+FROM classes WHERE level IS NOT NULL
+GROUP BY 1, 2
+"""

@@ -422,3 +422,28 @@ def test_split_holdout_fuzz(spark, tmp_path, seed):
     got, want = _run_query(spark, tmp_path, "documents", rows,
                            _DOC_SCHEMA, _DOC_COLS, "split_holdout_stats")
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [9, 77])
+def test_k_anonymity_fuzz(spark, tmp_path, seed):
+    """Random customers with NULL quasi-identifiers and negative
+    balances — the sentinel coalesce and the shift-then-div banding
+    (Spark truncating DIV vs DuckDB flooring //) must agree on every
+    equivalence class."""
+    rnd = random.Random(seed)
+    rows = []
+    for i in range(120):
+        rows.append((
+            i,
+            f"Customer#{i}",
+            rnd.choice([None, 0, 1, 2, 7]),
+            rnd.choice([None, -999.99, -100000.01, 0.0, 999.99,
+                        rnd.uniform(-5000, 5000)]),
+            rnd.choice([None, "AUTOMOBILE", "BUILDING", "MACHINERY"])))
+    schema = ("c_custkey long, c_name string, c_nationkey int, "
+              "c_acctbal double, c_mktsegment string")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment"]
+    got, want = _run_query(spark, tmp_path, "customer", rows,
+                           schema, cols, "k_anonymity_stats")
+    assert got == want

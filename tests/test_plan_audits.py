@@ -199,3 +199,15 @@ def test_training_pipeline_reuses_tagged_corpus(spark):
     plan = _plan(QUERIES["training_corpus_stats"](spark, SF_SMOKE))
     assert plan.count("InMemoryTableScan") >= 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_k_anonymity_is_one_rollup_pass(spark):
+    """k_anonymity_stats computes all three generalization levels from
+    ONE rollup (a single Expand), never one scan per level: exactly one
+    Expand node, at most two aggregation exchanges (class sizes, then
+    band rollup), scan pruned to the three QI columns."""
+    plan = _plan(QUERIES["k_anonymity_stats"](spark, SF_SMOKE))
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "c_name" not in read_schema and "c_custkey" not in read_schema
