@@ -146,6 +146,10 @@ QUERIES_TO_PROBE = [
     # the learned-merge job floor is flat, only the corpus-scale word
     # and hygiene passes add the ~1.3s delta at 10× data.
     "bpe_encode_stats", "training_corpus_stats",
+    # streaming vocab-ledger twin: 2.3s → 4.2s (the delta is the one
+    # corpus-scale word groupBy per micro-batch; the ledger drain and
+    # pair compute stay vocab-sized)
+    "stream_bpe_pair_stats",
 ]
 
 
