@@ -134,8 +134,9 @@ EXTENDED_QUERIES = [
     "training_corpus_stats",
     # streaming vocab-ledger twin of bpe_pair_stats
     "stream_bpe_pair_stats",
-    # privacy-governance audit: k-anonymity generalization lattice
+    # privacy-governance audits: k-anonymity lattice + l-diversity
     "k_anonymity_stats",
+    "l_diversity_stats",
 ]
 
 

@@ -1308,3 +1308,66 @@ SELECT level, CASE WHEN k = 1 THEN '1'
 FROM classes WHERE level IS NOT NULL
 GROUP BY 1, 2
 """
+
+
+@query("l_diversity_stats")
+def l_diversity_stats(spark, sf_dir):
+    """(l_band, n_classes, n_rows, n_homogeneous): l-diversity companion
+    to ``k_anonymity_stats`` (Machanavajjhala 2007) — per equivalence
+    class (nation, $1000-balance band) the number of DISTINCT sensitive
+    values (market segment); a class with l = 1 is homogeneous (the
+    attacker learns the sensitive value without re-identifying a row).
+    One aggregation pass: class → (size, distinct-sensitive), then the
+    l-distribution; n_homogeneous repeats the l=1 row count on every
+    row as the headline risk signal (broadcast of a 1-row frame)."""
+    band = F.expr(
+        f"CAST((CAST(round(coalesce(c_acctbal, 0.0) * 100, 0) AS BIGINT)"
+        f" + {_KANON_SHIFT}) DIV {_KANON_BAND_CENTS}"
+        f" - {_KANON_SHIFT // _KANON_BAND_CENTS} AS BIGINT)")
+    qi = (_t(spark, sf_dir, "customer")
+          .select(F.coalesce(F.col("c_nationkey"), F.lit(-1))
+                  .alias("nation"),
+                  band.alias("band"),
+                  F.coalesce(F.col("c_mktsegment"), F.lit("<null>"))
+                  .alias("segment")))
+    classes = (qi.groupBy("nation", "band")
+               .agg(F.count("*").alias("k"),
+                    F.countDistinct("segment").alias("l")))
+    l_band = (F.when(F.col("l") == 1, "1")
+              .when(F.col("l") == 2, "2")
+              .when(F.col("l") <= 4, "3-4")
+              .otherwise("5+"))
+    dist = (classes.groupBy(l_band.alias("l_band"))
+            .agg(F.count("*").alias("n_classes"),
+                 F.sum("k").alias("n_rows")))
+    homog = (classes
+             .agg(F.coalesce(
+                 F.sum(F.when(F.col("l") == 1, 1).otherwise(0)),
+                 F.lit(0)).alias("n_homogeneous")))
+    return dist.crossJoin(F.broadcast(homog))
+
+
+ORACLES["l_diversity_stats"] = f"""
+WITH qi AS (
+  SELECT coalesce(c_nationkey, -1) AS nation,
+         (CAST(round(coalesce(c_acctbal, 0.0) * 100, 0) AS BIGINT)
+          + {_KANON_SHIFT}) // {_KANON_BAND_CENTS}
+          - {_KANON_SHIFT // _KANON_BAND_CENTS} AS band,
+         coalesce(c_mktsegment, '<null>') AS segment
+  FROM customer
+), classes AS (
+  SELECT nation, band, count(*) AS k,
+         count(DISTINCT segment) AS l
+  FROM qi GROUP BY nation, band
+), homog AS (
+  SELECT CAST(coalesce(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_homogeneous
+  FROM classes
+)
+SELECT CASE WHEN l = 1 THEN '1' WHEN l = 2 THEN '2'
+            WHEN l <= 4 THEN '3-4' ELSE '5+' END AS l_band,
+       count(*) AS n_classes, CAST(SUM(k) AS BIGINT) AS n_rows,
+       n_homogeneous
+FROM classes, homog
+GROUP BY 1, n_homogeneous
+"""

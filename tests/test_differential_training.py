@@ -447,3 +447,20 @@ def test_k_anonymity_fuzz(spark, tmp_path, seed):
     got, want = _run_query(spark, tmp_path, "customer", rows,
                            schema, cols, "k_anonymity_stats")
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [15, 83])
+def test_l_diversity_fuzz(spark, tmp_path, seed):
+    rnd = random.Random(seed)
+    rows = [(i, f"Customer#{i}",
+             rnd.choice([None, 0, 1, 5]),
+             rnd.choice([None, -999.99, 0.0, rnd.uniform(-3000, 3000)]),
+             rnd.choice([None, "AUTOMOBILE", "BUILDING"]))
+            for i in range(100)]
+    schema = ("c_custkey long, c_name string, c_nationkey int, "
+              "c_acctbal double, c_mktsegment string")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment"]
+    got, want = _run_query(spark, tmp_path, "customer", rows,
+                           schema, cols, "l_diversity_stats")
+    assert got == want
