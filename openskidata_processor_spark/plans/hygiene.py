@@ -1240,9 +1240,16 @@ FROM w LEFT JOIN h USING (doc_id)
 # ---------------------------------------------------------------------------
 
 _KANON_BAND_CENTS = 100_000          # $1000 account-balance bands
-_KANON_SHIFT = 10_000_000            # makes banding non-negative so
-                                     # Spark's truncating div == DuckDB's
-                                     # flooring // (they differ below 0)
+_KANON_SHIFT = 10_000_000            # makes the dividend non-negative so
+                                     # integer division IS floor division.
+                                     # Both engines truncate toward zero
+                                     # (Spark DIV and DuckDB // alike —
+                                     # -1//100000 = 0 on DuckDB), which
+                                     # equals floor only for non-negative
+                                     # operands; the $100,000 shift keeps
+                                     # banding uniform for balances >=
+                                     # -$100,000 (TPC-H acctbal floor is
+                                     # -$999.99, 100x inside the margin)
 
 
 @query("k_anonymity_stats")

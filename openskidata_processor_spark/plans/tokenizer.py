@@ -137,15 +137,20 @@ def pmi_collocations(spark, sf_dir):
     PMI = log(lift_ppm/10⁶).  All-integer DECIMAL(38) arithmetic (the
     Spark DIV ≡ DuckDB // on positives), so no float drift can break the
     driver hash; the 1-row total joins in via broadcast."""
-    from ..operators.barrier import materialize
+    from ..operators.barrier import truncate_lineage
 
     docs = _t(spark, sf_dir, "documents")
     ws = T.words(F.col("text"))
     toks = docs.select(F.explode(ws).alias("w"))
     # uni feeds three consumers (c_x join, c_y join, the 1-row total);
     # without the barrier each gets its own corpus scan+explode subtree
-    # (measured: 4 parquet scans, 0 ReusedExchange)
-    uni = materialize(toks.groupBy("w").agg(F.count("*").alias("c_w")))
+    # (measured: 4 parquet scans, 0 ReusedExchange).  localCheckpoint
+    # (via truncate_lineage), NOT persist: a persist() the caller never
+    # sees can't be unpersisted and would leak one cached relation per
+    # invocation into the session CacheManager, while a checkpointed
+    # RDD is ContextCleaner-reclaimed once the returned frame is GC'd.
+    uni = truncate_lineage(
+        toks.groupBy("w").agg(F.count("*").alias("c_w")), eager=False)
     tot = uni.agg(F.sum("c_w").alias("n_tokens"))
     big = (docs.select(F.explode(
                T.zip_ngrams(ws, 2, lambda x, y: F.concat_ws(" ", x, y)))
@@ -282,13 +287,16 @@ def bpe_encode_stats(spark, sf_dir):
     barrier and the learner's vocab derives FROM it, so the corpus text
     is scanned exactly once (plus one column-pruned source-only scan for
     doc counts).  All-integer output (``div``), hash-stable."""
-    from ..operators.barrier import materialize
+    from ..operators.barrier import truncate_lineage
 
     docs = _t(spark, sf_dir, "documents").select(
         "source", T.words(F.col("text")).alias("ws"))
-    by_word = materialize(
+    # caller-invisible reuse barrier -> localCheckpoint, not persist
+    # (ContextCleaner-reclaimable; see pmi_collocations)
+    by_word = truncate_lineage(
         docs.select("source", F.explode("ws").alias("w"))
-        .groupBy("source", "w").agg(F.count("*").alias("cnt")))
+        .groupBy("source", "w").agg(F.count("*").alias("cnt")),
+        eager=False)
     vocab = by_word.groupBy("w").agg(F.sum("cnt").alias("freq"))
     merges = learn_bpe(vocab, _BPE_ENC_MERGES)
     enc = (encode_words(
@@ -343,7 +351,7 @@ def training_corpus_stats(spark, sf_dir):
     5. per-split stats over the pre-aggregated (split, word, cnt) frame
        (map-side combine; no per-occurrence join).
     """
-    from ..operators.barrier import materialize
+    from ..operators.barrier import truncate_lineage
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     kept = docs.filter(T.token_count(F.col("text")) >= _PIPE_MIN_TOKENS)
@@ -357,14 +365,19 @@ def training_corpus_stats(spark, sf_dir):
              .otherwise("test"))
     # The post-dedup tagged corpus feeds TWO consumers (the word
     # aggregation and the per-split doc counts); without the barrier the
-    # hygiene filter + dedup shuffle run twice.  MEMORY_AND_DISK with
-    # lineage retained — spill-safe and recompute-safe at corpus scale.
-    tagged = materialize(uniq.select(split.alias("split"),
-                                     T.words(F.col("text")).alias("ws")))
+    # hygiene filter + dedup shuffle run twice.  localCheckpoint, not
+    # persist: caller-invisible barriers must be ContextCleaner-
+    # reclaimable (see pmi_collocations); on a cluster,
+    # SPARK_GRAFT_RELIABLE_CHECKPOINT=1 upgrades these cuts to reliable
+    # checkpoints that survive executor loss.
+    tagged = truncate_lineage(
+        uniq.select(split.alias("split"),
+                    T.words(F.col("text")).alias("ws")), eager=False)
 
-    by_word = materialize(
+    by_word = truncate_lineage(
         tagged.select("split", F.explode("ws").alias("w"))
-        .groupBy("split", "w").agg(F.count("*").alias("cnt")))
+        .groupBy("split", "w").agg(F.count("*").alias("cnt")),
+        eager=False)
     train_vocab = (by_word.filter(F.col("split") == "train")
                    .select("w", F.col("cnt").alias("freq")))
     merges = learn_bpe(train_vocab, _BPE_ENC_MERGES)

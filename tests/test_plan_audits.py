@@ -171,11 +171,24 @@ def test_bpe_pair_stats_runs_on_vocab_not_corpus(spark):
 
 def test_pmi_caches_unigrams_and_broadcasts_total(spark):
     """pmi_collocations consumes the unigram frame three times (c_x
-    join, c_y join, 1-row total) — it must flow through the materialize
-    barrier (InMemoryTableScan) so the corpus is scanned twice, not
-    four times, and the 1-row total must broadcast."""
-    plan = _plan(QUERIES["pmi_collocations"](spark, SF_SMOKE))
-    assert plan.count("InMemoryTableScan") >= 3, plan
+    join, c_y join, 1-row total) — it must flow through a
+    ContextCleaner-reclaimable localCheckpoint barrier (three Scan
+    ExistingRDD nodes over ONE checkpointed RDD; a caller-invisible
+    persist would leak a cached relation per invocation) so the corpus
+    is scanned twice, not four times, and the 1-row total must
+    broadcast."""
+    df = QUERIES["pmi_collocations"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("Scan ExistingRDD") >= 3, plan
+    # all consumers must share ONE checkpointed RDD, not re-checkpoint —
+    # the formatted plan names the backing RDD per scan
+    import re
+    formatted = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "localCheckpoint" in formatted, formatted
+    rdds = set(re.findall(r"MapPartitionsRDD\[\d+\]", formatted))
+    assert len(rdds) == 1, rdds
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
 
@@ -192,12 +205,13 @@ def test_split_holdout_is_two_agg_passes(spark):
 
 def test_training_pipeline_reuses_tagged_corpus(spark):
     """training_corpus_stats' post-dedup tagged frame feeds both the
-    word aggregation and the doc counts — it must flow through the
-    materialize barrier (InMemoryTableScan) so the hygiene filter +
-    dedup shuffle run once, not twice; the scan is pruned to
+    word aggregation and the doc counts — it must flow through a
+    ContextCleaner-reclaimable localCheckpoint barrier (Scan
+    ExistingRDD; a caller-invisible persist would leak) so the hygiene
+    filter + dedup shuffle run once, not twice; the scan is pruned to
     (doc_id, text)."""
     plan = _plan(QUERIES["training_corpus_stats"](spark, SF_SMOKE))
-    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert plan.count("Scan ExistingRDD") >= 2, plan
     assert "CartesianProduct" not in plan
 
 
