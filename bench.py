@@ -127,6 +127,9 @@ EXTENDED_QUERIES = [
     # learning, PMI collocations, leakage-safe holdout split
     "bpe_pair_stats",
     "bpe_learn_merges",
+    # round-10: zero-driver-round deep learning (64 merges, one
+    # applyInPandas task) — the production path for real merge depths
+    "bpe_learn_deep",
     "bpe_encode_stats",
     "pmi_collocations",
     "split_holdout_stats",

@@ -50,18 +50,19 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..operators.bpe import chars as bpe_chars
-from ..operators.bpe import (encode_words, learn_bpe,
-                             pair_stats_over_vocab, word_vocab)
+from ..operators.bpe import (encode_words, learn_bpe, learn_bpe_batched,
+                             learn_bpe_local, pair_stats_over_vocab,
+                             word_vocab)
 from .analytics import _t, query
 from .oracles import ORACLES
 
 _BPE_TOPK = 64        # pairs reported by the one-iteration stats query
-# Merges learned by the registered query.  Each merge is inherently one
-# sequential argmax→delta round trip (~3 stages); at toy bench scale the
-# stage-latency floor (~0.7 s/merge on local[32], data-independent)
-# dominates, so the catalog entry demonstrates 8 rounds — the operator
-# API (operators/bpe.py::learn_bpe) takes any n; the pytest reference
-# pin runs 16.
+# Merges learned by the registered query.  The batched learner takes one
+# top-K collect + one delta shuffle per ROUND (several certified merges
+# per round); at toy bench scale the per-round stage-latency floor
+# (data-independent) dominates, so the catalog entry demonstrates 8
+# merges — the operator API takes any n, the pytest reference pin runs
+# 16/32, and `bpe_learn_deep` runs 64 with zero driver rounds.
 _BPE_MERGES = 8
 _PMI_MIN_COUNT = 5    # collocation support threshold
 _PMI_TOPK = 50
@@ -113,17 +114,44 @@ LIMIT {_BPE_TOPK}
 def bpe_learn_merges(spark, sf_dir):
     """(merge_rank, left, right, merged, pair_count): the first
     ``_BPE_MERGES`` BPE merges learned from the documents corpus with
-    incremental pair-count maintenance (operators/bpe.py).  Driver
-    traffic is one 1-row argmax collect per merge; the result frame is
-    the learned merge table itself (≤ ``_BPE_MERGES`` rows)."""
+    batched sequential-equal rounds (operators/bpe.py::
+    learn_bpe_batched — multiple certified-non-interacting merges per
+    driver round trip; output bit-identical to the one-merge-per-round
+    learner and the pure-Python Sennrich reference).  Driver traffic is
+    one bounded top-K collect per ROUND; the result frame is the
+    learned merge table itself (≤ ``_BPE_MERGES`` rows)."""
     vocab = word_vocab(_t(spark, sf_dir, "documents"))
-    merges = learn_bpe(vocab, _BPE_MERGES)
+    merges = learn_bpe_batched(vocab, _BPE_MERGES)
     schema = ("merge_rank INT, left STRING, right STRING, "
               "merged STRING, pair_count BIGINT")
     return spark.createDataFrame(
         [(m["merge_rank"], m["left"], m["right"], m["merged"],
           m["pair_count"]) for m in merges],
         schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Deep BPE learning (no SQL oracle — iterative argmax; pinned by
+# tests/test_tokenizer_ops.py against the pure-Python Sennrich reference
+# at 64 merges and against the sequential distributed learner)
+# ---------------------------------------------------------------------------
+
+_BPE_DEEP_MERGES = 64  # production-path demo depth: one applyInPandas
+                       # task, zero driver argmax rounds — the same job
+                       # shape trains 30k merges
+
+
+@query("bpe_learn_deep")
+def bpe_learn_deep(spark, sf_dir):
+    """(merge_rank, left, right, merged, pair_count): the first
+    ``_BPE_DEEP_MERGES`` merges via the production deep-merge path —
+    distributed corpus→vocab collapse, then the indexed-heap Sennrich
+    loop inside ONE ``applyInPandas`` task (operators/bpe.py::
+    learn_bpe_local).  No driver round trips: the merge table is a
+    DataFrame born on an executor; depth is limited by in-memory speed
+    (~µs/merge), not by per-merge cluster-job latency."""
+    vocab = word_vocab(_t(spark, sf_dir, "documents"))
+    return learn_bpe_local(vocab, _BPE_DEEP_MERGES)
 
 
 # ---------------------------------------------------------------------------
@@ -298,7 +326,7 @@ def bpe_encode_stats(spark, sf_dir):
         .groupBy("source", "w").agg(F.count("*").alias("cnt")),
         eager=False)
     vocab = by_word.groupBy("w").agg(F.sum("cnt").alias("freq"))
-    merges = learn_bpe(vocab, _BPE_ENC_MERGES)
+    merges = learn_bpe_batched(vocab, _BPE_ENC_MERGES)
     enc = (encode_words(
         vocab.select("w", "freq", bpe_chars(F.col("w")).alias("syms")),
         merges)
@@ -380,7 +408,7 @@ def training_corpus_stats(spark, sf_dir):
         eager=False)
     train_vocab = (by_word.filter(F.col("split") == "train")
                    .select("w", F.col("cnt").alias("freq")))
-    merges = learn_bpe(train_vocab, _BPE_ENC_MERGES)
+    merges = learn_bpe_batched(train_vocab, _BPE_ENC_MERGES)
     vocab_all = by_word.groupBy("w").agg(F.sum("cnt").alias("freq"))
     enc = (encode_words(
         vocab_all.select("w", "freq",

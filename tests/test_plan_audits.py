@@ -169,6 +169,17 @@ def test_bpe_pair_stats_runs_on_vocab_not_corpus(spark):
     assert "ReadSchema: struct<text:string>" in plan
 
 
+def test_bpe_learn_deep_is_one_grouped_task(spark):
+    """bpe_learn_deep: distributed corpus→vocab collapse (one word
+    groupBy with map-side combine), then exactly ONE grouped-pandas
+    task running the whole indexed-heap merge loop — no per-merge jobs,
+    no row-at-a-time Python, scan pruned to the text column."""
+    plan = _plan(QUERIES["bpe_learn_deep"](spark, SF_SMOKE))
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert "BatchEvalPython" not in plan
+    assert "ReadSchema: struct<text:string>" in plan
+
+
 def test_pmi_caches_unigrams_and_broadcasts_total(spark):
     """pmi_collocations consumes the unigram frame three times (c_x
     join, c_y join, 1-row total) — it must flow through a

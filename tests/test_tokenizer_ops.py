@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 
 from conftest import SF_SMOKE
 from openskidata_processor_spark.operators.bpe import (
-    chars, encode_words, learn_bpe, merge_pair, word_vocab)
+    chars, encode_words, encode_words_udf, learn_bpe, learn_bpe_batched,
+    learn_bpe_local, merge_pair, merge_pairs_multi, word_vocab)
 from openskidata_processor_spark.plans import QUERIES
 
 
@@ -172,6 +173,202 @@ def test_learn_fuzz_vs_reference(spark, seed):
            for m in learn_bpe(word_vocab(_docs_df(spark, texts)), 6,
                               min_count=1)]
     assert got == expected
+
+
+# --- batched learner: sequential-equal multi-merge rounds ---------------------
+
+def _as_tuples(merges):
+    return [(m["merge_rank"], m["left"], m["right"], m["merged"],
+             m["pair_count"]) for m in merges]
+
+
+def test_batched_equals_sequential_and_reference_on_smoke(spark):
+    """learn_bpe_batched must be bit-identical to the one-merge-per-round
+    learner (the retained equality pin) and the pure-Python reference,
+    while taking strictly fewer driver rounds than merges."""
+    texts = _smoke_texts()
+    vocab = word_vocab(_docs_df(spark, texts))
+    expected, _ = ref_bpe(_py_vocab(texts), 16)
+    stats = {}
+    got = _as_tuples(learn_bpe_batched(vocab, 16, stats=stats))
+    assert got == expected
+    assert got == _as_tuples(learn_bpe(vocab, 16))
+    assert stats["rounds"] < 16     # measured: ~1.6x fewer on English chars
+
+
+def test_batched_crafted_corpora(spark):
+    """Tie-heavy / overlap corpora: batching must degrade gracefully to
+    smaller (possibly single-merge) rounds, never diverge."""
+    vocab_df = word_vocab(_docs_df(spark, _CRAFTED))
+    expected, _ = ref_bpe(_py_vocab(_CRAFTED), 10, min_count=1)
+    got = _as_tuples(learn_bpe_batched(vocab_df, 10, min_count=1))
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed", [5, 17, 29, 43])
+def test_batched_fuzz_vs_reference(spark, seed):
+    rnd = random.Random(seed)
+    alpha = "abcдg"
+    texts = [" ".join("".join(rnd.choice(alpha)
+                              for _ in range(rnd.randint(1, 6)))
+                      for _ in range(rnd.randint(0, 15)))
+             for _ in range(12)]
+    expected, _ = ref_bpe(_py_vocab(texts), 8, min_count=1)
+    got = _as_tuples(learn_bpe_batched(
+        word_vocab(_docs_df(spark, texts)), 8, min_count=1))
+    assert got == expected
+
+
+def _multiscript_texts(seed=7, n_docs=120):
+    """Disjoint-alphabet corpus — the realistic multilingual web-corpus
+    shape where top pairs across scripts share no symbols."""
+    rnd = random.Random(seed)
+    alphabets = ["abcdefgh", "ийклмноп", "άβγδεζηθ", "אבגדהוזח"]
+    return [" ".join("".join(rnd.choice(alpha)
+                             for _ in range(rnd.randint(2, 7)))
+                     for _ in range(rnd.randint(3, 20)))
+            for alpha in (rnd.choice(alphabets) for _ in range(n_docs))]
+
+
+def test_batched_round_reduction_on_multiscript(spark):
+    """On a multi-script corpus the certified prefixes span scripts:
+    64 merges in well under 64 rounds (measured ~2.5x fewer), output
+    still bit-identical to the reference."""
+    texts = _multiscript_texts()
+    vocab = word_vocab(_docs_df(spark, texts))
+    expected, _ = ref_bpe(_py_vocab(texts), 64, min_count=1)
+    stats = {}
+    got = _as_tuples(learn_bpe_batched(vocab, 64, min_count=1,
+                                       stats=stats))
+    assert got == expected
+    assert stats["rounds"] <= 40, stats   # measured 26 rounds for 64 merges
+
+
+def test_merge_pairs_multi_equals_sequential_folds(spark):
+    """Property fuzz: one combined fold pass over a symbol-disjoint pair
+    set must equal applying the per-pair reference scan sequentially."""
+    rnd = random.Random(31)
+    pools = [["a", "b"], ["c", "d"], ["x", "y"], ["д", "ж"]]
+    cases = []
+    for _ in range(150):
+        n_pairs = rnd.randint(1, 4)
+        pairs = [(p[0], p[1]) if rnd.random() < 0.5 else (p[1], p[0])
+                 for p in rnd.sample(pools, n_pairs)]
+        syms = [rnd.choice([s for p in pools for s in p])
+                for _ in range(rnd.randint(0, 10))]
+        cases.append((syms, pairs))
+    by_pairs: dict[tuple, list] = {}
+    for i, (syms, pairs) in enumerate(cases):
+        by_pairs.setdefault(tuple(pairs), []).append((i, syms))
+    got = {}
+    for pairs, members in by_pairs.items():
+        df = spark.createDataFrame(
+            [(i, s) for i, s in members], "i int, syms array<string>")
+        for row in df.select("i", merge_pairs_multi(
+                F.col("syms"), list(pairs)).alias("m")).collect():
+            got[row["i"]] = row["m"]
+    for i, (syms, pairs) in enumerate(cases):
+        exp = list(syms)
+        for a, b in pairs:
+            exp = _apply(exp, a, b)
+        assert got[i] == exp, (syms, pairs)
+
+
+# --- single-task deep learner ---------------------------------------------------
+
+def test_local_learner_matches_reference_at_depth(spark):
+    """learn_bpe_local (indexed-heap Sennrich loop in ONE applyInPandas
+    task — zero driver argmax rounds) pinned at 64 merges against the
+    pure-Python reference on the smoke corpus."""
+    texts = _smoke_texts()
+    expected, _ = ref_bpe(_py_vocab(texts), 64)
+    got = [(r["merge_rank"], r["left"], r["right"], r["merged"],
+            r["pair_count"])
+           for r in learn_bpe_local(
+               word_vocab(_docs_df(spark, texts)), 64).collect()]
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_local_learner_fuzz(spark, seed):
+    rnd = random.Random(seed)
+    alpha = "abcдg"
+    texts = [" ".join("".join(rnd.choice(alpha)
+                              for _ in range(rnd.randint(1, 6)))
+                      for _ in range(rnd.randint(0, 15)))
+             for _ in range(12)]
+    expected, _ = ref_bpe(_py_vocab(texts), 12, min_count=1)
+    got = [(r["merge_rank"], r["left"], r["right"], r["merged"],
+            r["pair_count"])
+           for r in learn_bpe_local(word_vocab(_docs_df(spark, texts)),
+                                    12, min_count=1).collect()]
+    assert got == expected
+
+
+def test_bpe_learn_deep_catalog_entry(spark):
+    """The catalog query returns the 64-deep merge table, identical to
+    the reference, as a single-task DataFrame."""
+    from openskidata_processor_spark.plans.tokenizer import _BPE_DEEP_MERGES
+
+    expected, _ = ref_bpe(_py_vocab(_smoke_texts()), _BPE_DEEP_MERGES)
+    rows = QUERIES["bpe_learn_deep"](spark, SF_SMOKE).collect()
+    got = [(r["merge_rank"], r["left"], r["right"], r["merged"],
+            r["pair_count"])
+           for r in sorted(rows, key=lambda r: r["merge_rank"])]
+    assert got == expected
+
+
+# --- deep-table encode: pandas-UDF path -----------------------------------------
+
+def test_encode_dispatches_to_udf_and_matches_fold(spark):
+    """Above _ENCODE_FOLD_MAX the dispatcher must switch to the
+    Arrow-batched whole-table UDF; both paths must equal the reference
+    training-state segmentation on a 24-merge learned table."""
+    texts = _smoke_texts()
+    merges_py, words_py = ref_bpe(_py_vocab(texts), 24)
+    merges = [{"merge_rank": r, "left": a, "right": b, "merged": m,
+               "pair_count": c} for r, a, b, m, c in merges_py]
+    start = word_vocab(_docs_df(spark, texts)).select(
+        "w", "freq", chars(F.col("w")).alias("syms"))
+    via_dispatch = {r["w"]: r["syms"]
+                    for r in encode_words(start, merges).collect()}
+    via_fold = {r["w"]: r["syms"]
+                for r in encode_words(start, merges,
+                                      fold_max=1000).collect()}
+    assert via_dispatch == words_py
+    assert via_fold == words_py
+    # the dispatcher really took the UDF path: plan has ArrowEvalPython,
+    # not a 24-deep aggregate() chain
+    plan = encode_words(start, merges)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan
+
+
+def test_encode_udf_at_256_merges(spark):
+    """Deep-table probe: a 256-merge learned table applies through ONE
+    pandas UDF (constant plan size) and matches in-rank-order reference
+    sweeps — the per-merge Catalyst fold path would emit a 256-node
+    expression chain that is infeasible to analyze/compile, which is
+    exactly why encode_words dispatches.  (The smoke corpus has only 31
+    distinct words and fully collapses at ~89 merges, so the probe uses
+    a synthetic vocabulary rich enough for true 256-merge depth.)"""
+    rnd = random.Random(61)
+    texts = [" ".join("".join(rnd.choice("abcdefghijkl")
+                              for _ in range(rnd.randint(4, 12)))
+                      for _ in range(30))
+             for _ in range(60)]
+    vocab = word_vocab(_docs_df(spark, texts))
+    merges = [r.asDict()
+              for r in learn_bpe_local(vocab, 256, min_count=1).collect()]
+    assert len(merges) == 256
+    start = vocab.select("w", "freq", chars(F.col("w")).alias("syms"))
+    got = {r["w"]: r["syms"]
+           for r in encode_words_udf(start, merges).collect()}
+    for w in _py_vocab(texts):
+        syms = list(w)
+        for m in merges:
+            syms = _apply(syms, m["left"], m["right"])
+        assert got[w] == syms, w
 
 
 # --- holdout split ------------------------------------------------------------
