@@ -166,16 +166,23 @@ def _train_ivf_centroids(corpus: DataFrame, vec_col: str, n_centroids: int,
     return cents
 
 
-def _ivf_cells_udf(cents: np.ndarray, n_probe: int):
-    """Top-``n_probe`` nearest-centroid cells per vector in one GEMM."""
+def _ivf_cells_udf(cents, n_probe: int):
+    """Top-``n_probe`` nearest-centroid cells per vector in one GEMM.
+
+    ``cents`` is either a plain ndarray (captured in the UDF closure —
+    fine for toy models) or a ``Broadcast`` of one: a production IVF
+    model (2^16 cells x d floats) must ship once per EXECUTOR via the
+    broadcast machinery, not once per task in the serialized closure —
+    ``streaming/embeddings.py`` passes a broadcast."""
     from pyspark.sql.types import ArrayType, IntegerType
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _cells(vecs: pd.Series) -> pd.Series:
+        c = cents.value if hasattr(cents, "value") else cents
         mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
         if mat.size == 0:
             return pd.Series([], dtype=object)
-        sims = mat @ cents.T
+        sims = mat @ c.T
         top = np.argsort(-sims, axis=1)[:, :n_probe]
         return pd.Series([row.astype("int32").tolist() for row in top])
     return _cells

@@ -53,11 +53,10 @@ from .documents import _file_stream, _pin_source
 def streaming_ivf_index(spark: SparkSession, sf_dir: str,
                         max_files_per_trigger: int | None = None,
                         state_base: str | None = None,
-                        n_centroids: int = 16) -> DataFrame:
+                        n_centroids: int = 16,
+                        sample_size: int = 2048) -> DataFrame:
     """Incremental IVF posting maintenance over the embeddings stream;
     returns the drained index's per-cell sizes (cell, n_vectors)."""
-    import json
-
     import numpy as np
 
     from ..operators.similarity import _ivf_cells_udf, _train_ivf_centroids
@@ -68,25 +67,32 @@ def streaming_ivf_index(spark: SparkSession, sf_dir: str,
     work = state_base or tempfile.mkdtemp(prefix="stream_ivf_")
     if state_base:
         _pin_source(work, sf_dir)   # one source per state_base
-    cents_file = os.path.join(work, "centroids.json")
-    if os.path.exists(cents_file):
+    # The model is a PARQUET SIDE TABLE beside the postings (a
+    # production IVF model is 2^16 cells x d floats — engine-readable
+    # state, not driver JSON), and ships to the assignment UDF as a
+    # broadcast variable: once per executor, never per task.
+    cents_dir = os.path.join(work, "centroids.parquet")
+    if os.path.exists(cents_dir):
         # the standing model is FROZEN at first use: retraining on a
         # later call would re-sample the (grown) corpus and assign new
         # vectors under a different model than the standing postings —
         # the drained index would equal the batch assignment of NO
         # single model.  An index rebuild is a new state_base.
-        with open(cents_file) as f:
-            cents = np.array(json.load(f))
+        rows = (spark.read.parquet(cents_dir)
+                .orderBy("cell").collect())
+        cents = np.array([r["centroid"] for r in rows])
     else:
         # same deterministic sample + training loop as the batch
         # ivf_ann_topk, so streaming and batch assignments are
         # bit-identical for the same corpus
         cents = _train_ivf_centroids(static, "embedding", n_centroids,
-                                     sample_size=2048, n_iters=8)
+                                     sample_size=sample_size, n_iters=8)
         os.makedirs(work, exist_ok=True)
-        with open(cents_file, "w") as f:
-            json.dump(cents.tolist(), f)
-    cells = _ivf_cells_udf(cents, 1)
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "cell INT, centroid ARRAY<DOUBLE>") \
+            .coalesce(1).write.mode("overwrite").parquet(cents_dir)
+    cells = _ivf_cells_udf(spark.sparkContext.broadcast(cents), 1)
 
     stream = _file_stream(spark, sf_dir, "embeddings",
                           max_files_per_trigger)

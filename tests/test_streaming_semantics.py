@@ -622,6 +622,54 @@ def test_streaming_ivf_index_equals_batch_assignment(spark, tmp_path):
     assert final == {**want, **want_new}
 
 
+def test_streaming_ivf_4096_cells_broadcast_model(spark, tmp_path):
+    """Production-model-size probe: a 4096-centroid model flows through
+    a parquet side table beside the postings plus a broadcast variable
+    into the assignment UDF — no driver JSON anywhere in state — and
+    the drained postings still equal the batch assignment under the
+    frozen model READ BACK from the side table."""
+    import os
+
+    import numpy as np
+
+    from openskidata_processor_spark.operators.similarity import (
+        _ivf_cells_udf)
+    from openskidata_processor_spark.streaming.embeddings import (
+        streaming_ivf_index)
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    d = tmp_path / "src"
+    d.mkdir()
+    emb_dir = d / "embeddings.parquet"
+    rows = [(i, rng.normal(size=16).tolist(), "x") for i in range(5000)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string") \
+        .coalesce(2).write.mode("append").parquet(str(emb_dir))
+    state = str(tmp_path / "ivf_state")
+
+    counts = {r.cell: r.n_vectors for r in streaming_ivf_index(
+        spark, str(d), state_base=state, n_centroids=4096,
+        sample_size=4096).collect()}
+    assert sum(counts.values()) == 5000
+    assert os.path.exists(f"{state}/centroids.parquet")
+    assert not os.path.exists(f"{state}/centroids.json")
+
+    cent_rows = (spark.read.parquet(f"{state}/centroids.parquet")
+                 .orderBy("cell").collect())
+    assert len(cent_rows) == 4096
+    cents = np.array([r["centroid"] for r in cent_rows])
+    cells = _ivf_cells_udf(spark.sparkContext.broadcast(cents), 1)
+    want = {r.vec_id: r.cell
+            for r in spark.read.parquet(str(emb_dir))
+            .select("vec_id", cells(F.col("embedding"))[0].alias("cell"))
+            .collect()}
+    got = {r.vec_id: r.cell
+           for r in spark.read.parquet(f"{state}/postings")
+           .select("vec_id", "cell").collect()}
+    assert got == want
+
+
 def test_streaming_vocab_pair_stats_forced_multi_batch(spark, tmp_path):
     """The vocab ledger must accumulate word counts across micro-batches
     (one file per trigger) and drain into EXACTLY the batch pair-stats
