@@ -51,8 +51,10 @@ _DRIVER_WINDOW = [
     "asof_latest_order", "range_band_counts",
     # geometry / graph
     "j2_points_in_polygon", "j3_geo_dwithin", "cc_components",
-    # raster / projection kernel (§2.8)
-    "r1_mercator_tiles", "r2_viirs_pixel_rollup", "r3_terrain_decode",
+    # raster / projection kernel (§2.8) — r3_terrain_decode rotated out
+    # in round 10 for the never-windowed probes below; the raster family
+    # keeps two in-window entries and r3 stays parity-gated
+    "r1_mercator_tiles", "r2_viirs_pixel_rollup",
     # text analysis + dedup families (exact members)
     "text_doc_stats", "quality_docs", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_group_resolution", "knn_cosine", "dedup_embedding_pairs",
@@ -67,24 +69,29 @@ _DRIVER_WINDOW = [
     "cdc_merge_upsert", "quantiles_exact", "tfidf_doc_terms",
     "rollup_multi_granularity", "sample_stratified",
     # round-9 tokenizer family: BPE first-iteration pair stats and the
-    # leakage-safe grouped holdout split (pmi_collocations stays
-    # parity-gated outside the window)
-    "bpe_pair_stats", "split_holdout_stats",
+    # leakage-safe grouped holdout split; round 10 rotates the
+    # never-windowed pmi_collocations in (the r8 lesson: rotation is
+    # where latent defects surface)
+    "bpe_pair_stats", "split_holdout_stats", "pmi_collocations",
     # hygiene / packing (pack_concat_bins rotated out likewise —
-    # pack_sequences keeps the packing family in-window)
-    "pii_redact_docs", "quality_repetition", "contamination_ngram",
+    # pack_sequences keeps the packing family in-window;
+    # quality_repetition rotated out in round 10 for the probes here —
+    # quality_docs keeps the quality family in-window — making room for
+    # the never-windowed CCNet line-level dedup and the k-anonymity
+    # privacy audit)
+    "pii_redact_docs", "contamination_ngram",
     "dedup_passages", "pack_sequences",
-    "shard_assignment",
+    "shard_assignment", "line_dedup_docs", "k_anonymity_stats",
     # round-8 web-ingestion + bloom probes, and the round-9 language-ID
     # stage completing the crawl family (HTML→URL→mojibake→script→lang)
     "html_extract_text", "url_canonical_stats", "bloom_decontaminate",
     "lang_id_confusion",
     # multimodal (multimodal_resize_stats rotated out for lang_id in
-    # round 9, multimodal_frame_sample for the tokenizer probes — the
-    # family keeps three in-window entries; both rotated-out queries
-    # stay hard-gated by the identical parity check + the pytest suite)
-    "multimodal_decode_stats",
-    "multimodal_audio_stats", "multimodal_video_stats",
+    # round 9, multimodal_frame_sample for the tokenizer probes,
+    # multimodal_audio_stats in round 10 — the family keeps two
+    # in-window entries; all rotated-out queries stay hard-gated by the
+    # identical parity check + the pytest suite)
+    "multimodal_decode_stats", "multimodal_video_stats",
     # streaming
     "stream_event_counts", "stream_stateful_sessions", "stream_dedup_exact",
     "stream_lake_ingest",
