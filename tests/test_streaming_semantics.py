@@ -508,9 +508,13 @@ def test_streaming_minhash_equals_batch_across_batches(spark, tmp_path):
 
 def _state_v2_available() -> bool:
     """Spark 4's State-V2 Python worker (transformWithStateInPandas)
-    speaks protobuf to the state server; this container's
-    google.protobuf install is broken (cannot import descriptor), which
-    crashes the worker at query start."""
+    speaks protobuf to the state server.  Exact constraint (from the
+    ``_runtime_version.ValidateProtobufRuntimeVersion`` pin in
+    pyspark/sql/streaming/proto/StateMessage_pb2.py): ``protobuf``
+    (google.protobuf) runtime >= 6.33.0, same major.  This container
+    ships NO google.protobuf at all and has no package index access to
+    vendor one, so the worker crashes at query start; on any
+    environment with ``pip install 'protobuf>=6.33'`` the twin runs."""
     try:
         from google.protobuf import descriptor  # noqa: F401
         return True
@@ -519,8 +523,10 @@ def _state_v2_available() -> bool:
 
 
 @pytest.mark.skipif(not _state_v2_available(),
-                    reason="google.protobuf broken in this container — "
-                           "State V2 Python worker cannot start")
+                    reason="google.protobuf absent in this container "
+                           "(State-V2 worker needs protobuf>=6.33.0, "
+                           "the StateMessage_pb2 gencode pin; no "
+                           "package index to vendor it)")
 def test_sessions_tws_equals_v1(spark):
     """Spark 4 State-V2 twin (transformWithStateInPandas + typed
     ValueState, RocksDB provider) must produce exactly the
