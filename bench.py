@@ -135,6 +135,10 @@ EXTENDED_QUERIES = [
     "split_holdout_stats",
     # composed end-to-end: hygiene -> dedup -> split -> train-only BPE
     "training_corpus_stats",
+    # round-10 unigram-LM (SentencePiece-style) tokenizer family
+    "unigram_seed_pieces",
+    "unigram_train_pieces",
+    "unigram_encode_stats",
     # streaming vocab-ledger twin of bpe_pair_stats
     "stream_bpe_pair_stats",
     # privacy-governance audits: k-anonymity lattice + l-diversity

@@ -1,0 +1,195 @@
+"""Distributed unigram-LM subword tokenizer training (Kudo 2018,
+"Subword Regularization" — the SentencePiece unigram model), the second
+major tokenizer-training algorithm beside BPE (operators/bpe.py).
+
+Same scale skeleton as the BPE family:
+
+1. **Corpus → vocab collapse.**  Unigram-LM statistics depend only on
+   the multiset of distinct words: ONE map-side-combining
+   ``groupBy(word)`` turns the corpus into a (w, freq) frame (Heaps'
+   law: ~1M–100M rows at 100 TB); every EM iteration runs on this
+   frame — the corpus is scanned exactly once, ever.
+2. **Model ships as a broadcast, counts come back bounded.**  The piece
+   model (a few-k to 32k rows — the trained artifact itself) is
+   broadcast into a per-word Viterbi pandas UDF; the M-step is one
+   explode+groupBy over the vocab frame whose result is model-sized.
+   Driver traffic per EM iteration = one model-sized collect, never
+   corpus- or vocab-sized.
+3. **Determinism.**  Hard (Viterbi) EM with exact-integer counts and a
+   fixed tie rule (equal DP score → longest piece wins), so the whole
+   training run is bit-reproducible and equality-pinned against a
+   pure-Python reference implementing the identical recurrence
+   (tests/test_unigram_ops.py) — the same differential gate the BPE
+   learner carries.
+
+Algorithm (simplified Kudo variant, documented contract):
+
+- **Seed**: all substrings of length 1..``max_piece_len`` of every vocab
+  word, freq-weighted with within-word multiplicity; keep the top
+  ``seed_size`` by (count desc, piece asc), always unioned with every
+  single character (coverage).
+- **EM x ``em_iters``** (hard): E-step Viterbi-segments each word under
+  log p(piece) = log(count) − log(total); M-step recounts pieces from
+  the segmentations (freq-weighted).  Single characters are floored at
+  count 1 so coverage never collapses (log(0) guard), mirroring
+  SentencePiece's character-coverage guarantee.
+- **Prune**: keep the top ``vocab_size`` pieces by (count desc, piece
+  asc) ∪ all characters, then ONE more EM step restricted to the kept
+  pieces produces the final counts.
+
+Reference anchor: the reference pipeline feeds downstream consumers that
+tokenize its text outputs (openskidata-processor README pipeline
+diagram); tokenizer training is the corpus-scale job the training-data
+consumer adds — see SURVEY.md §2 training-data extension.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def seed_piece_counts(vocab: DataFrame,
+                      max_piece_len: int = 4) -> DataFrame:
+    """(piece, piece_count, n_words): freq-weighted substring counts
+    (with within-word multiplicity) of length 1..``max_piece_len`` over
+    a (w, freq) vocab frame — the unigram-LM seed statistics.  Pure
+    Catalyst: a flattened (start, len) grid per word, one explode, one
+    map-side-combining groupBy; runs on the vocab frame only."""
+    w = F.col("w")
+    grid = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.length(w)),
+        lambda i: F.transform(
+            F.sequence(F.lit(1), F.lit(max_piece_len)),
+            lambda n: F.struct(i.alias("i"), n.alias("n")))))
+    pieces = F.transform(
+        F.filter(grid, lambda s: s["i"] + s["n"] - 1 <= F.length(w)),
+        lambda s: w.substr(s["i"], s["n"]))
+    return (vocab
+            .select("w", "freq", F.explode(pieces).alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("piece_count"),
+                 F.countDistinct("w").alias("n_words")))
+
+
+def _viterbi(word: str, logp: dict[str, float],
+             max_piece_len: int) -> list[str] | None:
+    """Best segmentation of ``word`` under ``logp``; ties prefer the
+    LONGEST final piece (smallest split point).  Returns None only if
+    some character is absent from the model (never happens under the
+    coverage floor)."""
+    n = len(word)
+    best = [0.0] + [float("-inf")] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        # j descending => longest piece first; strict '>' keeps it on tie
+        for j in range(max(0, i - max_piece_len), i):
+            lp = logp.get(word[j:i])
+            if lp is None:
+                continue
+            score = best[j] + lp
+            if score > best[i]:
+                best[i] = score
+                back[i] = j
+    if best[n] == float("-inf"):
+        return None
+    out: list[str] = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    out.reverse()
+    return out
+
+
+def _segment_udf(logp: dict[str, float], max_piece_len: int):
+    """array<string> pandas UDF: Viterbi segmentation of each word under
+    the (broadcast-captured) piece log-prob model."""
+    @F.pandas_udf("array<string>")
+    def _seg(col: pd.Series) -> pd.Series:
+        m = logp.value if hasattr(logp, "value") else logp
+        return col.map(lambda w: _viterbi(w, m, max_piece_len))
+    return _seg
+
+
+def _logp_from_counts(counts: dict[str, int]) -> dict[str, float]:
+    total = sum(counts.values())
+    lt = math.log(total)
+    return {p: math.log(c) - lt for p, c in counts.items() if c > 0}
+
+
+def _char_floor(counts: dict[str, int], chars: set[str]) -> None:
+    """Coverage guarantee: every single character keeps count >= 1."""
+    for c in chars:
+        if counts.get(c, 0) < 1:
+            counts[c] = 1
+
+
+def train_unigram(vocab: DataFrame, vocab_size: int = 256,
+                  seed_size: int = 1024, max_piece_len: int = 4,
+                  em_iters: int = 2) -> list[dict]:
+    """Train the unigram-LM piece model over a (w, freq) vocab frame.
+
+    Returns ``[{rank, piece, piece_count}, ...]`` ordered by final count
+    desc then piece asc — the trained tokenizer artifact.  Each EM
+    iteration is ONE distributed pass (broadcast model → Viterbi UDF →
+    explode+groupBy M-step) with a model-sized collect; ``em_iters`` is
+    a fixed small constant, so total driver traffic is O(model), and no
+    step ever shuffles more than vocab-frame rows."""
+    spark = vocab.sparkSession
+    vocab = vocab.select("w", "freq")
+
+    seed = (seed_piece_counts(vocab, max_piece_len)
+            .orderBy(F.col("piece_count").desc(), F.col("piece").asc())
+            .limit(seed_size)
+            .collect())                        # bounded: model-sized
+    char_rows = seed_piece_counts(vocab, 1).collect()  # alphabet-sized
+    chars = {r["piece"] for r in char_rows}
+    counts = {r["piece"]: int(r["piece_count"]) for r in seed}
+    for r in char_rows:                        # coverage union, true counts
+        counts.setdefault(r["piece"], int(r["piece_count"]))
+    _char_floor(counts, chars)
+
+    def em_step(cur: dict[str, int]) -> dict[str, int]:
+        seg = _segment_udf(
+            spark.sparkContext.broadcast(_logp_from_counts(cur)),
+            max_piece_len)
+        new = (vocab
+               .select("freq", F.explode(seg(F.col("w"))).alias("piece"))
+               .groupBy("piece").agg(F.sum("freq").alias("cnt"))
+               .collect())                     # bounded: model-sized
+        out = {r["piece"]: int(r["cnt"]) for r in new}
+        _char_floor(out, chars)
+        return out
+
+    for _ in range(em_iters):
+        counts = em_step(counts)
+
+    kept = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    keep = {p for p, _ in kept[:vocab_size]} | chars
+    counts = {p: c for p, c in counts.items() if p in keep}
+    _char_floor(counts, chars)
+    counts = em_step(counts)                   # final restricted pass
+
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [{"rank": i, "piece": p, "piece_count": c}
+            for i, (p, c) in enumerate(ranked)]
+
+
+def segment_words(word_frame: DataFrame, model: list[dict],
+                  max_piece_len: int = 4,
+                  word_col: str = "w") -> DataFrame:
+    """Add a ``pieces`` array column: Viterbi segmentation of
+    ``word_col`` under a trained model — the 'tokenize the corpus' half.
+    The model ships as a broadcast (it is the trained artifact — a few
+    k to 32k entries), never per-task closure state."""
+    spark = word_frame.sparkSession
+    counts = {m["piece"]: m["piece_count"] for m in model}
+    seg = _segment_udf(
+        spark.sparkContext.broadcast(_logp_from_counts(counts)),
+        max_piece_len)
+    return word_frame.withColumn("pieces", seg(F.col(word_col)))

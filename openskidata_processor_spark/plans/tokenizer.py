@@ -50,9 +50,11 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..operators.bpe import chars as bpe_chars
-from ..operators.bpe import (encode_words, learn_bpe, learn_bpe_batched,
+from ..operators.bpe import (encode_words, learn_bpe_batched,
                              learn_bpe_local, pair_stats_over_vocab,
                              word_vocab)
+from ..operators.unigram import (seed_piece_counts, segment_words,
+                                 train_unigram)
 from .analytics import _t, query
 from .oracles import ORACLES
 
@@ -433,6 +435,116 @@ def training_corpus_stats(spark, sf_dir):
                     F.when(F.coalesce("sum_chars", F.lit(0)) > 0, ratio)
                     .otherwise(F.lit(0))
                     .alias("tokens_per_1e6_chars")))
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer family — the second major
+# tokenizer-training algorithm beside BPE (Kudo 2018; operators/unigram.py).
+# Same corpus→vocab collapse; EM iterations broadcast the model out and
+# collect model-sized counts back.
+# ---------------------------------------------------------------------------
+
+_UNI_PIECE_LEN = 4   # seed substring length cap
+_UNI_TOPK = 64       # pieces reported by the seed-statistics query
+_UNI_SEED = 512      # seed vocabulary size for the trained entries
+_UNI_VOCAB = 128     # pruned model size
+_UNI_EM = 2          # hard-EM iterations before pruning
+
+
+@query("unigram_seed_pieces")
+def unigram_seed_pieces(spark, sf_dir):
+    """(piece, piece_count, n_words): freq-weighted substring counts of
+    length 1..4 over the distinct-word vocab, deterministic top-64 —
+    the unigram-LM seed statistics (the EM initializer's input).  One
+    corpus scan (word groupBy), then a pure-Catalyst (start, len)-grid
+    explode over the vocab frame only."""
+    vocab = word_vocab(_t(spark, sf_dir, "documents"))
+    return (seed_piece_counts(vocab, _UNI_PIECE_LEN)
+            .orderBy(F.col("piece_count").desc(), F.col("piece").asc())
+            .limit(_UNI_TOPK))
+
+
+ORACLES["unigram_seed_pieces"] = f"""
+WITH w AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+), v AS (
+  SELECT w, count(*) AS freq FROM w GROUP BY w
+), p AS (
+  SELECT w, freq,
+         unnest(flatten([[substr(w, i, n)
+                          FOR n IN generate_series(
+                              1, least({_UNI_PIECE_LEN}, len(w) - i + 1))]
+                         FOR i IN generate_series(1, len(w))])) AS piece
+  FROM v
+)
+SELECT piece, CAST(SUM(freq) AS BIGINT) AS piece_count,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+FROM p GROUP BY piece
+ORDER BY piece_count DESC, piece ASC
+LIMIT {_UNI_TOPK}
+"""
+
+
+@query("unigram_train_pieces")
+def unigram_train_pieces(spark, sf_dir):
+    """(rank, piece, piece_count): the trained unigram-LM piece model —
+    seed top-512 ∪ characters, 2 hard-EM iterations (broadcast model →
+    Viterbi UDF → model-sized M-step collect), prune to 128 ∪ chars,
+    one final restricted EM pass.  Iterative EM is not SQL-expressible
+    → no DuckDB oracle; equality-pinned against a pure-Python reference
+    implementing the identical recurrence (tests/test_unigram_ops.py,
+    the same differential gate as the BPE learner)."""
+    vocab = word_vocab(_t(spark, sf_dir, "documents"))
+    model = train_unigram(vocab, vocab_size=_UNI_VOCAB,
+                          seed_size=_UNI_SEED,
+                          max_piece_len=_UNI_PIECE_LEN,
+                          em_iters=_UNI_EM)
+    return spark.createDataFrame(
+        [(m["rank"], m["piece"], m["piece_count"]) for m in model],
+        schema="rank INT, piece STRING, piece_count BIGINT")
+
+
+@query("unigram_encode_stats")
+def unigram_encode_stats(spark, sf_dir):
+    """(source, n_docs, sum_words, sum_chars, sum_tokens,
+    tokens_per_1e6_chars): train the unigram model, Viterbi-segment the
+    VOCAB (never per-occurrence), and report per-source compression —
+    the unigram twin of bpe_encode_stats, same skew-safe shape: the
+    corpus pre-aggregates to (source, word, cnt) before any join, the
+    learner's vocab derives from that frame (one corpus text scan), and
+    all outputs are exact integers (``div``)."""
+    from ..operators.barrier import truncate_lineage
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", T.words(F.col("text")).alias("ws"))
+    by_word = truncate_lineage(
+        docs.select("source", F.explode("ws").alias("w"))
+        .groupBy("source", "w").agg(F.count("*").alias("cnt")),
+        eager=False)
+    vocab = by_word.groupBy("w").agg(F.sum("cnt").alias("freq"))
+    model = train_unigram(vocab, vocab_size=_UNI_VOCAB,
+                          seed_size=_UNI_SEED,
+                          max_piece_len=_UNI_PIECE_LEN,
+                          em_iters=_UNI_EM)
+    enc = (segment_words(vocab, model, _UNI_PIECE_LEN)
+           .select("w", F.size("pieces").alias("n_tok"),
+                   F.length("w").alias("n_chr")))
+    tok = (by_word.join(enc, "w")
+           .groupBy("source")
+           .agg(F.sum("cnt").alias("sum_words"),
+                F.sum(F.col("cnt") * F.col("n_chr")).alias("sum_chars"),
+                F.sum(F.col("cnt") * F.col("n_tok")).alias("sum_tokens")))
+    n_docs = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    ratio = F.expr("CAST(CAST(sum_tokens AS DECIMAL(38,0)) * 1000000 "
+                   "DIV CAST(sum_chars AS DECIMAL(38,0)) AS BIGINT)")
+    return (n_docs.join(tok, "source", "left")
+            .select("source", "n_docs",
+                    F.coalesce("sum_words", F.lit(0)).alias("sum_words"),
+                    F.coalesce("sum_chars", F.lit(0)).alias("sum_chars"),
+                    F.coalesce("sum_tokens", F.lit(0)).alias("sum_tokens"),
+                    F.when(F.coalesce("sum_chars", F.lit(0)) > 0, ratio)
+                    .otherwise(F.lit(0)).alias("tokens_per_1e6_chars")))
 
 
 # ---------------------------------------------------------------------------

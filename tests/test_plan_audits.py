@@ -169,6 +169,26 @@ def test_bpe_pair_stats_runs_on_vocab_not_corpus(spark):
     assert "ReadSchema: struct<text:string>" in plan
 
 
+def test_unigram_seed_runs_on_vocab_not_corpus(spark):
+    """unigram_seed_pieces' substring-grid explode must sit above the
+    word aggregate (vocab frame): exactly two exchanges (word groupBy,
+    piece groupBy) and a TakeOrdered top-K, scan pruned to text."""
+    spark.catalog.clearCache()
+    plan = _plan(QUERIES["unigram_seed_pieces"](spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "TakeOrderedAndProject" in plan
+    assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_unigram_encode_segments_vocab_not_corpus(spark):
+    """unigram_encode_stats: the Viterbi UDF must be Arrow-batched
+    (never BatchEvalPython) and run over the vocab frame — the corpus
+    pre-aggregates to (source, word, cnt) before any join."""
+    plan = _plan(QUERIES["unigram_encode_stats"](spark, SF_SMOKE))
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_bpe_learn_deep_is_one_grouped_task(spark):
     """bpe_learn_deep: distributed corpus→vocab collapse (one word
     groupBy with map-side combine), then exactly ONE grouped-pandas

@@ -1,0 +1,257 @@
+"""Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer tests.
+
+``unigram_train_pieces`` has no DuckDB oracle (iterative EM is not
+SQL-expressible), so — exactly like the BPE learner — its gate is
+differential: a pure-Python reference implementing the IDENTICAL
+algorithm (seed top-N ∪ chars with true counts, hard-EM with the
+longest-piece-on-tie Viterbi, char count floor, count-ranked prune,
+final restricted pass) pins the full trained model on the smoke corpus,
+crafted corpora, and random fuzz corpora.  The seed statistics are
+additionally oracle-backed (``unigram_seed_pieces``).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+from openskidata_processor_spark.operators.unigram import (
+    seed_piece_counts, segment_words, train_unigram)
+from openskidata_processor_spark.operators.bpe import word_vocab
+from openskidata_processor_spark.plans import ORACLES, QUERIES
+
+
+# --- pure-Python reference (identical recurrence) ----------------------------
+
+def _ref_viterbi(word, logp, max_len):
+    n = len(word)
+    best = [0.0] + [float("-inf")] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            lp = logp.get(word[j:i])
+            if lp is None:
+                continue
+            score = best[j] + lp
+            if score > best[i]:
+                best[i], back[i] = score, j
+    if best[n] == float("-inf"):
+        return None
+    out, i = [], n
+    while i > 0:
+        out.append(word[back[i]:i])
+        i = back[i]
+    out.reverse()
+    return out
+
+
+def ref_unigram(vocab: dict[str, int], vocab_size=128, seed_size=512,
+                max_len=4, em_iters=2):
+    def substr_counts(maxn):
+        c: dict[str, int] = {}
+        for w, f in vocab.items():
+            for i in range(len(w)):
+                for n in range(1, min(maxn, len(w) - i) + 1):
+                    p = w[i:i + n]
+                    c[p] = c.get(p, 0) + f
+        return c
+
+    seed_all = substr_counts(max_len)
+    seed = dict(sorted(seed_all.items(),
+                       key=lambda kv: (-kv[1], kv[0]))[:seed_size])
+    chars = set(substr_counts(1))
+    counts = dict(seed)
+    for ch in chars:
+        counts.setdefault(ch, seed_all[ch])
+    for ch in chars:
+        if counts.get(ch, 0) < 1:
+            counts[ch] = 1
+
+    def em(cur):
+        total = sum(cur.values())
+        lt = math.log(total)
+        logp = {p: math.log(c) - lt for p, c in cur.items() if c > 0}
+        new: dict[str, int] = {}
+        for w, f in vocab.items():
+            for p in _ref_viterbi(w, logp, max_len):
+                new[p] = new.get(p, 0) + f
+        for ch in chars:
+            if new.get(ch, 0) < 1:
+                new[ch] = 1
+        return new
+
+    for _ in range(em_iters):
+        counts = em(counts)
+    kept = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    keep = {p for p, _ in kept[:vocab_size]} | chars
+    counts = {p: c for p, c in counts.items() if p in keep}
+    for ch in chars:
+        if counts.get(ch, 0) < 1:
+            counts[ch] = 1
+    counts = em(counts)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [(i, p, c) for i, (p, c) in enumerate(ranked)]
+
+
+def _py_vocab(texts):
+    vocab: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                vocab[w] = vocab.get(w, 0) + 1
+    return vocab
+
+
+def _smoke_texts():
+    con = duckdb.connect()
+    return [r[0] for r in con.sql(
+        f"SELECT text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()]
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+# --- seed statistics ----------------------------------------------------------
+
+def test_seed_pieces_match_pure_python(spark):
+    texts = ["abab ab", "ддж дд", "xyz"]
+    got = {(r["piece"], r["piece_count"])
+           for r in seed_piece_counts(
+               word_vocab(_docs_df(spark, texts)), 3).collect()}
+    exp: dict[str, int] = {}
+    for w, f in _py_vocab(texts).items():
+        for i in range(len(w)):
+            for n in range(1, min(3, len(w) - i) + 1):
+                exp[w[i:i + n]] = exp.get(w[i:i + n], 0) + f
+    assert got == set(exp.items())
+
+
+def test_seed_query_has_oracle_and_runs(spark):
+    assert "unigram_seed_pieces" in ORACLES
+    rows = QUERIES["unigram_seed_pieces"](spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    counts = [r["piece_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+# --- trained model vs reference -----------------------------------------------
+
+def test_train_matches_reference_on_smoke(spark):
+    texts = _smoke_texts()
+    expected = ref_unigram(_py_vocab(texts))
+    got = [(m["rank"], m["piece"], m["piece_count"])
+           for m in train_unigram(word_vocab(_docs_df(spark, texts)))]
+    assert got == expected
+
+
+def test_catalog_train_entry_matches_reference(spark):
+    from openskidata_processor_spark.plans.tokenizer import (
+        _UNI_EM, _UNI_PIECE_LEN, _UNI_SEED, _UNI_VOCAB)
+
+    expected = ref_unigram(_py_vocab(_smoke_texts()),
+                           vocab_size=_UNI_VOCAB, seed_size=_UNI_SEED,
+                           max_len=_UNI_PIECE_LEN, em_iters=_UNI_EM)
+    got = [(r["rank"], r["piece"], r["piece_count"])
+           for r in sorted(QUERIES["unigram_train_pieces"](
+               spark, SF_SMOKE).collect(), key=lambda r: r["rank"])]
+    assert got == expected
+
+
+_CRAFTED = [
+    "aaa aaaa ab ab ab",
+    "abab baba aa bb",
+    "mississippi mississippi miss",
+    "ггг ггд дгг",
+    "a b ab ba",
+]
+
+
+def test_train_crafted_corpora(spark):
+    expected = ref_unigram(_py_vocab(_CRAFTED), vocab_size=16,
+                           seed_size=64, max_len=3, em_iters=2)
+    got = [(m["rank"], m["piece"], m["piece_count"])
+           for m in train_unigram(word_vocab(_docs_df(spark, _CRAFTED)),
+                                  vocab_size=16, seed_size=64,
+                                  max_piece_len=3, em_iters=2)]
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed", [3, 19, 41])
+def test_train_fuzz_vs_reference(spark, seed):
+    rnd = random.Random(seed)
+    alpha = "abcдg"
+    texts = [" ".join("".join(rnd.choice(alpha)
+                              for _ in range(rnd.randint(1, 7)))
+                      for _ in range(rnd.randint(0, 12)))
+             for _ in range(10)]
+    if not any(t.strip() for t in texts):
+        pytest.skip("empty corpus draw")
+    expected = ref_unigram(_py_vocab(texts), vocab_size=24,
+                           seed_size=96, max_len=4, em_iters=2)
+    got = [(m["rank"], m["piece"], m["piece_count"])
+           for m in train_unigram(word_vocab(_docs_df(spark, texts)),
+                                  vocab_size=24, seed_size=96,
+                                  max_piece_len=4, em_iters=2)]
+    assert got == expected
+
+
+# --- segmentation / encode stats ------------------------------------------------
+
+def test_segment_words_viterbi_semantics(spark):
+    """Viterbi under a hand-built model: longest piece wins ties, best
+    total log-prob wins otherwise, coverage via single chars."""
+    model = [{"rank": 0, "piece": "ab", "piece_count": 4},
+             {"rank": 1, "piece": "a", "piece_count": 2},
+             {"rank": 2, "piece": "b", "piece_count": 2},
+             {"rank": 3, "piece": "c", "piece_count": 1}]
+    df = spark.createDataFrame([("abab",), ("cab",), ("c",)], ["w"])
+    got = {r["w"]: r["pieces"]
+           for r in segment_words(df, model, 2).collect()}
+    logp = {m["piece"]: math.log(m["piece_count"]) - math.log(9)
+            for m in model}
+    for w in got:
+        assert got[w] == _ref_viterbi(w, logp, 2), w
+    assert got["abab"] == ["ab", "ab"]
+    assert got["cab"] == ["c", "ab"]
+
+
+def test_encode_stats_matches_reference(spark):
+    from openskidata_processor_spark.plans.tokenizer import (
+        _UNI_EM, _UNI_PIECE_LEN, _UNI_SEED, _UNI_VOCAB)
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT source, text FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')").fetchall()
+    model = ref_unigram(_py_vocab(t for _, t in docs),
+                        vocab_size=_UNI_VOCAB, seed_size=_UNI_SEED,
+                        max_len=_UNI_PIECE_LEN, em_iters=_UNI_EM)
+    counts = {p: c for _, p, c in model}
+    total = sum(counts.values())
+    logp = {p: math.log(c) - math.log(total) for p, c in counts.items()}
+    seg_len = {w: len(_ref_viterbi(w, logp, _UNI_PIECE_LEN))
+               for w in _py_vocab(t for _, t in docs)}
+    exp: dict[str, list[int]] = {}
+    for src, text in docs:
+        e = exp.setdefault(src, [0, 0, 0, 0])
+        e[0] += 1
+        for w in text.split(" "):
+            if w:
+                e[1] += 1
+                e[2] += len(w)
+                e[3] += seg_len[w]
+    expected = sorted(
+        (src, n, sw, sc, st, (st * 1_000_000) // sc if sc else 0)
+        for src, (n, sw, sc, st) in exp.items())
+    got = sorted(map(tuple, QUERIES["unigram_encode_stats"](
+        spark, SF_SMOKE).collect()))
+    assert got == expected
