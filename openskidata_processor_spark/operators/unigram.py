@@ -85,7 +85,7 @@ def _viterbi(word: str, logp: dict[str, float],
     best = [0.0] + [float("-inf")] * n
     back = [0] * (n + 1)
     for i in range(1, n + 1):
-        # j descending => longest piece first; strict '>' keeps it on tie
+        # j ascending = longest piece first; strict '>' keeps it on tie
         for j in range(max(0, i - max_piece_len), i):
             lp = logp.get(word[j:i])
             if lp is None:

@@ -88,10 +88,17 @@ def streaming_ivf_index(spark: SparkSession, sf_dir: str,
         cents = _train_ivf_centroids(static, "embedding", n_centroids,
                                      sample_size=sample_size, n_iters=8)
         os.makedirs(work, exist_ok=True)
+        # one-slice parallelize, NOT createDataFrame(...).coalesce(1):
+        # a driver-local list otherwise spreads over defaultParallelism
+        # Python partitions and the coalesced write task replays every
+        # one through a sequential Python-worker round trip (~5 s for a
+        # 16-row model on local[32]; measured)
         spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            spark.sparkContext.parallelize(
+                [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+                numSlices=1),
             "cell INT, centroid ARRAY<DOUBLE>") \
-            .coalesce(1).write.mode("overwrite").parquet(cents_dir)
+            .write.mode("overwrite").parquet(cents_dir)
     cells = _ivf_cells_udf(spark.sparkContext.broadcast(cents), 1)
 
     stream = _file_stream(spark, sf_dir, "embeddings",
