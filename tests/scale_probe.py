@@ -150,6 +150,21 @@ QUERIES_TO_PROBE = [
     # corpus-scale word groupBy per micro-batch; the ledger drain and
     # pair compute stay vocab-sized)
     "stream_bpe_pair_stats",
+    # round-10 additions, measured at 10× (local[32], 2026-08; sf0.1
+    # first readings carry the session's one-time codegen):
+    # bpe_learn_deep 8.8s → 2.2s — FLAT once warm: the vocab is
+    # unchanged at 10× and the whole merge loop is one vocab-sized
+    # applyInPandas task, so only the corpus word scan grows; the
+    # batched bpe_learn_merges inherits the same flat property
+    # (11.7s → 13.2s) with ~half the driver rounds of the r9 sequential
+    # loop.  unigram family — seed 1.3s → 1.9s (the corpus word scan is
+    # the only growing stage), train 5.3s → 7.5s (same scan, then EM on
+    # the UNCHANGED vocab frame with model-sized collects), encode
+    # 3.6s → 3.3s (flat).  stream_ivf_index 3.6s → 3.7s — 10× embedding
+    # rows through the frozen broadcast model; per-batch work is
+    # new-rows-only and the posting rollup is cell-bounded.
+    "bpe_learn_deep", "unigram_seed_pieces", "unigram_train_pieces",
+    "unigram_encode_stats", "stream_ivf_index",
 ]
 
 
