@@ -139,6 +139,9 @@ EXTENDED_QUERIES = [
     "unigram_seed_pieces",
     "unigram_train_pieces",
     "unigram_encode_stats",
+    # round-10 WordPiece (BERT) family
+    "wordpiece_learn_vocab",
+    "wordpiece_encode_stats",
     # streaming vocab-ledger twin of bpe_pair_stats
     "stream_bpe_pair_stats",
     # privacy-governance audits: k-anonymity lattice + l-diversity

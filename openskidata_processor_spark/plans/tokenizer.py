@@ -55,6 +55,8 @@ from ..operators.bpe import (encode_words, learn_bpe_batched,
                              word_vocab)
 from ..operators.unigram import (seed_piece_counts, segment_words,
                                  train_unigram)
+from ..operators.wordpiece import (encode_wordpiece_udf,
+                                   learn_wordpiece_local, wordpiece_vocab)
 from .analytics import _t, query
 from .oracles import ORACLES
 
@@ -543,6 +545,82 @@ def unigram_encode_stats(spark, sf_dir):
                     F.coalesce("sum_words", F.lit(0)).alias("sum_words"),
                     F.coalesce("sum_chars", F.lit(0)).alias("sum_chars"),
                     F.coalesce("sum_tokens", F.lit(0)).alias("sum_tokens"),
+                    F.when(F.coalesce("sum_chars", F.lit(0)) > 0, ratio)
+                    .otherwise(F.lit(0)).alias("tokens_per_1e6_chars")))
+
+
+# ---------------------------------------------------------------------------
+# WordPiece family (Schuster & Nakajima 2012 — the BERT tokenizer), the
+# third major subword algorithm: likelihood-scored merges with exact
+# integer-fraction argmax, greedy longest-match encode.
+# (operators/wordpiece.py; no SQL oracle — iterative argmax; pinned by
+# tests/test_wordpiece_ops.py against a pure-Python reference.)
+# ---------------------------------------------------------------------------
+
+_WP_MERGES = 48       # merges learned by the registered query
+_WP_ENC_MERGES = 16   # merges for the encode-stats entry
+
+
+@query("wordpiece_learn_vocab")
+def wordpiece_learn_vocab(spark, sf_dir):
+    """(merge_rank, left, right, merged, pair_count, score_num,
+    score_den): the first 48 WordPiece merges — argmax over the exact
+    integer likelihood fraction pair_count/(sym_count_l*sym_count_r) —
+    learned inside ONE applyInPandas task over the collapsed vocab with
+    incremental pair/symbol-count maintenance (zero driver rounds, the
+    same deep-path shape as bpe_learn_deep)."""
+    vocab = word_vocab(_t(spark, sf_dir, "documents"))
+    return learn_wordpiece_local(vocab, _WP_MERGES)
+
+
+@query("wordpiece_encode_stats")
+def wordpiece_encode_stats(spark, sf_dir):
+    """(source, n_docs, sum_words, sum_chars, sum_tokens, n_unk_words,
+    tokens_per_1e6_chars): train 16 WordPiece merges, greedy
+    longest-match-encode the VOCAB under the final token set (alphabet
+    ∪ ## continuations ∪ merged tokens; unmatchable words become one
+    [UNK]), join back to the pre-aggregated (source, word, cnt) frame —
+    the same skew-safe shape as bpe_encode_stats/unigram_encode_stats,
+    reference-pinned end-to-end."""
+    from ..operators.barrier import truncate_lineage
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", T.words(F.col("text")).alias("ws"))
+    by_word = truncate_lineage(
+        docs.select("source", F.explode("ws").alias("w"))
+        .groupBy("source", "w").agg(F.count("*").alias("cnt")),
+        eager=False)
+    vocab = by_word.groupBy("w").agg(F.sum("cnt").alias("freq"))
+    merges = [r.asDict()
+              for r in learn_wordpiece_local(vocab, _WP_ENC_MERGES)
+              .collect()]                     # bounded: merge table
+    alphabet = {r["c"] for r in vocab.select(
+        F.explode(F.filter(F.split(F.col("w"), ""),
+                           lambda c: c != "")).alias("c"))
+        .distinct().collect()}                # bounded: alphabet
+    tokens = wordpiece_vocab(merges, alphabet)
+    enc = (encode_wordpiece_udf(vocab, tokens)
+           .select("w", F.size("pieces").alias("n_tok"),
+                   F.length("w").alias("n_chr"),
+                   (F.col("pieces")[0] == F.lit("[UNK]"))
+                   .cast("int").alias("is_unk")))
+    tok = (by_word.join(enc, "w")
+           .groupBy("source")
+           .agg(F.sum("cnt").alias("sum_words"),
+                F.sum(F.col("cnt") * F.col("n_chr")).alias("sum_chars"),
+                F.sum(F.col("cnt") * F.col("n_tok")).alias("sum_tokens"),
+                F.sum(F.col("cnt") * F.col("is_unk"))
+                .alias("n_unk_words")))
+    n_docs = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    ratio = F.expr("CAST(CAST(sum_tokens AS DECIMAL(38,0)) * 1000000 "
+                   "DIV CAST(sum_chars AS DECIMAL(38,0)) AS BIGINT)")
+    return (n_docs.join(tok, "source", "left")
+            .select("source", "n_docs",
+                    F.coalesce("sum_words", F.lit(0)).alias("sum_words"),
+                    F.coalesce("sum_chars", F.lit(0)).alias("sum_chars"),
+                    F.coalesce("sum_tokens", F.lit(0)).alias("sum_tokens"),
+                    F.coalesce("n_unk_words", F.lit(0))
+                    .alias("n_unk_words"),
                     F.when(F.coalesce("sum_chars", F.lit(0)) > 0, ratio)
                     .otherwise(F.lit(0)).alias("tokens_per_1e6_chars")))
 

@@ -189,6 +189,24 @@ def test_unigram_encode_segments_vocab_not_corpus(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_wordpiece_learn_is_one_grouped_task(spark):
+    """wordpiece_learn_vocab: corpus→vocab collapse, then exactly ONE
+    grouped-pandas task running the incremental indexed-heap merge loop
+    — no per-merge jobs, no row-at-a-time Python, text-pruned scan."""
+    plan = _plan(QUERIES["wordpiece_learn_vocab"](spark, SF_SMOKE))
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert "BatchEvalPython" not in plan
+    assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_wordpiece_encode_is_arrow_batched(spark):
+    """wordpiece_encode_stats: the longest-match encoder must be
+    Arrow-batched over the vocab frame, never row-at-a-time."""
+    plan = _plan(QUERIES["wordpiece_encode_stats"](spark, SF_SMOKE))
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_bpe_learn_deep_is_one_grouped_task(spark):
     """bpe_learn_deep: distributed corpus→vocab collapse (one word
     groupBy with map-side combine), then exactly ONE grouped-pandas
