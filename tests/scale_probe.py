@@ -165,6 +165,12 @@ QUERIES_TO_PROBE = [
     # new-rows-only and the posting rollup is cell-bounded.
     "bpe_learn_deep", "unigram_seed_pieces", "unigram_train_pieces",
     "unigram_encode_stats", "stream_ivf_index",
+    # WordPiece at 10× (local[32], 2026-08; sf0.1 first readings carry
+    # codegen/worker warmup): learn 16.6s → 5.4s, encode 13.5s → 9.9s —
+    # both FLAT-to-faster warm; the trainer task is vocab-bounded and
+    # the warm cost is a multi-job latency floor (checkpoint
+    # materialization + learn + alphabet + encode join), not data.
+    "wordpiece_learn_vocab", "wordpiece_encode_stats",
 ]
 
 
