@@ -142,6 +142,8 @@ EXTENDED_QUERIES = [
     # round-10 WordPiece (BERT) family
     "wordpiece_learn_vocab",
     "wordpiece_encode_stats",
+    # round-10 Kneser-Ney bigram smoothing statistics (oracle-backed)
+    "kn_bigram_stats",
     # streaming vocab-ledger twin of bpe_pair_stats
     "stream_bpe_pair_stats",
     # privacy-governance audits: k-anonymity lattice + l-diversity

@@ -550,6 +550,88 @@ def unigram_encode_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Kneser–Ney bigram smoothing statistics (Kneser & Ney 1995; Chen &
+# Goodman 1998) — the count tables an n-gram LM trainer derives before
+# smoothing: bigram counts, left-context diversity N1+(w1,·),
+# continuation counts N1+(·,w2), and the global discount inputs n1/n2
+# (bigram types seen once/twice; D = n1/(n1+2·n2)).  Everything after
+# the ONE corpus bigram scan is bigram-TYPE-bounded (vocab², in
+# practice Heaps-bounded), and all outputs are exact integers — fully
+# DuckDB-oracle-backed.
+# ---------------------------------------------------------------------------
+
+_KN_TOPK = 50
+
+
+@query("kn_bigram_stats")
+def kn_bigram_stats(spark, sf_dir):
+    """(bigram, c_xy, n_div_left, n_cont_right, n1, n2): top-50 bigrams
+    by count with the per-side Kneser–Ney diversity statistics and the
+    global once/twice type counts.  One corpus scan → bigram type
+    table (reused by all four consumers through a ContextCleaner-
+    reclaimable barrier); the 1-row discount frame broadcasts."""
+    from ..operators.barrier import truncate_lineage
+    from ..operators.bpe import adjacent_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = T.words(F.col("text"))
+    big = truncate_lineage(
+        docs.select(F.explode(adjacent_pairs(ws)).alias("b"))
+        .select(F.col("b.l").alias("w1"), F.col("b.r").alias("w2"))
+        .groupBy("w1", "w2").agg(F.count("*").alias("c_xy")),
+        eager=False)
+    # the type table is distinct on (w1, w2), so per-side diversities
+    # are plain count(*) — no count-distinct machinery
+    left_div = big.groupBy("w1").agg(
+        F.count("*").alias("n_div_left"))
+    cont = big.groupBy("w2").agg(
+        F.count("*").alias("n_cont_right"))
+    disc = big.agg(
+        F.sum(F.when(F.col("c_xy") == 1, 1).otherwise(0))
+        .cast("long").alias("n1"),
+        F.sum(F.when(F.col("c_xy") == 2, 1).otherwise(0))
+        .cast("long").alias("n2"))
+    return (big.join(left_div, "w1").join(cont, "w2")
+            .crossJoin(F.broadcast(disc))
+            .select(F.concat_ws(" ", "w1", "w2").alias("bigram"),
+                    "c_xy", "n_div_left", "n_cont_right", "n1", "n2")
+            .orderBy(F.col("c_xy").desc(), F.col("bigram").asc())
+            .limit(_KN_TOPK))
+
+
+ORACLES["kn_bigram_stats"] = f"""
+WITH d AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), bg AS (
+  SELECT unnest([ws[i] || ' ' || ws[i+1]
+                 FOR i IN generate_series(1, len(ws) - 1)]) AS bigram
+  FROM d WHERE len(ws) >= 2
+), big AS (
+  SELECT string_split(bigram, ' ')[1] AS w1,
+         string_split(bigram, ' ')[2] AS w2,
+         count(*) AS c_xy
+  FROM bg GROUP BY 1, 2
+), ld AS (
+  SELECT w1, count(*) AS n_div_left FROM big GROUP BY w1
+), ct AS (
+  SELECT w2, count(*) AS n_cont_right FROM big GROUP BY w2
+), disc AS (
+  SELECT CAST(SUM(CASE WHEN c_xy = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN c_xy = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM big
+)
+SELECT b.w1 || ' ' || b.w2 AS bigram, CAST(b.c_xy AS BIGINT) AS c_xy,
+       CAST(ld.n_div_left AS BIGINT) AS n_div_left,
+       CAST(ct.n_cont_right AS BIGINT) AS n_cont_right,
+       disc.n1, disc.n2
+FROM big b JOIN ld USING (w1) JOIN ct USING (w2), disc
+ORDER BY c_xy DESC, bigram ASC
+LIMIT {_KN_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # WordPiece family (Schuster & Nakajima 2012 — the BERT tokenizer), the
 # third major subword algorithm: likelihood-scored merges with exact
 # integer-fraction argmax, greedy longest-match encode.
