@@ -178,6 +178,26 @@ def test_catalog_learn_entry(spark):
     assert got == expected
 
 
+def test_learn_depth_256_matches_naive_reference(spark):
+    """Depth probe: 256 merges on a synthetic vocabulary rich enough to
+    sustain them — the incremental indexed-heap trainer must equal the
+    naive full-recount reference merge-for-merge at real depth (the
+    smoke corpus collapses after ~90; the naive twin IS the pin, so
+    this is the incremental==naive differential at 16x the catalog
+    entry's depth)."""
+    rnd = random.Random(71)
+    texts = [" ".join("".join(rnd.choice("abcdefghijkl")
+                              for _ in range(rnd.randint(4, 12)))
+                      for _ in range(30))
+             for _ in range(60)]
+    vocab = _py_vocab(texts)
+    expected, _ = ref_wordpiece(vocab, 256, min_count=1)
+    assert len(expected) == 256
+    got = _as_tuples(learn_wordpiece_local(
+        word_vocab(_docs_df(spark, texts)), 256, min_count=1).collect())
+    assert got == expected
+
+
 # --- encoder --------------------------------------------------------------------
 
 def test_encoder_matches_reference_and_unk_contract(spark):
