@@ -324,7 +324,9 @@ def merge_pairs_multi(syms: Column,
 
 
 def _select_batch(rows, already: int, n_merges: int, min_count: int,
-                  saw_all: bool) -> list[tuple[str, str, int]]:
+                  saw_all: bool,
+                  learned: frozenset[str] | set[str] = frozenset()
+                  ) -> list[tuple[str, str, int]]:
     """Driver-side greedy prefix selection over the collected top-K pair
     rows (sorted by count desc, then (l, r) asc) — the largest PREFIX of
     the rank order that provably equals what the sequential learner
@@ -337,18 +339,55 @@ def _select_batch(rows, already: int, n_merges: int, min_count: int,
       right, or merged string) with a selected pair may have its count
       changed by that merge — stop.
     - **Created-pair threat.**  Merging p=(a,b) creates pairs (x, ab)
-      and (ab, y) whose counts are bounded by their precursors (x, a)
-      and (b, y) (and by count(p)).  If any visible precursor allows a
-      created pair with count ≥ the candidate's, the created pair could
-      outrank it at its sequential step — stop (ties stop too: the
-      created pair's lex position is unknowable without applying).
+      and (ab, y) whose NEW occurrences are bounded by their precursors
+      (x, a) and (b, y) (and by count(p)).  If any visible precursor
+      allows a created pair with count ≥ the candidate's, the created
+      pair could outrank it at its sequential step — stop (ties stop
+      too: the created pair's lex position is unknowable without
+      applying).  Second-order chains (a created pair acting as the
+      precursor of a later selected merge's creation) are dominated by
+      this first-order bound: each creation step only shrinks counts,
+      so any chained key's count is ≤ its first visible ancestor's
+      bound, which this scan already tests.
+    - **Coincident-pair guard.**  A created key (x, ab) can COINCIDE
+      with an ALREADY-EXISTING pair when the merged string ab is itself
+      a live symbol: the post-merge count is then pre + created,
+      exceeding both individual bounds (reachable on adversarial symbol
+      states — the round-11 advisory finding).  Char seeding (the only
+      way ``learn_bpe_batched`` builds its state) makes liveness
+      DECIDABLE on the driver: every live multi-char symbol is the
+      merged string of some already-learned merge, so ab can be live
+      only when ab ∈ ``learned`` (the merge history's merged strings, a
+      superset of live multi-char symbols — consumed symbols stay in
+      it, conservatively).  Selection stops when a selected merge's
+      merged string is in ``learned`` or — the backstop for a caller
+      passing a wrong history or non-char seeding — when any visible
+      row is keyed on it.  With ab provably non-live, every created
+      key's pre-count is exactly 0 and the precursor bound above is
+      tight; chained creations (a created pair acting as a later
+      in-batch merge's precursor) stay dominated because a zero
+      pre-count chain only shrinks, and the two orderings that could
+      make one key gain from two in-batch merges require contradictory
+      liveness, so no sums arise.
     - **Visibility floor.**  When the collected rows are a strict top-K
-      (``saw_all`` False), only candidates with count STRICTLY above the
-      K-th count are certifiable: any unseen precursor has count ≤ that
-      floor and therefore cannot produce a created pair that outranks
-      the candidate.
+      (``saw_all`` False), only candidates with count STRICTLY above
+      the K-th count are certifiable: any unseen pair or precursor has
+      count ≤ that floor, and unseen pairs cannot GAIN count (a gaining
+      key is keyed on a selected merged string, excluded above), so
+      nothing hidden can outrank the candidate.
     """
-    floor = 0 if saw_all else rows[-1]["cnt"]
+    # rows[0] is selected unconditionally below: soundness requires the
+    # rows to be the EXACT top-K in (cnt desc, l asc, r asc) order, so
+    # rows[0] is the global argmax — precisely the pair the sequential
+    # learner picks next.  An approximate or reordered collect would
+    # silently break the certificate; assert the invariant outright
+    # (≤ topk rows, negligible cost).
+    assert all(
+        (-int(rows[i]["cnt"]), rows[i]["l"], rows[i]["r"])
+        <= (-int(rows[i + 1]["cnt"]), rows[i + 1]["l"], rows[i + 1]["r"])
+        for i in range(len(rows) - 1)), \
+        "_select_batch requires rows sorted by (cnt desc, l, r)"
+    floor = 0 if saw_all else int(rows[-1]["cnt"])
     sel: list[tuple[str, str, int]] = [
         (rows[0]["l"], rows[0]["r"], int(rows[0]["cnt"]))]
     for q in rows[1:]:
@@ -360,10 +399,28 @@ def _select_batch(rows, already: int, n_merges: int, min_count: int,
         q_syms = {q["l"], q["r"], q["l"] + q["r"]}
         stop = False
         for a, b, pc in sel:
-            if q_syms & {a, b, a + b}:
+            merged = a + b
+            if q_syms & {a, b, merged}:
+                stop = True
+                break
+            # coincident-pair guard: if the merged string could be a
+            # LIVE symbol, a pre-existing pair keyed on it (seen or
+            # hiding below the visibility floor) GROWS by created
+            # occurrences — pre + created exceeds both individual
+            # bounds, so certification is impossible without applying.
+            if merged in learned:
                 stop = True
                 break
             for t in rows:
+                # backstop for a wrong `learned` or non-char seeding:
+                # a visible pair keyed on the merged string proves it
+                # live even when absent from the history.
+                if t["l"] == merged or t["r"] == merged:
+                    stop = True
+                    break
+                # created-pair threat via a visible precursor (exact:
+                # created keys have zero pre-count once the coincident
+                # guard above passes).
                 if ((t["r"] == a or t["l"] == b)
                         and min(int(t["cnt"]), pc) >= qc):
                     stop = True
@@ -377,7 +434,7 @@ def _select_batch(rows, already: int, n_merges: int, min_count: int,
 
 
 def learn_bpe_batched(vocab: DataFrame, n_merges: int, min_count: int = 2,
-                      topk: int = 64, checkpoint_every: int = 4,
+                      topk: int = 256, checkpoint_every: int = 4,
                       stats: dict | None = None) -> list[dict]:
     """Sequential-equal BPE learning with multiple merges per driver
     round trip — the scale fix for ``learn_bpe``'s one-argmax-job-per-
@@ -385,9 +442,12 @@ def learn_bpe_batched(vocab: DataFrame, n_merges: int, min_count: int = 2,
     30k-merge depth regardless of cluster size).
 
     Each round collects the top-``topk`` pair counts (bounded driver
-    traffic), certifies the largest rank-order prefix whose merges the
-    sequential learner would provably pick unchanged (``_select_batch``
-    — symbol-disjointness + created-pair threat analysis), applies them
+    traffic; the 256 default keeps the visibility floor far below the
+    head of a Zipfian pair distribution), certifies the largest
+    rank-order prefix whose merges the sequential learner would
+    provably pick unchanged (``_select_batch`` — symbol-disjointness +
+    created-pair threat + history-decided coincident-pair guard),
+    applies them
     in ONE combined fold pass, and folds ONE combined ±delta into the
     standing counts.  Output is bit-identical to ``learn_bpe`` (the
     retained equality pin) and the pure-Python Sennrich reference —
@@ -414,7 +474,8 @@ def learn_bpe_batched(vocab: DataFrame, n_merges: int, min_count: int = 2,
         if not rows or rows[0]["cnt"] < min_count:
             break
         sel = _select_batch(rows, len(merges), n_merges, min_count,
-                            saw_all=len(rows) < topk)
+                            saw_all=len(rows) < topk,
+                            learned={m["merged"] for m in merges})
         for a, b, cnt in sel:
             merges.append({"merge_rank": len(merges), "left": a,
                            "right": b, "merged": a + b,
@@ -466,8 +527,12 @@ def learn_bpe_local(vocab: DataFrame, n_merges: int,
     in-memory speed instead of 30k driver-sequenced cluster jobs (the
     ``learn_bpe``/``learn_bpe_batched`` wall at depth).
 
-    Memory contract: the vocab frame must fit one executor task.  For
-    vocabularies beyond that (extreme multilingual web corpora), fall
+    Memory contract: the vocab frame must fit one executor task.
+    Measured (tests/scale_probe.py --vocab, readings in its docstring):
+    task peak grows LINEARLY at ≈1.2 GiB per million distinct words —
+    ~10-25M words on a typical 32-64 GiB-task executor, past Heaps'-law
+    vocabularies for a 100 TB monolingual corpus.  For vocabularies
+    beyond that (extreme multilingual web corpora), fall
     back to ``learn_bpe_batched``.  Returns the merge table as a
     DataFrame (merge_rank, left, right, merged, pair_count) — it never
     touches the driver and can be broadcast/joined downstream.
@@ -522,32 +587,41 @@ def learn_bpe_local(vocab: DataFrame, n_merges: int,
                 break
             a, b, cnt = best
             out_rows.append((rank, a, b, a + b, cnt))
+            # touched pairs dedupe ACROSS the merge's affected words;
+            # one heap refresh per pair at merge end (per-word pushes
+            # measured 9× slower at a 1M-word vocab — every
+            # intermediate entry is stale by construction, the lazy-
+            # deletion heap only ever needs the final count)
+            touched: set[tuple[str, str]] = set()
             for i in list(where.get((a, b), ())):
                 old = words[i]
                 new = apply_one(old, a, b)
                 f = freqs[i]
-                touched = set()
                 for j in range(len(old) - 1):
                     p = (old[j], old[j + 1])
                     counts[p] = counts.get(p, 0) - f
                     touched.add(p)
+                new_pairs = set()
                 for j in range(len(new) - 1):
                     p = (new[j], new[j + 1])
                     counts[p] = counts.get(p, 0) + f
                     touched.add(p)
+                    new_pairs.add(p)
                     where.setdefault(p, set()).add(i)
-                new_pairs = {(new[j], new[j + 1])
-                             for j in range(len(new) - 1)}
-                for p in touched:
-                    if p not in new_pairs and i in where.get(p, ()):
-                        where[p].discard(i)
-                    c = counts.get(p, 0)
-                    if c > 0:
-                        heapq.heappush(heap, (-c, p[0], p[1]))
-                    else:
-                        counts.pop(p, None)
-                        where.pop(p, None)
+                for j in range(len(old) - 1):
+                    p = (old[j], old[j + 1])
+                    if p not in new_pairs:
+                        where.get(p, set()).discard(i)
                 words[i] = new
+            for p in touched:
+                c = counts.get(p, 0)
+                if c > 0:
+                    heapq.heappush(heap, (-c, p[0], p[1]))
+                else:
+                    counts.pop(p, None)
+                    where.pop(p, None)
+        from .probe import record_task_peak
+        record_task_peak("learn_bpe_local")   # no-op outside the probe
         return pd.DataFrame(
             out_rows,
             columns=["merge_rank", "left", "right", "merged",

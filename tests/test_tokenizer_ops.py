@@ -298,7 +298,8 @@ def _simulate_batched(vocab: dict[str, int], n_merges: int,
         if not rows or rows[0]["cnt"] < min_count:
             break
         sel = _select_batch(rows, len(merges), n_merges, min_count,
-                            saw_all=len(rows) < topk)
+                            saw_all=len(rows) < topk,
+                            learned={m[3] for m in merges})
         for a, b, cnt in sel:
             merges.append((len(merges), a, b, a + b, cnt))
             for w in words:
@@ -329,6 +330,76 @@ def test_select_batch_certificate_fuzz(seed):
         expected, _ = ref_bpe(vocab, n, min_count=mc)
         got = _simulate_batched(vocab, n, min_count=mc, topk=tk)
         assert got == expected, (alpha, texts, n, mc, tk)
+
+
+def test_select_batch_coincident_pair_guard():
+    """Round-11 advisory fix: a created pair key (x, ab) can COINCIDE
+    with an already-existing pair when the merged string ab is a live
+    symbol — its post-merge count is pre + created, which exceeds both
+    individual bounds, so a candidate certified by the old
+    precursor-only scan could be outranked at its sequential step.
+    Here merging (c, d) can lift pre-existing ("e", "cd") [cnt 5] by up
+    to min(cnt("e","c")=4, 10) created occurrences to 9 > the candidate
+    ("x", "y") [cnt 8]; the certificate must now refuse to batch past
+    the first merge.  Liveness of "cd" is decidable from the merge
+    history (char seeding: live multi-char symbols ⊆ learned merged
+    strings), with a visible-row backstop for wrong histories."""
+    from openskidata_processor_spark.operators.bpe import _select_batch
+
+    rows = [{"l": "c", "r": "d", "cnt": 10},
+            {"l": "x", "r": "y", "cnt": 8},
+            {"l": "e", "r": "cd", "cnt": 5},
+            {"l": "e", "r": "c", "cnt": 4}]
+    # history says "cd" is a learned (hence possibly live) symbol
+    sel = _select_batch(rows, 0, 8, 1, saw_all=True, learned={"cd"})
+    assert sel == [("c", "d", 10)]
+    # backstop: history omits "cd" but a VISIBLE row is keyed on it —
+    # still refuse (the row proves the symbol live)
+    sel_b = _select_batch(rows, 0, 8, 1, saw_all=True)
+    assert sel_b == [("c", "d", 10)]
+    # with the coincident evidence absent, the same state certifies
+    # both: the only precursor bound is min(4, 10) = 4 < 8
+    rows2 = [r for r in rows if r["r"] != "cd"]
+    sel2 = _select_batch(rows2, 0, 8, 1, saw_all=True)
+    assert sel2 == [("c", "d", 10), ("x", "y", 8)]
+    # ... but NOT when the history marks "cd" as ever-learned: a
+    # coincident pair could hide below a strict top-K's floor
+    sel3 = _select_batch(rows2, 0, 8, 1, saw_all=False, learned={"cd"})
+    assert sel3 == [("c", "d", 10)]
+
+
+def test_select_batch_visibility_floor():
+    """Strict top-K: unseen pairs (≤ floor) cannot gain count once the
+    coincident guard passes, so candidates strictly above the floor
+    certify; candidates at the floor do not."""
+    from openskidata_processor_spark.operators.bpe import _select_batch
+
+    rows = [{"l": "c", "r": "d", "cnt": 10},
+            {"l": "x", "r": "y", "cnt": 8},
+            {"l": "u", "r": "v", "cnt": 5}]
+    # floor 5: the cnt-5 candidate is uncertifiable, the cnt-8 one is
+    assert _select_batch(rows, 0, 8, 1, saw_all=False) == \
+        [("c", "d", 10), ("x", "y", 8)]
+    # seen in full → all three certify (no hidden pairs possible)
+    assert _select_batch(rows, 0, 8, 1, saw_all=True) == \
+        [("c", "d", 10), ("x", "y", 8), ("u", "v", 5)]
+
+
+def test_select_batch_requires_sorted_rows():
+    """rows[0] is selected unconditionally, so _select_batch asserts
+    the exact (cnt desc, l, r) top-K order — an approximate or
+    reordered collect must fail loudly, not mis-certify."""
+    from openskidata_processor_spark.operators.bpe import _select_batch
+
+    rows = [{"l": "x", "r": "y", "cnt": 8},
+            {"l": "c", "r": "d", "cnt": 10}]
+    with pytest.raises(AssertionError):
+        _select_batch(rows, 0, 8, 1, saw_all=True)
+    # lex tie-break order is asserted too
+    rows2 = [{"l": "b", "r": "a", "cnt": 8},
+             {"l": "a", "r": "b", "cnt": 8}]
+    with pytest.raises(AssertionError):
+        _select_batch(rows2, 0, 8, 1, saw_all=True)
 
 
 # --- single-task deep learner ---------------------------------------------------
