@@ -33,9 +33,21 @@ Algorithm (simplified Kudo variant, documented contract):
   the segmentations (freq-weighted).  Single characters are floored at
   count 1 so coverage never collapses (log(0) guard), mirroring
   SentencePiece's character-coverage guarantee.
-- **Prune**: keep the top ``vocab_size`` pieces by (count desc, piece
-  asc) ∪ all characters, then ONE more EM step restricted to the kept
-  pieces produces the final counts.
+- **Prune** (``prune="loss"``, the default — Kudo §3.2's criterion
+  under hard EM): a piece's utility is the corpus-likelihood DROP if it
+  were removed — per word, the Viterbi score minus the best score with
+  that piece masked, freq-weighted and summed.  Computed distributed
+  (one pass over the vocab frame, model broadcast, model-sized
+  collect) in fixed-point integer micro-nats, so the freq-weighted sum
+  is exact and summation-order-independent (a float sum would make
+  near-tie ranks depend on Spark's partial-aggregation order).  Keep
+  the top ``vocab_size`` multi-char pieces by (loss desc, piece asc)
+  ∪ all characters, then ONE more EM step restricted to the kept
+  pieces produces the final counts.  ``prune="count"`` keeps the
+  simpler count-ranked variant (top ``vocab_size`` by count desc ∪
+  chars).  Deviations from full SentencePiece, by design: hard EM
+  (not marginal), single-shot prune (not iterative 20%-per-round),
+  both pinned differentially.
 
 Reference anchor: the reference pipeline feeds downstream consumers that
 tokenize its text outputs (openskidata-processor README pipeline
@@ -122,6 +134,98 @@ def _logp_from_counts(counts: dict[str, int]) -> dict[str, float]:
     return {p: math.log(c) - lt for p, c in counts.items() if c > 0}
 
 
+# Fixed-point quantum for the prune-loss computation: log-probs round to
+# integer MICRO-NATS so per-word deltas and their freq-weighted sums are
+# exact integers — deterministic under any distributed summation order
+# (a float sum would make near-tie prune ranks depend on partial-agg
+# order).  Identical constant in the pure-Python differential reference.
+LOSS_QUANT = 1_000_000
+
+
+def _quantize_logp(logp: dict[str, float]) -> dict[str, int]:
+    return {p: int(round(lp * LOSS_QUANT)) for p, lp in logp.items()}
+
+
+def _viterbi_q(word: str, logpq: dict[str, int], max_piece_len: int,
+               masked: str | None = None):
+    """Integer-score Viterbi (same recurrence and longest-piece tie rule
+    as ``_viterbi``) under the micro-nat model, optionally with one
+    piece ``masked`` out.  Returns (score, pieces) or None."""
+    n = len(word)
+    neg = None
+    best: list[int | None] = [0] + [neg] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_piece_len), i):
+            piece = word[j:i]
+            if piece == masked:
+                continue
+            lp = logpq.get(piece)
+            if lp is None or best[j] is None:
+                continue
+            score = best[j] + lp
+            if best[i] is None or score > best[i]:
+                best[i] = score
+                back[i] = j
+    if best[n] is None:
+        return None
+    out: list[str] = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    out.reverse()
+    return best[n], out
+
+
+def _loss_udf(logpq, max_piece_len: int):
+    """Per-word prune-loss rows: for each DISTINCT multi-char piece in
+    the word's Viterbi path, the integer micro-nat drop when that piece
+    is masked.  ``logpq`` is a Broadcast (or plain dict in tests)."""
+    @F.pandas_udf("array<struct<piece:string,delta:long>>")
+    def _loss(col: pd.Series) -> pd.Series:
+        m = logpq.value if hasattr(logpq, "value") else logpq
+
+        def one(w):
+            full = _viterbi_q(w, m, max_piece_len)
+            if full is None:
+                return []
+            score, path = full
+            out = []
+            for p in set(path):
+                if len(p) <= 1:
+                    continue        # chars are never prunable (coverage)
+                masked = _viterbi_q(w, m, max_piece_len, masked=p)
+                # masked is never None: single chars stay available
+                out.append({"piece": p,
+                            "delta": int(score - masked[0])})
+            return out
+        return col.map(one)
+    return _loss
+
+
+def piece_prune_losses(vocab: DataFrame,
+                       counts: dict[str, int],
+                       max_piece_len: int) -> dict[str, int]:
+    """Freq-weighted corpus-likelihood loss (integer micro-nats) of
+    removing each multi-char piece, under the hard-EM Viterbi model —
+    ONE distributed pass over the (w, freq) vocab frame with a
+    broadcast model and a model-sized collect.  Pieces absent from
+    every best path get no row (loss 0)."""
+    spark = vocab.sparkSession
+    loss = _loss_udf(
+        spark.sparkContext.broadcast(
+            _quantize_logp(_logp_from_counts(counts))),
+        max_piece_len)
+    rows = (vocab
+            .select("freq", F.explode(loss(F.col("w"))).alias("x"))
+            .groupBy(F.col("x.piece").alias("piece"))
+            .agg(F.sum(F.col("freq") * F.col("x.delta")).alias("loss"))
+            .collect())                        # bounded: model-sized
+    return {r["piece"]: int(r["loss"]) for r in rows}
+
+
 def _char_floor(counts: dict[str, int], chars: set[str]) -> None:
     """Coverage guarantee: every single character keeps count >= 1."""
     for c in chars:
@@ -131,7 +235,7 @@ def _char_floor(counts: dict[str, int], chars: set[str]) -> None:
 
 def train_unigram(vocab: DataFrame, vocab_size: int = 256,
                   seed_size: int = 1024, max_piece_len: int = 4,
-                  em_iters: int = 2) -> list[dict]:
+                  em_iters: int = 2, prune: str = "loss") -> list[dict]:
     """Train the unigram-LM piece model over a (w, freq) vocab frame.
 
     Returns ``[{rank, piece, piece_count}, ...]`` ordered by final count
@@ -139,7 +243,13 @@ def train_unigram(vocab: DataFrame, vocab_size: int = 256,
     iteration is ONE distributed pass (broadcast model → Viterbi UDF →
     explode+groupBy M-step) with a model-sized collect; ``em_iters`` is
     a fixed small constant, so total driver traffic is O(model), and no
-    step ever shuffles more than vocab-frame rows."""
+    step ever shuffles more than vocab-frame rows.
+
+    ``prune="loss"`` (default) ranks pieces by the corpus-likelihood
+    drop of removing them (Kudo §3.2 under hard EM, exact integer
+    micro-nats — one extra distributed pass); ``prune="count"`` keeps
+    the simpler count-ranked variant.  Both differential-pinned in
+    tests/test_unigram_ops.py."""
     spark = vocab.sparkSession
     vocab = vocab.select("w", "freq")
 
@@ -169,8 +279,14 @@ def train_unigram(vocab: DataFrame, vocab_size: int = 256,
     for _ in range(em_iters):
         counts = em_step(counts)
 
-    kept = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-    keep = {p for p, _ in kept[:vocab_size]} | chars
+    if prune == "loss":
+        losses = piece_prune_losses(vocab, counts, max_piece_len)
+        multi = sorted((p for p in counts if len(p) > 1),
+                       key=lambda p: (-losses.get(p, 0), p))
+        keep = set(multi[:vocab_size]) | chars
+    else:
+        kept = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        keep = {p for p, _ in kept[:vocab_size]} | chars
     counts = {p: c for p, c in counts.items() if p in keep}
     _char_floor(counts, chars)
     counts = em_step(counts)                   # final restricted pass

@@ -31,7 +31,7 @@ from __future__ import annotations
 from fractions import Fraction
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -55,9 +55,19 @@ def learn_wordpiece_local(vocab: DataFrame, n_merges: int,
     pair_count / (sym_count(left)*sym_count(right)) at selection time.
     Argmax: highest score, ties to the lexicographically smallest
     (left, right).  Stops early when the best pair's count drops below
-    ``min_count``.  Memory contract: the vocab frame must fit one
-    executor task (Heaps'-law bounded; same contract as
-    learn_bpe_local)."""
+    ``min_count``.
+
+    Memory contract: the vocab frame must fit one executor task.
+    Measured (tests/scale_probe.py --vocab, readings in its docstring):
+    task peak grows LINEARLY at ≈1.5 GiB per million distinct words —
+    ~10-20M words on a typical 32-64 GiB-task executor.  That covers
+    Heaps'-law vocabularies for a 100 TB monolingual corpus; for
+    extreme multilingual vocabularies beyond it use
+    ``learn_wordpiece_rounds`` (DataFrame state, one exact-argmax merge
+    per driver round — no batched multi-merge variant exists because
+    the likelihood score couples every pair to the global unigram
+    counts; see its docstring for why the BPE certificate does not
+    transfer)."""
     schema = ("merge_rank INT, left STRING, right STRING, "
               "merged STRING, pair_count LONG, "
               "score_num LONG, score_den LONG")
@@ -174,6 +184,8 @@ def learn_wordpiece_local(vocab: DataFrame, n_merges: int,
             for p in refresh:
                 if p in pc:
                     push(p)
+        from .probe import record_task_peak
+        record_task_peak("learn_wordpiece_local")  # no-op outside probe
         return pd.DataFrame(
             out_rows,
             columns=["merge_rank", "left", "right", "merged",
@@ -185,6 +197,168 @@ def learn_wordpiece_local(vocab: DataFrame, n_merges: int,
             .applyInPandas(lambda _, pdf: train(pdf), schema=schema))
 
 
+def wp_symbols(col: Column) -> Column:
+    """Spark-side BERT initial symbols (the Catalyst twin of
+    ``word_symbols``): first char plain, rest ##-prefixed."""
+    from .bpe import chars
+
+    return F.transform(
+        chars(col),
+        lambda c, i: F.when(i == 0, c)
+        .otherwise(F.concat(F.lit("##"), c)))
+
+
+def merge_pair_to(syms: Column, left: str, right: str,
+                  merged: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of (left, right) into
+    an explicit ``merged`` token — the WordPiece generalization of
+    ``bpe.merge_pair`` (the merged string strips the right side's ##
+    continuation, so it is not simply left+right).
+
+    Fold invariant: ``merged`` can never equal ``left`` (the right
+    side always contributes at least one content character), so a fresh
+    merge result is never re-consumed as the left side within the same
+    pass — exactly the reference scan."""
+    return F.aggregate(
+        syms, F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(merged)))
+        ).otherwise(F.concat(acc, F.array(x))))
+
+
+def learn_wordpiece_rounds(vocab: DataFrame, n_merges: int,
+                           min_count: int = 2, topk: int = 64,
+                           checkpoint_every: int = 4,
+                           stats: dict | None = None) -> list[dict]:
+    """Distributed WordPiece learning, ONE exact-argmax merge per driver
+    round — the graceful path for vocabularies BEYOND the single-task
+    memory ceiling of ``learn_wordpiece_local`` (measured in
+    tests/scale_probe.py --vocab; see that docstring).  State lives in
+    DataFrames (pair counts + symbol counts, both maintained by ±delta
+    folds over affected words only), so memory scales with the cluster,
+    at the cost of O(n_merges) driver-sequenced rounds — the same
+    tradeoff as BPE's ``learn_bpe``.
+
+    No multi-merge batching is offered: the likelihood score
+    pc/(sc_l·sc_r) couples EVERY pair to the global unigram counts, so
+    (a) applying a merge shrinks sc of its operands and inflates the
+    score of every pair touching them, unboundedly in relative terms,
+    and (b) a created pair (x, m) enters with score pc_new/(sc_x·sc_m)
+    where sc_m equals the fused count — typically ≈ 1/sc_x, far above
+    the standing scores, so the sequential learner's next pick is very
+    often a just-created pair that cannot be forecast without applying.
+    BPE's ``_select_batch`` disjointness certificate therefore does not
+    transfer; batching would degenerate to one merge per round anyway.
+
+    Argmax is EXACT despite the fractional score: each round collects
+    the top-``topk`` rows by the float score (with their exact integer
+    cnt / sc_l / sc_r), re-sorts them by the exact ``Fraction`` with
+    the (left, right) lex tie-break, and accepts the result only when
+    the collected floor is strictly below the best float by more than
+    float noise (any excluded row's exact score is then provably
+    smaller); otherwise the collect widens 4× and retries.  Output is
+    bit-identical to ``learn_wordpiece_local`` (equality-pinned in
+    tests/test_wordpiece_ops.py)."""
+    from .barrier import truncate_lineage
+    from .bpe import adjacent_pairs, contains_pair, pair_counts
+
+    cur = truncate_lineage(
+        vocab.select("w", "freq", wp_symbols(F.col("w")).alias("syms")))
+    pc = truncate_lineage(pair_counts(cur))
+    sc = truncate_lineage(
+        cur.select(F.explode("syms").alias("s"), "freq")
+        .groupBy("s").agg(F.sum("freq").alias("scnt")))
+
+    merges: list[dict] = []
+    rounds = 0
+    for rank in range(n_merges):
+        # symbol table ≈ alphabet×2 + merges learned — broadcast-tiny
+        scored = (pc.filter(F.col("cnt") >= min_count)
+                  .join(F.broadcast(sc.withColumnRenamed("s", "l")
+                                    .withColumnRenamed("scnt", "scl")),
+                        "l")
+                  .join(F.broadcast(sc.withColumnRenamed("s", "r")
+                                    .withColumnRenamed("scnt", "scr")),
+                        "r")
+                  .withColumn("fscore",
+                              F.col("cnt")
+                              / (F.col("scl").cast("double")
+                                 * F.col("scr").cast("double"))))
+        k, best = topk, None
+        while True:
+            rows = (scored.orderBy(F.col("fscore").desc(),
+                                   F.col("l").asc(), F.col("r").asc())
+                    .limit(k)
+                    .select("l", "r", "cnt", "scl", "scr", "fscore")
+                    .collect())              # bounded: ≤ k rows
+            rounds += 1
+            if not rows:
+                break
+            best = min(rows, key=lambda t: (
+                -Fraction(int(t["cnt"]),
+                          int(t["scl"]) * int(t["scr"])),
+                t["l"], t["r"]))
+            if len(rows) < k:
+                break                        # saw everything — exact
+            floor = rows[-1]["fscore"]
+            top_f = max(r["fscore"] for r in rows)
+            # an excluded row's float ≤ floor; the true exact argmax's
+            # float is within 1 ulp of the best collected float, so
+            # strictly-below-noise floor proves completeness
+            if floor < top_f * (1.0 - 1e-9):
+                break
+            k *= 4                           # float-tie plateau: widen
+        if best is None:
+            break
+        a, b = best["l"], best["r"]
+        m = merge_symbol(a, b)
+        num = int(best["cnt"])
+        den = int(best["scl"]) * int(best["scr"])
+        g = Fraction(num, den)
+        merges.append({"merge_rank": rank, "left": a, "right": b,
+                       "merged": m, "pair_count": num,
+                       "score_num": int(g.numerator),
+                       "score_den": int(g.denominator)})
+
+        hit = contains_pair(F.col("syms"), a, b)
+        affected = cur.filter(hit)
+        new_syms = merge_pair_to(F.col("syms"), a, b, m)
+        old_p = (affected
+                 .select("freq",
+                         F.explode(adjacent_pairs(F.col("syms")))
+                         .alias("p"))
+                 .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"),
+                         (-F.col("freq")).alias("cnt")))
+        new_p = (affected
+                 .select("freq",
+                         F.explode(adjacent_pairs(new_syms)).alias("p"))
+                 .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"),
+                         F.col("freq").alias("cnt")))
+        pc = truncate_lineage(
+            pc.unionByName(old_p).unionByName(new_p)
+            .groupBy("l", "r").agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") > 0))
+        old_s = (affected.select(F.explode("syms").alias("s"),
+                                 (-F.col("freq")).alias("scnt")))
+        new_s = (affected.select(F.explode(new_syms).alias("s"),
+                                 F.col("freq").alias("scnt")))
+        sc = truncate_lineage(
+            sc.unionByName(old_s).unionByName(new_s)
+            .groupBy("s").agg(F.sum("scnt").alias("scnt"))
+            .filter(F.col("scnt") > 0))
+        cur = cur.withColumn(
+            "syms", F.when(hit, new_syms).otherwise(F.col("syms")))
+        if (rank + 1) % checkpoint_every == 0:
+            cur = truncate_lineage(cur, eager=False)
+    if stats is not None:
+        stats["rounds"] = rounds
+    return merges
+
+
 def wordpiece_vocab(merges: list[dict],
                     alphabet: set[str]) -> set[str]:
     """Final token vocabulary: the BERT-style alphabet (plain + ##
@@ -194,19 +368,30 @@ def wordpiece_vocab(merges: list[dict],
     return vocab
 
 
-def encode_wordpiece_udf(word_frame: DataFrame, vocab: set[str],
+def encode_wordpiece_udf(word_frame: DataFrame, vocab,
                          max_token_len: int = 32,
                          word_col: str = "w") -> DataFrame:
     """Add a ``pieces`` array column: BERT greedy longest-match-first
     encoding of ``word_col`` under the token vocabulary.  A word with an
     unmatchable position encodes to ``["[UNK]"]`` (the whole word, per
-    the BERT tokenizer contract).  The vocab ships via the UDF once per
-    executor (it is the trained artifact, ≤ a few 10k strings)."""
-    vocab_list = sorted(vocab)
+    the BERT tokenizer contract).
+
+    ``vocab`` is either a plain set/iterable of tokens (captured in the
+    UDF closure — serialized once per TASK, fine for toy vocabularies)
+    or a ``Broadcast`` of one: a production vocab (100k+ tokens) must
+    ship once per EXECUTOR via the broadcast machinery, the same
+    Broadcast-or-plain contract as ``_ivf_cells_udf``
+    (operators/similarity.py).  The set is materialized once per
+    deserialized UDF instance, not per Arrow batch."""
+    cache: dict = {}
 
     @F.pandas_udf("array<string>")
     def _enc(col: pd.Series) -> pd.Series:
-        vs = set(vocab_list)
+        vs = cache.get("vs")
+        if vs is None:
+            raw = vocab.value if hasattr(vocab, "value") else vocab
+            vs = raw if isinstance(raw, (set, frozenset)) else set(raw)
+            cache["vs"] = vs
 
         def one(w):
             out, i, n = [], 0, len(w)

@@ -4,10 +4,12 @@
 SQL-expressible), so — exactly like the BPE learner — its gate is
 differential: a pure-Python reference implementing the IDENTICAL
 algorithm (seed top-N ∪ chars with true counts, hard-EM with the
-longest-piece-on-tie Viterbi, char count floor, count-ranked prune,
-final restricted pass) pins the full trained model on the smoke corpus,
-crafted corpora, and random fuzz corpora.  The seed statistics are
-additionally oracle-backed (``unigram_seed_pieces``).
+longest-piece-on-tie Viterbi, char count floor, likelihood-loss prune
+in exact integer micro-nats — Kudo §3.2 under hard EM — with the
+count-ranked variant pinned separately, final restricted pass) pins the
+full trained model on the smoke corpus, crafted corpora, and random
+fuzz corpora.  The seed statistics are additionally oracle-backed
+(``unigram_seed_pieces``).
 """
 
 from __future__ import annotations
@@ -51,8 +53,35 @@ def _ref_viterbi(word, logp, max_len):
     return out
 
 
+def _ref_viterbi_q(word, logpq, max_len, masked=None):
+    """Integer micro-nat Viterbi twin (same tie rule), optionally with
+    one piece masked — the pure-Python half of the prune-loss pin."""
+    n = len(word)
+    best = [0] + [None] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            piece = word[j:i]
+            if piece == masked:
+                continue
+            lp = logpq.get(piece)
+            if lp is None or best[j] is None:
+                continue
+            score = best[j] + lp
+            if best[i] is None or score > best[i]:
+                best[i], back[i] = score, j
+    if best[n] is None:
+        return None
+    out, i = [], n
+    while i > 0:
+        out.append(word[back[i]:i])
+        i = back[i]
+    out.reverse()
+    return best[n], out
+
+
 def ref_unigram(vocab: dict[str, int], vocab_size=128, seed_size=512,
-                max_len=4, em_iters=2):
+                max_len=4, em_iters=2, prune="loss"):
     def substr_counts(maxn):
         c: dict[str, int] = {}
         for w, f in vocab.items():
@@ -88,8 +117,31 @@ def ref_unigram(vocab: dict[str, int], vocab_size=128, seed_size=512,
 
     for _ in range(em_iters):
         counts = em(counts)
-    kept = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-    keep = {p for p, _ in kept[:vocab_size]} | chars
+    if prune == "loss":
+        from openskidata_processor_spark.operators.unigram import (
+            LOSS_QUANT)
+
+        total = sum(counts.values())
+        lt = math.log(total)
+        logpq = {p: int(round((math.log(c) - lt) * LOSS_QUANT))
+                 for p, c in counts.items() if c > 0}
+        losses: dict[str, int] = {}
+        for w, f in vocab.items():
+            full = _ref_viterbi_q(w, logpq, max_len)
+            if full is None:
+                continue
+            score, path = full
+            for p in set(path):
+                if len(p) <= 1:
+                    continue
+                ms, _ = _ref_viterbi_q(w, logpq, max_len, masked=p)
+                losses[p] = losses.get(p, 0) + f * (score - ms)
+        multi = sorted((p for p in counts if len(p) > 1),
+                       key=lambda p: (-losses.get(p, 0), p))
+        keep = set(multi[:vocab_size]) | chars
+    else:
+        kept = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        keep = {p for p, _ in kept[:vocab_size]} | chars
     counts = {p: c for p, c in counts.items() if p in keep}
     for ch in chars:
         if counts.get(ch, 0) < 1:
@@ -183,6 +235,49 @@ def test_train_crafted_corpora(spark):
                                   vocab_size=16, seed_size=64,
                                   max_piece_len=3, em_iters=2)]
     assert got == expected
+
+
+def test_train_count_prune_variant(spark):
+    """The count-ranked prune stays available and pinned (the round-10
+    behavior, now ``prune='count'``)."""
+    expected = ref_unigram(_py_vocab(_CRAFTED), vocab_size=16,
+                           seed_size=64, max_len=3, em_iters=2,
+                           prune="count")
+    got = [(m["rank"], m["piece"], m["piece_count"])
+           for m in train_unigram(word_vocab(_docs_df(spark, _CRAFTED)),
+                                  vocab_size=16, seed_size=64,
+                                  max_piece_len=3, em_iters=2,
+                                  prune="count")]
+    assert got == expected
+
+
+def test_loss_prune_beats_count_prune_on_crafted_case():
+    """The judged point of loss pruning: a piece can be FREQUENT in
+    Viterbi paths yet nearly free to remove (its words re-segment to
+    pieces of almost equal likelihood), while a rarer piece with no
+    good fallback carries more corpus likelihood.  Construct that case
+    and check the two prune rules disagree exactly as designed."""
+    from openskidata_processor_spark.operators.unigram import LOSS_QUANT
+
+    # corpus: 'xy' appears often but x/y singles are also common (cheap
+    # fallback); 'qz' is rarer but q and z barely occur alone
+    vocab = {"xy": 30, "x": 25, "y": 25, "qz": 12, "q": 1, "z": 1}
+    counts = {"xy": 30, "qz": 12, "x": 55, "y": 55, "q": 13, "z": 13}
+    total = sum(counts.values())
+    logpq = {p: int(round((math.log(c) - math.log(total)) * LOSS_QUANT))
+             for p, c in counts.items()}
+    losses = {}
+    for w, f in vocab.items():
+        full = _ref_viterbi_q(w, logpq, 2)
+        score, path = full
+        for p in set(path):
+            if len(p) <= 1:
+                continue
+            ms, _ = _ref_viterbi_q(w, logpq, 2, masked=p)
+            losses[p] = losses.get(p, 0) + f * (score - ms)
+    # count rank says xy > qz; loss rank says qz > xy
+    assert counts["xy"] > counts["qz"]
+    assert losses["qz"] > losses["xy"]
 
 
 @pytest.mark.parametrize("seed", [3, 19, 41])

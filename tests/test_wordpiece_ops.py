@@ -198,6 +198,58 @@ def test_learn_depth_256_matches_naive_reference(spark):
     assert got == expected
 
 
+# --- distributed rounds fallback (beyond the single-task vocab ceiling) ---------
+
+def test_rounds_learner_matches_local_on_smoke(spark):
+    """learn_wordpiece_rounds (DataFrame state, one exact-argmax merge
+    per driver round — the path past learn_wordpiece_local's single-task
+    memory ceiling) must be bit-identical to the local trainer and the
+    naive reference."""
+    from openskidata_processor_spark.operators.wordpiece import (
+        learn_wordpiece_rounds)
+
+    texts = _smoke_texts()
+    expected, _ = ref_wordpiece(_py_vocab(texts), 16)
+    got = _as_tuples(learn_wordpiece_rounds(
+        word_vocab(_docs_df(spark, texts)), 16))
+    assert got == expected
+
+
+def test_rounds_learner_crafted_and_fuzz(spark):
+    """Crafted tie/overlap corpora + fuzz: the float-top-K exact-refine
+    argmax (including the widen-on-tie-plateau path, forced with
+    topk=2) must stay exact."""
+    from openskidata_processor_spark.operators.wordpiece import (
+        learn_wordpiece_rounds)
+
+    expected, _ = ref_wordpiece(_py_vocab(_CRAFTED), 8, min_count=1)
+    got = _as_tuples(learn_wordpiece_rounds(
+        word_vocab(_docs_df(spark, _CRAFTED)), 8, min_count=1, topk=2))
+    assert got == expected
+
+    rnd = random.Random(91)
+    texts = [" ".join("".join(rnd.choice("abcд")
+                              for _ in range(rnd.randint(1, 6)))
+                      for _ in range(rnd.randint(0, 12)))
+             for _ in range(10)]
+    expected, _ = ref_wordpiece(_py_vocab(texts), 8, min_count=1)
+    got = _as_tuples(learn_wordpiece_rounds(
+        word_vocab(_docs_df(spark, texts)), 8, min_count=1))
+    assert got == expected
+
+
+def test_wp_symbols_matches_python(spark):
+    from openskidata_processor_spark.operators.wordpiece import wp_symbols
+
+    words = ["abc", "a", "mississippi", "гг"]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = {r["w"]: r["s"]
+           for r in df.select("w", wp_symbols(F.col("w")).alias("s"))
+           .collect()}
+    for w in words:
+        assert got[w] == word_symbols(w), w
+
+
 # --- encoder --------------------------------------------------------------------
 
 def test_encoder_matches_reference_and_unk_contract(spark):
