@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -143,7 +144,10 @@ EXTENDED_QUERIES = [
     "wordpiece_learn_vocab",
     "wordpiece_encode_stats",
     # round-10 Kneser-Ney bigram smoothing statistics (oracle-backed)
+    # + the round-11 interpolated-KN document scorer over the same
+    # tables (oracle-backed)
     "kn_bigram_stats",
+    "kn_score_docs",
     # streaming vocab-ledger twin of bpe_pair_stats
     "stream_bpe_pair_stats",
     # privacy-governance audits: k-anonymity lattice + l-diversity
@@ -250,7 +254,10 @@ def main() -> None:
             try:
                 runs = [round(run_e2e_prepare(spark, n), 3)
                         for _ in range(repeats)]
-                extended[key] = sorted(runs)[len(runs) // 2]
+                # true median (even repeat counts average the middle
+                # two; sorted(runs)[len//2] was the upper-middle, biasing
+                # even-N artifacts upward)
+                extended[key] = round(statistics.median(runs), 3)
                 if repeats > 1:
                     extended[f"{key}_runs"] = runs
             except Exception as exc:

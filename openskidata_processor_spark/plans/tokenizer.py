@@ -631,6 +631,116 @@ LIMIT {_KN_TOPK}
 """
 
 
+@query("kn_score_docs")
+def kn_score_docs(spark, sf_dir):
+    """(doc_id, n_bigrams, avg_logp): mean ln P_KN(w2|w1) per document
+    under interpolated Kneser–Ney bigram smoothing (Kneser & Ney 1995;
+    Chen & Goodman 1998 eq. 20) trained on the corpus itself — the
+    KN-smoothed twin of ``lm_perplexity_docs``'s add-½ quality signal,
+    closing the n-gram-LM loop over ``kn_bigram_stats``'s count tables:
+
+        P_KN(w2|w1) = (max(c(w1,w2) − D, 0)
+                       + D · N1+(w1,·) · N1+(·,w2) / |types|) / c(w1·)
+        D = n1 / (n1 + 2·n2)
+
+    Every model input is an exact integer from ONE corpus bigram scan
+    (the same tables as kn_bigram_stats); the smoothed probability is
+    closed-form double arithmetic written identically in the DuckDB
+    oracle, and the per-document mean rounds to 4 decimals (the
+    lm_perplexity_docs convention).  Docs with < 2 words have no
+    bigrams and are excluded.  Scale shape: the corpus-scale pair
+    frame joins the bigram-TYPE-bounded tables; the 1-row global
+    (types, n1, n2) frame broadcasts."""
+    from ..operators.barrier import truncate_lineage
+    from ..operators.bpe import adjacent_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = T.words(F.col("text"))
+    pairs = truncate_lineage(
+        docs.select("doc_id", F.explode(adjacent_pairs(ws)).alias("b"))
+        .select("doc_id", F.col("b.l").alias("w1"),
+                F.col("b.r").alias("w2")),
+        eager=False)
+    big = truncate_lineage(
+        pairs.groupBy("w1", "w2").agg(F.count("*").alias("c_xy")),
+        eager=False)
+    ctx = big.groupBy("w1").agg(F.sum("c_xy").alias("c_w1"),
+                                F.count("*").alias("n_div_left"))
+    cont = big.groupBy("w2").agg(F.count("*").alias("n_cont_right"))
+    glob = big.agg(F.count("*").alias("t_types"),
+                   F.sum((F.col("c_xy") == 1).cast("long")).alias("n1"),
+                   F.sum((F.col("c_xy") == 2).cast("long")).alias("n2"))
+    d_col = F.when(
+        F.col("n1") + F.lit(2) * F.col("n2") > 0,
+        F.col("n1").cast("double")
+        / (F.col("n1") + F.lit(2) * F.col("n2")).cast("double")
+    ).otherwise(F.lit(0.0))
+    p_col = ((F.greatest(F.col("c_xy").cast("double") - F.col("d"),
+                         F.lit(0.0))
+              + (F.col("d") * F.col("n_div_left")
+                 * F.col("n_cont_right")) / F.col("t_types"))
+             / F.col("c_w1"))
+    scored = (pairs
+              .join(big, ["w1", "w2"])
+              .join(ctx, "w1")
+              .join(cont, "w2")
+              .crossJoin(F.broadcast(glob))
+              .withColumn("d", d_col)
+              .withColumn("logp", F.log(p_col)))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.sum("logp") / F.count("*"), 4)
+                 .alias("avg_logp")))
+
+
+ORACLES["kn_score_docs"] = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), pairs AS (
+  SELECT doc_id, bg[1] AS w1, bg[2] AS w2
+  FROM (SELECT doc_id,
+               unnest([[ws[i], ws[i+1]]
+                       FOR i IN generate_series(1, len(ws) - 1)]) AS bg
+        FROM d WHERE len(ws) >= 2)
+), big AS (
+  SELECT w1, w2, count(*) AS c_xy FROM pairs GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, SUM(c_xy) AS c_w1, count(*) AS n_div_left
+  FROM big GROUP BY w1
+), ct AS (
+  SELECT w2, count(*) AS n_cont_right FROM big GROUP BY w2
+), gstats AS (
+  SELECT count(*) AS t_types,
+         SUM(CASE WHEN c_xy = 1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN c_xy = 2 THEN 1 ELSE 0 END) AS n2
+  FROM big
+), scored AS (
+  SELECT p.doc_id,
+         ln((GREATEST(CAST(b.c_xy AS DOUBLE)
+                      - (CASE WHEN g.n1 + 2 * g.n2 > 0
+                         THEN CAST(g.n1 AS DOUBLE)
+                              / CAST(g.n1 + 2 * g.n2 AS DOUBLE)
+                         ELSE 0.0 END), 0.0)
+              + ((CASE WHEN g.n1 + 2 * g.n2 > 0
+                  THEN CAST(g.n1 AS DOUBLE)
+                       / CAST(g.n1 + 2 * g.n2 AS DOUBLE)
+                  ELSE 0.0 END)
+                 * c.n_div_left * t.n_cont_right) / g.t_types)
+            / c.c_w1) AS logp
+  FROM pairs p
+  JOIN big b USING (w1, w2)
+  JOIN ctx c USING (w1)
+  JOIN ct t USING (w2)
+  CROSS JOIN gstats g
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(logp) / count(*), 4) AS avg_logp
+FROM scored GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # WordPiece family (Schuster & Nakajima 2012 — the BERT tokenizer), the
 # third major subword algorithm: likelihood-scored merges with exact
@@ -680,7 +790,8 @@ def wordpiece_encode_stats(spark, sf_dir):
         F.explode(F.filter(F.split(F.col("w"), ""),
                            lambda c: c != "")).alias("c"))
         .distinct().collect()}                # bounded: alphabet
-    tokens = wordpiece_vocab(merges, alphabet)
+    tokens = spark.sparkContext.broadcast(
+        wordpiece_vocab(merges, alphabet))   # once per executor, not task
     enc = (encode_wordpiece_udf(vocab, tokens)
            .select("w", F.size("pieces").alias("n_tok"),
                    F.length("w").alias("n_chr"),

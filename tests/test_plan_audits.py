@@ -218,6 +218,22 @@ def test_bpe_learn_deep_is_one_grouped_task(spark):
     assert "ReadSchema: struct<text:string>" in plan
 
 
+def test_kn_score_broadcasts_global_and_reuses_tables(spark):
+    """kn_score_docs: the 1-row (types, n1, n2) frame must broadcast
+    (never a shuffled cross join), the three type-table joins must be
+    broadcast hash joins (bigram-TYPE-bounded sides), the whole plan
+    stays Catalyst-side (no Python eval nodes), and the corpus pair
+    frame + bigram table flow through checkpoint barriers (Scan
+    ExistingRDD) so the documents scan runs once, not once per
+    consumer."""
+    plan = _plan(QUERIES["kn_score_docs"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
 def test_pmi_caches_unigrams_and_broadcasts_total(spark):
     """pmi_collocations consumes the unigram frame three times (c_x
     join, c_y join, 1-row total) — it must flow through a
