@@ -45,9 +45,11 @@ _DRIVER_WINDOW = [
     "a2_pricing_summary", "j8_regional_revenue", "w1_top_order_per_customer",
     "o5_customers_without_orders", "a1_merged_order_status",
     "p5_lifecycle_resolution",
-    "j3_acctbal_distance_join", "a7_lineitem_dedup", "w_running_total",
+    "a7_lineitem_dedup", "w_running_total",
     "a6_daily_event_stats", "sessionize_user_sessions",
-    # specialised joins
+    # specialised joins (j3_acctbal_distance_join rotated out in round 11
+    # for the never-windowed probes below — the J3 distance-join class
+    # keeps j3_geo_dwithin in-window and stays parity-gated)
     "asof_latest_order", "range_band_counts",
     # geometry / graph
     "j2_points_in_polygon", "j3_geo_dwithin", "cc_components",
@@ -55,8 +57,10 @@ _DRIVER_WINDOW = [
     # in round 10 for the never-windowed probes below; the raster family
     # keeps two in-window entries and r3 stays parity-gated
     "r1_mercator_tiles", "r2_viirs_pixel_rollup",
-    # text analysis + dedup families (exact members)
-    "text_doc_stats", "quality_docs", "dedup_exact", "dedup_ngram_jaccard",
+    # text analysis + dedup families (exact members;
+    # dedup_ngram_jaccard rotated out in round 11 — the dedup family
+    # keeps three in-window entries and it stays parity-gated)
+    "text_doc_stats", "quality_docs", "dedup_exact",
     "dedup_group_resolution", "knn_cosine", "dedup_embedding_pairs",
     # training-data operators (vocab_top_terms / sample_mixture_epochs
     # rotated out in round 8 for the web-ingestion probes below — their
@@ -68,11 +72,14 @@ _DRIVER_WINDOW = [
     # parity check)
     "cdc_merge_upsert", "quantiles_exact", "tfidf_doc_terms",
     "rollup_multi_granularity", "sample_stratified",
-    # round-9 tokenizer family: BPE first-iteration pair stats and the
-    # leakage-safe grouped holdout split; round 10 rotates the
-    # never-windowed pmi_collocations in (the r8 lesson: rotation is
-    # where latent defects surface)
-    "bpe_pair_stats", "split_holdout_stats", "pmi_collocations",
+    # tokenizer family (round 11 rotates the never-windowed round-10
+    # probes in — unigram seed pieces and the Kneser–Ney bigram count
+    # tables — and pmi_collocations back out after its green round-10
+    # window run; the r8 lesson: rotation is where latent defects
+    # surface, so never-windowed oracle entries take priority over
+    # already-proven ones)
+    "bpe_pair_stats", "split_holdout_stats",
+    "unigram_seed_pieces", "kn_bigram_stats",
     # hygiene / packing (pack_concat_bins rotated out likewise —
     # pack_sequences keeps the packing family in-window;
     # quality_repetition rotated out in round 10 for the probes here —
@@ -82,9 +89,15 @@ _DRIVER_WINDOW = [
     "pii_redact_docs", "contamination_ngram",
     "dedup_passages", "pack_sequences",
     "shard_assignment", "line_dedup_docs", "k_anonymity_stats",
+    # round-11 re-window: l_diversity_stats rejoins its k-anonymity
+    # sibling after the r10 driver host-noise reading on untouched code
+    # (a fresh in-window row settles it)
+    "l_diversity_stats",
     # round-8 web-ingestion + bloom probes, and the round-9 language-ID
-    # stage completing the crawl family (HTML→URL→mojibake→script→lang)
-    "html_extract_text", "url_canonical_stats", "bloom_decontaminate",
+    # stage completing the crawl family (url_canonical_stats rotated out
+    # in round 11 — html_extract_text keeps the crawl family in-window;
+    # it stays parity-gated)
+    "html_extract_text", "bloom_decontaminate",
     "lang_id_confusion",
     # multimodal (multimodal_resize_stats rotated out for lang_id in
     # round 9, multimodal_frame_sample for the tokenizer probes,
@@ -92,9 +105,11 @@ _DRIVER_WINDOW = [
     # in-window entries; all rotated-out queries stay hard-gated by the
     # identical parity check + the pytest suite)
     "multimodal_decode_stats", "multimodal_video_stats",
-    # streaming
+    # streaming (round 11 rotates the never-windowed streaming
+    # vocab-ledger twin in — it shares bpe_pair_stats' oracle, so a
+    # ledger replay defect would surface as a driver hash mismatch)
     "stream_event_counts", "stream_stateful_sessions", "stream_dedup_exact",
-    "stream_lake_ingest",
+    "stream_lake_ingest", "stream_bpe_pair_stats",
 ]
 
 
