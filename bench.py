@@ -140,14 +140,18 @@ EXTENDED_QUERIES = [
     "unigram_seed_pieces",
     "unigram_train_pieces",
     "unigram_encode_stats",
-    # round-10 WordPiece (BERT) family
+    # round-10 WordPiece (BERT) family + the round-11 distributed
+    # rounds fallback (one exact argmax per driver round)
     "wordpiece_learn_vocab",
     "wordpiece_encode_stats",
+    "wordpiece_learn_rounds",
     # round-10 Kneser-Ney bigram smoothing statistics (oracle-backed)
     # + the round-11 interpolated-KN document scorer over the same
     # tables (oracle-backed)
     "kn_bigram_stats",
     "kn_score_docs",
+    # round-11 CCNet head/middle/tail perplexity-tercile split
+    "ppl_bucket_docs",
     # streaming vocab-ledger twin of bpe_pair_stats
     "stream_bpe_pair_stats",
     # privacy-governance audits: k-anonymity lattice + l-diversity

@@ -56,7 +56,9 @@ from ..operators.bpe import (encode_words, learn_bpe_batched,
 from ..operators.unigram import (seed_piece_counts, segment_words,
                                  train_unigram)
 from ..operators.wordpiece import (encode_wordpiece_udf,
-                                   learn_wordpiece_local, wordpiece_vocab)
+                                   learn_wordpiece_local,
+                                   learn_wordpiece_rounds,
+                                   wordpiece_vocab)
 from .analytics import _t, query
 from .oracles import ORACLES
 
@@ -763,6 +765,34 @@ def wordpiece_learn_vocab(spark, sf_dir):
     same deep-path shape as bpe_learn_deep)."""
     vocab = word_vocab(_t(spark, sf_dir, "documents"))
     return learn_wordpiece_local(vocab, _WP_MERGES)
+
+
+_WP_ROUNDS_MERGES = 4   # driver ROUNDS are the cost unit and WordPiece
+                        # cannot batch (see learn_wordpiece_rounds), so
+                        # 4 merges ≈ bpe_learn_merges' 3-4 certified
+                        # rounds; the fuzz pins run deeper
+
+
+@query("wordpiece_learn_rounds")
+def wordpiece_learn_rounds_stats(spark, sf_dir):
+    """(merge_rank, left, right, merged, pair_count, score_num,
+    score_den): the beyond-single-task WordPiece fallback demonstrated
+    live — DataFrame pair+symbol state with ±delta folds, broadcast
+    symbol-count joins, ONE exact integer-fraction argmax per driver
+    round (operators/wordpiece.py::learn_wordpiece_rounds).
+    Bit-identical to the single-task learner at the same depth
+    (CI-pinned, tests/test_wordpiece_ops.py); rows-only driver check —
+    the iterative argmax is not SQL-expressible."""
+    vocab = word_vocab(_t(spark, sf_dir, "documents"))
+    merges = learn_wordpiece_rounds(vocab, _WP_ROUNDS_MERGES)
+    schema = ("merge_rank INT, left STRING, right STRING, "
+              "merged STRING, pair_count BIGINT, "
+              "score_num BIGINT, score_den BIGINT")
+    return spark.createDataFrame(
+        [(m["merge_rank"], m["left"], m["right"], m["merged"],
+          m["pair_count"], m["score_num"], m["score_den"])
+         for m in merges],
+        schema=schema)
 
 
 @query("wordpiece_encode_stats")

@@ -726,6 +726,83 @@ FROM scored GROUP BY doc_id
 """
 
 
+@query("ppl_bucket_docs")
+def ppl_bucket_docs(spark, sf_dir):
+    """(bucket, n_docs, sum_tokens, min_logp, max_logp): CCNet's
+    head/middle/tail corpus split — documents bucketed by perplexity
+    TERCILES of the bigram-LM score (CCNet §4.3 keeps the head, trains
+    on head+middle, drops the tail).  The tercile CUTPOINTS come from
+    ONE exact interpolated-percentile aggregation over the (already
+    rounded) per-document scores and broadcast as a 1-row frame;
+    bucketing is a comparison against the cutpoints — deliberately NOT
+    an ntile window, whose un-partitioned global sort would serialize
+    the corpus through one task at scale.  Docs at a cutpoint go to the
+    higher bucket (>= comparisons), matching the oracle exactly because
+    both engines compute the identical interpolated double."""
+    from ..operators.barrier import truncate_lineage
+    from ..operators.lm_score import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = truncate_lineage(bigram_logprob(docs), eager=False)
+    cuts = scores.agg(
+        F.expr("percentile(avg_logp, CAST(1 AS DOUBLE)/3)").alias("c13"),
+        F.expr("percentile(avg_logp, CAST(2 AS DOUBLE)/3)").alias("c23"))
+    bucket = (F.when(F.col("avg_logp") >= F.col("c23"), F.lit("head"))
+              .when(F.col("avg_logp") >= F.col("c13"), F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    return (scores.crossJoin(F.broadcast(cuts))
+            .withColumn("bucket", bucket)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("sum_tokens"),
+                 F.min("avg_logp").alias("min_logp"),
+                 F.max("avg_logp").alias("max_logp")))
+
+
+ORACLES["ppl_bucket_docs"] = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
+  FROM documents
+), pairs AS (
+  SELECT doc_id,
+         CASE WHEN u.i = 1 THEN '<s>' ELSE ts[u.i - 1] END AS prev,
+         ts[u.i] AS w
+  FROM tok,
+  LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) u
+), big AS (
+  SELECT prev, w, count(*) AS cb FROM pairs GROUP BY prev, w
+), ctx AS (
+  SELECT prev, count(*) AS cp FROM pairs GROUP BY prev
+), voc AS (
+  SELECT count(DISTINCT w) AS v FROM pairs
+), sc AS (
+  SELECT p.doc_id,
+         ln(CAST(b.cb * 2 + 1 AS DOUBLE) / (c.cp * 2 + voc.v)) AS logp
+  FROM pairs p
+  JOIN big b USING (prev, w)
+  JOIN ctx c USING (prev)
+  CROSS JOIN voc
+), scores AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         round(sum(logp) / count(*), 4) AS avg_logp
+  FROM sc GROUP BY doc_id
+), cuts AS (
+  SELECT quantile_cont(avg_logp, CAST(1 AS DOUBLE)/3) AS c13,
+         quantile_cont(avg_logp, CAST(2 AS DOUBLE)/3) AS c23
+  FROM scores
+)
+SELECT CASE WHEN s.avg_logp >= cuts.c23 THEN 'head'
+            WHEN s.avg_logp >= cuts.c13 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(s.n_tokens) AS BIGINT) AS sum_tokens,
+       min(s.avg_logp) AS min_logp,
+       max(s.avg_logp) AS max_logp
+FROM scores s CROSS JOIN cuts
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance selection (operators/dsir.py)
 # ---------------------------------------------------------------------------

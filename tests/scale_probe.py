@@ -581,3 +581,18 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+# round-11 additions, measured at 10x (local[32], 2026-08-16; sf0.1
+# first readings carry the session's one-time codegen):
+# kn_bigram_stats 7.8s -> 4.2s (bigram-TYPE-bounded after the one
+# corpus scan — flat-to-faster warm).  kn_score_docs 2.1s -> 5.3s (the
+# corpus-scale pair frame grows linearly; the three type-table joins
+# and the 1-row broadcast stay flat).  ppl_bucket_docs 3.9s -> 6.8s
+# (the bigram posting scan is the only growing stage; the percentile
+# cutpoint agg collapses to one row).  wordpiece_learn_rounds
+# 15.5s -> 14.2s at 8 merges — FLAT: the replica corpus has the same
+# vocab, and the wall is 8 driver-round stage-latency floors, not
+# data (the catalog entry registers 4 merges; learn_wordpiece_local
+# remains the production path below the memory ceiling).
+QUERIES_TO_PROBE += ["kn_bigram_stats", "kn_score_docs",
+                     "ppl_bucket_docs", "wordpiece_learn_rounds"]

@@ -234,6 +234,18 @@ def test_kn_score_broadcasts_global_and_reuses_tables(spark):
     assert "Scan ExistingRDD" in plan, plan
 
 
+def test_ppl_bucket_broadcasts_cutpoints_no_global_sort(spark):
+    """ppl_bucket_docs: the tercile cutpoints are a 1-row broadcast
+    (BroadcastNestedLoopJoin), bucketing is a comparison — the plan
+    must contain NO window over a global sort (an un-partitioned ntile
+    would serialize the corpus through one task) and no Python eval."""
+    plan = _plan(QUERIES["ppl_bucket_docs"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
 def test_pmi_caches_unigrams_and_broadcasts_total(spark):
     """pmi_collocations consumes the unigram frame three times (c_x
     join, c_y join, 1-row total) — it must flow through a

@@ -238,6 +238,20 @@ def test_rounds_learner_crafted_and_fuzz(spark):
     assert got == expected
 
 
+def test_catalog_rounds_entry_matches_reference(spark):
+    """The wordpiece_learn_rounds catalog entry (the live fallback demo)
+    equals the naive reference — hence the single-task learner — at the
+    registered depth."""
+    from openskidata_processor_spark.plans.tokenizer import (
+        _WP_ROUNDS_MERGES)
+
+    expected, _ = ref_wordpiece(_py_vocab(_smoke_texts()),
+                                _WP_ROUNDS_MERGES)
+    got = _as_tuples(QUERIES["wordpiece_learn_rounds"](
+        spark, SF_SMOKE).collect())
+    assert got == expected
+
+
 def test_wp_symbols_matches_python(spark):
     from openskidata_processor_spark.operators.wordpiece import wp_symbols
 
