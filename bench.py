@@ -150,6 +150,7 @@ EXTENDED_QUERIES = [
     # tables (oracle-backed)
     "kn_bigram_stats",
     "kn_score_docs",
+    "kn3_score_docs",
     # round-11 CCNet head/middle/tail perplexity-tercile split
     "ppl_bucket_docs",
     # streaming vocab-ledger twin of bpe_pair_stats

@@ -743,6 +743,172 @@ FROM scored GROUP BY doc_id
 """
 
 
+@query("kn3_score_docs")
+def kn3_score_docs(spark, sf_dir):
+    """(doc_id, n_trigrams, avg_logp): mean ln P_KN(w3|w1 w2) per
+    document under the full interpolated Kneser–Ney TRIGRAM recursion
+    (Chen & Goodman 1998 eq. 20; single discount per level, the
+    non-modified variant) — completing the n-gram-LM family over
+    ``kn_bigram_stats``/``kn_score_docs``:
+
+        p3 = (max(c(w1w2w3) − D3, 0) + D3·N1+(w1w2·)·p2) / c(w1w2·)
+        p2 = (max(N1+(·w2w3) − D2, 0)
+              + D2·|{w3: N1+(·w2w3)>0}|·p1) / N1+(·w2·)
+        p1 = N1+(·w3) / |distinct (w2,w3) continuation types|
+
+    with D_k = n1/(n1 + 2·n2) computed over that level's type counts.
+    Every statistic — prefix totals, per-level diversity counts,
+    continuation counts, discount inputs — derives from ONE corpus
+    trigram scan collapsed to the trigram TYPE table (Heaps-bounded);
+    scoring joins the corpus-scale trigram posting frame against five
+    type-bounded tables plus a 1-row broadcast global frame.  The
+    smoothed probability is closed-form double arithmetic mirrored
+    verbatim in the DuckDB oracle; per-document means round to 4
+    decimals (the lm_perplexity_docs convention).  Docs with < 3
+    words have no trigrams and are excluded.  (The oracle's posts/tri/
+    cont23 CTEs are AS MATERIALIZED: each is referenced by several
+    downstream CTEs, and DuckDB's default inlining re-expands the
+    whole chain per reference — measured as a hang at sf0.01;
+    materialized, the oracle runs in 0.1 s.)"""
+    from ..operators.barrier import truncate_lineage
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = T.words(F.col("text"))
+    # word_shingles joins with a single space — safe to split back
+    # because words are space-free by construction (space-delimited
+    # tokenization); zip_ngrams' empty branch is array<string>-typed,
+    # so a struct-valued gram can't use it directly
+    posts = truncate_lineage(
+        docs.select("doc_id",
+                    F.explode(T.word_shingles(ws, 3)).alias("g"))
+        .select("doc_id",
+                F.split(F.col("g"), " ")[0].alias("w1"),
+                F.split(F.col("g"), " ")[1].alias("w2"),
+                F.split(F.col("g"), " ")[2].alias("w3")),
+        eager=False)
+    tri = truncate_lineage(
+        posts.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c123")),
+        eager=False)
+    # prefix totals + top-level diversity, per (w1, w2)
+    ctx12 = tri.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("c12"), F.count("*").alias("n3div"))
+    # continuation type table: distinct-w1 count per (w2, w3) — tri is
+    # a TYPE table, so this is a plain count(*)
+    cont23 = truncate_lineage(
+        tri.groupBy("w2", "w3").agg(F.count("*").alias("n1p123")),
+        eager=False)
+    # middle-level denominators + diversity, per w2
+    mid2 = cont23.groupBy("w2").agg(
+        F.sum("n1p123").alias("ncont_mid"),
+        F.count("*").alias("w3div_mid"))
+    # unigram continuation counts, per w3
+    uni3 = cont23.groupBy("w3").agg(F.count("*").alias("n1p23"))
+    glob = (tri.agg(
+        F.sum((F.col("c123") == 1).cast("long")).alias("n1_3"),
+        F.sum((F.col("c123") == 2).cast("long")).alias("n2_3"))
+        .crossJoin(cont23.agg(
+            F.count("*").alias("t2"),
+            F.sum((F.col("n1p123") == 1).cast("long")).alias("n1_2"),
+            F.sum((F.col("n1p123") == 2).cast("long")).alias("n2_2"))))
+
+    def disc(n1, n2):
+        return F.when(
+            F.col(n1) + F.lit(2) * F.col(n2) > 0,
+            F.col(n1).cast("double")
+            / (F.col(n1) + F.lit(2) * F.col(n2)).cast("double")
+        ).otherwise(F.lit(0.0))
+
+    p1 = F.col("n1p23").cast("double") / F.col("t2")
+    p2 = ((F.greatest(F.col("n1p123").cast("double") - F.col("d2"),
+                      F.lit(0.0))
+           + (F.col("d2") * F.col("w3div_mid")) * p1)
+          / F.col("ncont_mid"))
+    p3 = ((F.greatest(F.col("c123").cast("double") - F.col("d3"),
+                      F.lit(0.0))
+           + (F.col("d3") * F.col("n3div")) * p2)
+          / F.col("c12"))
+    scored = (posts
+              .join(tri, ["w1", "w2", "w3"])
+              .join(ctx12, ["w1", "w2"])
+              .join(cont23, ["w2", "w3"])
+              .join(mid2, "w2")
+              .join(uni3, "w3")
+              .crossJoin(F.broadcast(glob))
+              .withColumn("d3", disc("n1_3", "n2_3"))
+              .withColumn("d2", disc("n1_2", "n2_2"))
+              .withColumn("logp", F.log(p3)))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").alias("n_trigrams"),
+                 F.round(F.sum("logp") / F.count("*"), 4)
+                 .alias("avg_logp")))
+
+
+ORACLES["kn3_score_docs"] = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), posts AS MATERIALIZED (
+  SELECT doc_id, tg[1] AS w1, tg[2] AS w2, tg[3] AS w3
+  FROM (SELECT doc_id,
+               unnest([[ws[i], ws[i+1], ws[i+2]]
+                       FOR i IN generate_series(1, len(ws) - 2)]) AS tg
+        FROM d WHERE len(ws) >= 3)
+), tri AS MATERIALIZED (
+  SELECT w1, w2, w3, count(*) AS c123 FROM posts GROUP BY w1, w2, w3
+), ctx12 AS (
+  SELECT w1, w2, SUM(c123) AS c12, count(*) AS n3div
+  FROM tri GROUP BY w1, w2
+), cont23 AS MATERIALIZED (
+  SELECT w2, w3, count(*) AS n1p123 FROM tri GROUP BY w2, w3
+), mid2 AS (
+  SELECT w2, SUM(n1p123) AS ncont_mid, count(*) AS w3div_mid
+  FROM cont23 GROUP BY w2
+), uni3 AS (
+  SELECT w3, count(*) AS n1p23 FROM cont23 GROUP BY w3
+), g3 AS (
+  SELECT SUM(CASE WHEN c123 = 1 THEN 1 ELSE 0 END) AS n1_3,
+         SUM(CASE WHEN c123 = 2 THEN 1 ELSE 0 END) AS n2_3
+  FROM tri
+), g2 AS (
+  SELECT SUM(CASE WHEN n1p123 = 1 THEN 1 ELSE 0 END) AS n1_2,
+         SUM(CASE WHEN n1p123 = 2 THEN 1 ELSE 0 END) AS n2_2,
+         count(*) AS t2
+  FROM cont23
+), g AS (
+  SELECT CASE WHEN g3.n1_3 + 2 * g3.n2_3 > 0
+         THEN CAST(g3.n1_3 AS DOUBLE)
+              / CAST(g3.n1_3 + 2 * g3.n2_3 AS DOUBLE)
+         ELSE 0.0 END AS d3,
+         CASE WHEN g2.n1_2 + 2 * g2.n2_2 > 0
+         THEN CAST(g2.n1_2 AS DOUBLE)
+              / CAST(g2.n1_2 + 2 * g2.n2_2 AS DOUBLE)
+         ELSE 0.0 END AS d2,
+         g2.t2 AS t2
+  FROM g3 CROSS JOIN g2
+), scored AS (
+  SELECT p.doc_id,
+         ln((GREATEST(CAST(t.c123 AS DOUBLE) - g.d3, 0.0)
+             + (g.d3 * cx.n3div)
+               * ((GREATEST(CAST(ct.n1p123 AS DOUBLE) - g.d2, 0.0)
+                   + (g.d2 * m.w3div_mid)
+                     * (CAST(u.n1p23 AS DOUBLE) / g.t2))
+                  / m.ncont_mid))
+            / cx.c12) AS logp
+  FROM posts p
+  JOIN tri t USING (w1, w2, w3)
+  JOIN ctx12 cx USING (w1, w2)
+  JOIN cont23 ct USING (w2, w3)
+  JOIN mid2 m USING (w2)
+  JOIN uni3 u USING (w3)
+  CROSS JOIN g
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       round(sum(logp) / count(*), 4) AS avg_logp
+FROM scored GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # WordPiece family (Schuster & Nakajima 2012 — the BERT tokenizer), the
 # third major subword algorithm: likelihood-scored merges with exact

@@ -596,3 +596,10 @@ if __name__ == "__main__":
 # remains the production path below the memory ceiling).
 QUERIES_TO_PROBE += ["kn_bigram_stats", "kn_score_docs",
                      "ppl_bucket_docs", "wordpiece_learn_rounds"]
+
+# kn3_score_docs at 10x (local[32], 2026-08-16): 14.2s -> 9.6s — the
+# sf0.1 first reading carries the session's one-time codegen for the
+# 6-join plan; the data-dependent work is the trigram posting scan
+# (linear) against five type-bounded broadcast tables, so 10x data
+# reads FASTER warm.
+QUERIES_TO_PROBE += ["kn3_score_docs"]

@@ -234,6 +234,19 @@ def test_kn_score_broadcasts_global_and_reuses_tables(spark):
     assert "Scan ExistingRDD" in plan, plan
 
 
+def test_kn3_score_broadcasts_global_and_reuses_tables(spark):
+    """kn3_score_docs: the 1-row (d3, d2, t2) global frame broadcasts
+    (BroadcastNestedLoopJoin), the five type-table joins are broadcast
+    hash joins, the whole plan is Catalyst-side, and the trigram
+    posting/type frames flow through checkpoint barriers."""
+    plan = _plan(QUERIES["kn3_score_docs"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
 def test_ppl_bucket_broadcasts_cutpoints_no_global_sort(spark):
     """ppl_bucket_docs: the tercile cutpoints are a 1-row broadcast
     (BroadcastNestedLoopJoin), bucketing is a comparison — the plan
