@@ -151,8 +151,10 @@ EXTENDED_QUERIES = [
     "kn_bigram_stats",
     "kn_score_docs",
     "kn3_score_docs",
-    # round-11 CCNet head/middle/tail perplexity-tercile split
+    # round-11 CCNet head/middle/tail perplexity-tercile split +
+    # the Gopher Table-A1 rule filter
     "ppl_bucket_docs",
+    "gopher_quality_docs",
     # streaming vocab-ledger twin of bpe_pair_stats
     "stream_bpe_pair_stats",
     # privacy-governance audits: k-anonymity lattice + l-diversity

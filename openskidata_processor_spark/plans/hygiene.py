@@ -1378,3 +1378,145 @@ SELECT CASE WHEN l = 1 THEN '1' WHEN l = 2 THEN '2'
 FROM classes, homog
 GROUP BY 1, n_homogeneous
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule-based quality filter (Rae et al. 2021, Table A1) — the
+# published rule set verbatim, beside the repo's heuristic quality_docs.
+# ---------------------------------------------------------------------------
+
+# The 8 Gopher "must contain 2 of" stop words (Table A1).
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+@query("gopher_quality_docs")
+def gopher_quality_docs(spark, sf_dir):
+    """(source, n_docs, n_pass, fail_word_count, fail_mean_len,
+    fail_symbol, fail_bullet, fail_ellipsis, fail_alpha, fail_stop):
+    the Gopher quality rules (Rae et al. 2021, Table A1) per source —
+    every rule evaluated in PURE INTEGER arithmetic (counts compared by
+    cross-multiplication, no float ratio anywhere), so the Spark and
+    DuckDB results are bit-identical:
+
+      1. 50 ≤ word count ≤ 100,000
+      2. 3 ≤ mean word length ≤ 10  (sum_chars vs 3n / 10n)
+      3. (hash + ellipsis) / words ≤ 0.1  (10·symbols ≤ n)
+      4. bullet-starting lines < 90%  ('- ', '* ', or '• ' prefix)
+      5. ellipsis-ending lines < 30%
+      6. ≥ 80% of words contain an alphabetic character (5·alpha ≥ 4n)
+      7. ≥ 2 distinct Gopher stop words present (lowercased words)
+
+    One whole-stage-codegen pass over the documents scan — per-row
+    string ops, one groupBy(source); no joins, no UDFs, no shuffles
+    beyond the final source rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    ws = T.words(text)
+    n_words = F.size(ws).cast("long")
+    sum_chars = F.length(F.concat_ws("", ws)).cast("long")
+    n_hash = (F.length(text)
+              - F.length(F.replace(text, F.lit("#"), F.lit("")))
+              ).cast("long")
+    n_ell = ((F.length(text)
+              - F.length(F.replace(text, F.lit("..."), F.lit(""))))
+             / F.lit(3)).cast("long")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(F.filter(
+        lines, lambda ln: ln.rlike("^[-*•] "))).cast("long")
+    n_ell_lines = F.size(F.filter(
+        lines, lambda ln: ln.endswith("..."))).cast("long")
+    n_alpha = F.size(F.filter(
+        ws, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    wsl = T.words(F.lower(text))
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(wsl),
+        F.array(*[F.lit(s) for s in _GOPHER_STOPS]))).cast("long")
+
+    ok_count = (n_words >= 50) & (n_words <= 100000)
+    ok_mean = (sum_chars >= 3 * n_words) & (sum_chars <= 10 * n_words)
+    ok_sym = 10 * (n_hash + n_ell) <= n_words
+    ok_bullet = 10 * n_bullet < 9 * n_lines
+    ok_ell = 10 * n_ell_lines < 3 * n_lines
+    ok_alpha = 5 * n_alpha >= 4 * n_words
+    ok_stop = stop_hits >= 2
+    ok_all = (ok_count & ok_mean & ok_sym & ok_bullet & ok_ell
+              & ok_alpha & ok_stop)
+
+    def fails(c, name):
+        return F.sum((~c).cast("long")).alias(name)
+
+    prepared = docs.select(
+        "source", ok_count.alias("okc"), ok_mean.alias("okm"),
+        ok_sym.alias("oks"), ok_bullet.alias("okb"),
+        ok_ell.alias("oke"), ok_alpha.alias("oka"),
+        ok_stop.alias("okw"), ok_all.alias("okall"))
+    return (prepared.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("okall").cast("long")).alias("n_pass"),
+                 fails(F.col("okc"), "fail_word_count"),
+                 fails(F.col("okm"), "fail_mean_len"),
+                 fails(F.col("oks"), "fail_symbol"),
+                 fails(F.col("okb"), "fail_bullet"),
+                 fails(F.col("oke"), "fail_ellipsis"),
+                 fails(F.col("oka"), "fail_alpha"),
+                 fails(F.col("okw"), "fail_stop")))
+
+
+ORACLES["gopher_quality_docs"] = f"""
+WITH s AS (
+  SELECT source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS wsl,
+         string_split(text, chr(10)) AS lines,
+         CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+         CAST((len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT)
+           AS n_ell
+  FROM documents
+), m AS (
+  SELECT source,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(len(array_to_string(ws, '')) AS BIGINT) AS sum_chars,
+         n_hash, n_ell,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines,
+              l -> regexp_matches(l, '^[-*•] '))) AS BIGINT)
+           AS n_bullet,
+         CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT)
+           AS n_ell_lines,
+         CAST(len(list_filter(ws,
+              w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         CAST({' + '.join(f"(CASE WHEN list_contains(wsl, '{s}') "
+                          f"THEN 1 ELSE 0 END)" for s in _GOPHER_STOPS)}
+              AS BIGINT) AS stop_hits
+  FROM s
+), flags AS (
+  SELECT source,
+         (n_words >= 50 AND n_words <= 100000) AS okc,
+         (sum_chars >= 3 * n_words AND sum_chars <= 10 * n_words) AS okm,
+         (10 * (n_hash + n_ell) <= n_words) AS oks,
+         (10 * n_bullet < 9 * n_lines) AS okb,
+         (10 * n_ell_lines < 3 * n_lines) AS oke,
+         (5 * n_alpha >= 4 * n_words) AS oka,
+         (stop_hits >= 2) AS okw
+  FROM m
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN okc AND okm AND oks AND okb AND oke AND oka
+                     AND okw THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN okc THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_word_count,
+       CAST(SUM(CASE WHEN okm THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_mean_len,
+       CAST(SUM(CASE WHEN oks THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_symbol,
+       CAST(SUM(CASE WHEN okb THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_bullet,
+       CAST(SUM(CASE WHEN oke THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_ellipsis,
+       CAST(SUM(CASE WHEN oka THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_alpha,
+       CAST(SUM(CASE WHEN okw THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_stop
+FROM flags GROUP BY source
+"""

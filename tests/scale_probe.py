@@ -603,3 +603,8 @@ QUERIES_TO_PROBE += ["kn_bigram_stats", "kn_score_docs",
 # (linear) against five type-bounded broadcast tables, so 10x data
 # reads FASTER warm.
 QUERIES_TO_PROBE += ["kn3_score_docs"]
+
+# gopher_quality_docs at 10x (local[32], 2026-08-16): 5.4s -> 0.8s —
+# the sf0.1 first reading is session codegen; warm, the single
+# codegen pass + one source rollup is sub-second even at 10x data.
+QUERIES_TO_PROBE += ["gopher_quality_docs"]

@@ -234,6 +234,18 @@ def test_kn_score_broadcasts_global_and_reuses_tables(spark):
     assert "Scan ExistingRDD" in plan, plan
 
 
+def test_gopher_quality_is_one_codegen_pass(spark):
+    """gopher_quality_docs: per-row integer rule arithmetic + one
+    source rollup — no joins, no exchanges beyond the final group, no
+    Python eval, scan pruned to (text, source)."""
+    plan = _plan(QUERIES["gopher_quality_docs"](spark, SF_SMOKE))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "ReadSchema: struct<text:string,source:string>" in plan, plan
+
+
 def test_kn3_score_broadcasts_global_and_reuses_tables(spark):
     """kn3_score_docs: the 1-row (d3, d2, t2) global frame broadcasts
     (BroadcastNestedLoopJoin), the five type-table joins are broadcast
