@@ -155,6 +155,7 @@ EXTENDED_QUERIES = [
     # the Gopher Table-A1 rule filter
     "ppl_bucket_docs",
     "gopher_quality_docs",
+    "c4_quality_docs",
     # streaming vocab-ledger twin of bpe_pair_stats
     "stream_bpe_pair_stats",
     # privacy-governance audits: k-anonymity lattice + l-diversity

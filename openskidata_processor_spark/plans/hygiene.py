@@ -1520,3 +1520,91 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          AS fail_stop
 FROM flags GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# C4 rule-based cleaning audit (Raffel et al. 2020 §2.2) — the other
+# canonical published rule set beside Gopher's Table A1.
+# ---------------------------------------------------------------------------
+
+@query("c4_quality_docs")
+def c4_quality_docs(spark, sf_dir):
+    """(source, n_docs, n_kept_docs, n_lines, n_kept_lines,
+    n_docs_lorem, n_docs_brace, n_docs_short): the C4 cleaning rules
+    (Raffel et al. 2020 §2.2) as a per-source audit, all integer
+    counts:
+
+      line kept  ⇔ ends in terminal punctuation (. ! ? ") AND has
+                   ≥ 5 words AND does not contain the word
+                   "javascript" (case-insensitive)
+      doc kept   ⇔ ≥ 3 kept lines (the paper's ≥-3-sentence rule
+                   applied at the line level, the documented contract)
+                   AND no "lorem ipsum" (case-insensitive) AND no '{'
+
+    One whole-stage-codegen pass (per-row line/word array work), one
+    source rollup — the same no-join/no-UDF shape as
+    gopher_quality_docs; the span-level dedup half of C4 lives in
+    dedup_passages/substring_dedup_spans."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    lines = F.split(text, "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike('[.!?"]$')
+        & (F.size(F.filter(F.split(ln, " "), lambda w: w != ""))
+           >= 5)
+        & ~F.lower(ln).rlike("javascript"))
+    n_lines = F.size(lines).cast("long")
+    n_kept_lines = F.size(kept).cast("long")
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    has_brace = text.contains("{")
+    is_short = n_kept_lines < 3
+    doc_kept = ~has_lorem & ~has_brace & ~is_short
+    prepared = docs.select(
+        "source", n_lines.alias("nl"), n_kept_lines.alias("nkl"),
+        has_lorem.alias("lor"), has_brace.alias("brc"),
+        is_short.alias("sht"), doc_kept.alias("keep"))
+    return (prepared.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("keep").cast("long")).alias("n_kept_docs"),
+                 F.sum("nl").alias("n_lines"),
+                 F.sum("nkl").alias("n_kept_lines"),
+                 F.sum(F.col("lor").cast("long")).alias("n_docs_lorem"),
+                 F.sum(F.col("brc").cast("long")).alias("n_docs_brace"),
+                 F.sum(F.col("sht").cast("long")).alias("n_docs_short")))
+
+
+ORACLES["c4_quality_docs"] = """
+WITH s AS (
+  SELECT source, text, string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT source,
+         CAST(len(lines) AS BIGINT) AS nl,
+         CAST(len(list_filter(lines,
+              l -> regexp_matches(l, '[.!?"]$')
+                   AND len(list_filter(string_split(l, ' '),
+                                       w -> w <> '')) >= 5
+                   AND NOT regexp_matches(lower(l), 'javascript')))
+              AS BIGINT) AS nkl,
+         (lower(text) LIKE '%lorem ipsum%') AS lor,
+         (text LIKE '%{%') AS brc
+  FROM s
+), flags AS (
+  SELECT source, nl, nkl, lor, brc, (nkl < 3) AS sht,
+         (NOT lor AND NOT brc AND nkl >= 3) AS keep
+  FROM m
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept_docs,
+       CAST(SUM(nl) AS BIGINT) AS n_lines,
+       CAST(SUM(nkl) AS BIGINT) AS n_kept_lines,
+       CAST(SUM(CASE WHEN lor THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_lorem,
+       CAST(SUM(CASE WHEN brc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_brace,
+       CAST(SUM(CASE WHEN sht THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_short
+FROM flags GROUP BY source
+"""

@@ -608,3 +608,8 @@ QUERIES_TO_PROBE += ["kn3_score_docs"]
 # the sf0.1 first reading is session codegen; warm, the single
 # codegen pass + one source rollup is sub-second even at 10x data.
 QUERIES_TO_PROBE += ["gopher_quality_docs"]
+
+# c4_quality_docs at 10x (local[32], 2026-08-16): same shape as the
+# Gopher audit — codegen warmup dominates the sf0.1 first reading,
+# sub-second warm at 10x.
+QUERIES_TO_PROBE += ["c4_quality_docs"]

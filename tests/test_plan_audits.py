@@ -246,6 +246,17 @@ def test_gopher_quality_is_one_codegen_pass(spark):
     assert "ReadSchema: struct<text:string,source:string>" in plan, plan
 
 
+def test_c4_quality_is_one_codegen_pass(spark):
+    """c4_quality_docs: same contract as the Gopher audit — per-row
+    line/word array work + one source rollup, no joins, no Python."""
+    plan = _plan(QUERIES["c4_quality_docs"](spark, SF_SMOKE))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "ReadSchema: struct<text:string,source:string>" in plan, plan
+
+
 def test_kn3_score_broadcasts_global_and_reuses_tables(spark):
     """kn3_score_docs: the 1-row (d3, d2, t2) global frame broadcasts
     (BroadcastNestedLoopJoin), the five type-table joins are broadcast
