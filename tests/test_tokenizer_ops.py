@@ -639,3 +639,20 @@ def test_merge_fold_property_batch(spark):
             out[row["i"]] = row["m"]
     for i, (syms, left, right) in enumerate(cases):
         assert out[i] == _apply(syms, left, right), (syms, left, right)
+
+
+def test_record_task_peak_env_gate(tmp_path, monkeypatch):
+    """operators/probe.py: inert without the env var; with it, appends
+    a '<tag> <VmHWM-kB>' line readable by the --vocab probe."""
+    from openskidata_processor_spark.operators.probe import (
+        record_task_peak)
+
+    monkeypatch.delenv("SPARK_GRAFT_TRAINER_PROBE", raising=False)
+    record_task_peak("noop")            # must not raise or write
+    p = tmp_path / "probe.txt"
+    monkeypatch.setenv("SPARK_GRAFT_TRAINER_PROBE", str(p))
+    record_task_peak("tag_a")
+    record_task_peak("tag_b")
+    lines = [ln.split() for ln in p.read_text().splitlines()]
+    assert [ln[0] for ln in lines] == ["tag_a", "tag_b"]
+    assert all(int(ln[1]) > 0 for ln in lines)
