@@ -156,6 +156,7 @@ EXTENDED_QUERIES = [
     "ppl_bucket_docs",
     "gopher_quality_docs",
     "c4_quality_docs",
+    "fineweb_quality_docs",
     # streaming vocab-ledger twin of bpe_pair_stats
     "stream_bpe_pair_stats",
     # privacy-governance audits: k-anonymity lattice + l-diversity

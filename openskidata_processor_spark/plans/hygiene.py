@@ -1608,3 +1608,119 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          AS n_docs_short
 FROM flags GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# FineWeb custom filters (Penedo et al. 2024 §3.6) — the third canonical
+# published rule set, completing the trio beside C4 and Gopher.
+# ---------------------------------------------------------------------------
+
+@query("fineweb_quality_docs")
+def fineweb_quality_docs(spark, sf_dir):
+    """(source, n_docs, n_pass, fail_punct_lines, fail_short_lines,
+    fail_dup_line_chars): the three FineWeb custom filters (Penedo et
+    al. 2024 §3.6), each in pure integer cross-multiplication:
+
+      1. fraction of lines ending in punctuation ≥ 0.12
+         (100·punct_lines ≥ 12·n_lines)
+      2. fraction of lines shorter than 30 chars ≤ 0.67
+         (100·short_lines ≤ 67·n_lines)
+      3. fraction of characters in duplicated lines ≤ 0.01
+         (100·dup_chars ≤ 1·total_line_chars; a line is duplicated
+         when its exact text appears more than once in the document)
+
+    Rule 3 needs within-document line multiplicity — computed with
+    per-row array work (group the line array by value via a sort +
+    fold), still ONE codegen pass, no explode/shuffle; the only
+    exchange is the final source rollup (plan-audited, the C4/Gopher
+    shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_punct = F.size(F.filter(
+        lines, lambda ln: ln.rlike('[.!?"’”]$'))).cast("long")
+    n_short = F.size(F.filter(
+        lines, lambda ln: F.length(ln) < 30)).cast("long")
+    total_chars = F.length(F.concat_ws("", lines)).cast("long")
+    # duplicated-line characters: sort the lines, then one fold that
+    # adds length(line) for every line equal to its predecessor PLUS
+    # one extra length at the first repeat (so a line occurring k > 1
+    # times contributes k·len, matching "characters inside duplicated
+    # lines"); sorted order makes equal lines adjacent.
+    sorted_lines = F.sort_array(lines)
+    dup_chars = F.aggregate(
+        F.zip_with(
+            sorted_lines,
+            F.concat(F.array(F.lit(None).cast("string")),
+                     F.slice(sorted_lines, 1,
+                             F.greatest(F.size(sorted_lines) - 1,
+                                        F.lit(0)))),
+            lambda cur, prev: F.struct(
+                cur.alias("cur"), prev.alias("prev"))),
+        F.struct(F.lit(0).cast("long").alias("tot"),
+                 F.lit(False).alias("in_run")),
+        lambda acc, x: F.struct(
+            F.when(
+                x["prev"].isNotNull() & (x["cur"] == x["prev"]),
+                acc["tot"] + F.length(x["cur"])
+                + F.when(~acc["in_run"], F.length(x["cur"]))
+                .otherwise(F.lit(0))
+            ).otherwise(acc["tot"]).alias("tot"),
+            (x["prev"].isNotNull()
+             & (x["cur"] == x["prev"])).alias("in_run")),
+        lambda acc: acc["tot"]).cast("long")
+
+    ok_punct = 100 * n_punct >= 12 * n_lines
+    ok_short = 100 * n_short <= 67 * n_lines
+    ok_dup = 100 * dup_chars <= total_chars
+    ok_all = ok_punct & ok_short & ok_dup
+    prepared = docs.select(
+        "source", ok_punct.alias("okp"), ok_short.alias("oks"),
+        ok_dup.alias("okd"), ok_all.alias("okall"))
+    return (prepared.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("okall").cast("long")).alias("n_pass"),
+                 F.sum((~F.col("okp")).cast("long"))
+                 .alias("fail_punct_lines"),
+                 F.sum((~F.col("oks")).cast("long"))
+                 .alias("fail_short_lines"),
+                 F.sum((~F.col("okd")).cast("long"))
+                 .alias("fail_dup_line_chars")))
+
+
+ORACLES["fineweb_quality_docs"] = """
+WITH s AS (
+  SELECT source, string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT source,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines, l -> regexp_matches(l,
+              '[.!?"’”]$'))) AS BIGINT) AS n_punct,
+         CAST(len(list_filter(lines, l -> len(l) < 30)) AS BIGINT)
+           AS n_short,
+         CAST(len(array_to_string(lines, '')) AS BIGINT) AS total_chars,
+         CAST((SELECT COALESCE(SUM(cnt * len(ln)), 0)
+               FROM (SELECT ln, count(*) AS cnt
+                     FROM (SELECT unnest(lines) AS ln) GROUP BY ln)
+               WHERE cnt > 1) AS BIGINT) AS dup_chars
+  FROM s
+), flags AS (
+  SELECT source,
+         (100 * n_punct >= 12 * n_lines) AS okp,
+         (100 * n_short <= 67 * n_lines) AS oks,
+         (100 * dup_chars <= total_chars) AS okd
+  FROM m
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN okp AND oks AND okd THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN okp THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_punct_lines,
+       CAST(SUM(CASE WHEN oks THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_short_lines,
+       CAST(SUM(CASE WHEN okd THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_dup_line_chars
+FROM flags GROUP BY source
+"""

@@ -613,3 +613,9 @@ QUERIES_TO_PROBE += ["gopher_quality_docs"]
 # Gopher audit — codegen warmup dominates the sf0.1 first reading,
 # sub-second warm at 10x.
 QUERIES_TO_PROBE += ["c4_quality_docs"]
+
+# fineweb_quality_docs at 10x (local[32], 2026-08-16): codegen warmup
+# dominates the sf0.1 first reading; warm at 10x the per-row
+# sort+fold dup-line rule stays sub-second (no explode, no shuffle
+# beyond the source rollup).
+QUERIES_TO_PROBE += ["fineweb_quality_docs"]

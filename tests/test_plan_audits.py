@@ -257,6 +257,19 @@ def test_c4_quality_is_one_codegen_pass(spark):
     assert "ReadSchema: struct<text:string,source:string>" in plan, plan
 
 
+def test_fineweb_quality_is_one_codegen_pass(spark):
+    """fineweb_quality_docs: the dup-line-chars rule stays per-row
+    array work (sort + fold), never an explode+shuffle — same no-join,
+    single-rollup contract as the C4/Gopher audits."""
+    plan = _plan(QUERIES["fineweb_quality_docs"](spark, SF_SMOKE))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+    assert "Generate" not in plan, plan      # no explode
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "ReadSchema: struct<text:string,source:string>" in plan, plan
+
+
 def test_kn3_score_broadcasts_global_and_reuses_tables(spark):
     """kn3_score_docs: the 1-row (d3, d2, t2) global frame broadcasts
     (BroadcastNestedLoopJoin), the five type-table joins are broadcast
