@@ -380,13 +380,16 @@ def _select_batch(rows, already: int, n_merges: int, min_count: int,
     # rows to be the EXACT top-K in (cnt desc, l asc, r asc) order, so
     # rows[0] is the global argmax — precisely the pair the sequential
     # learner picks next.  An approximate or reordered collect would
-    # silently break the certificate; assert the invariant outright
-    # (≤ topk rows, negligible cost).
-    assert all(
-        (-int(rows[i]["cnt"]), rows[i]["l"], rows[i]["r"])
-        <= (-int(rows[i + 1]["cnt"]), rows[i + 1]["l"], rows[i + 1]["r"])
-        for i in range(len(rows) - 1)), \
-        "_select_batch requires rows sorted by (cnt desc, l, r)"
+    # silently break the certificate; enforce the invariant with a real
+    # raise (NOT assert — `python -O` strips asserts, and this check is
+    # load-bearing for soundness; ≤ topk rows, negligible cost).
+    if not all(
+            (-int(rows[i]["cnt"]), rows[i]["l"], rows[i]["r"])
+            <= (-int(rows[i + 1]["cnt"]),
+                rows[i + 1]["l"], rows[i + 1]["r"])
+            for i in range(len(rows) - 1)):
+        raise ValueError(
+            "_select_batch requires rows sorted by (cnt desc, l, r)")
     floor = 0 if saw_all else int(rows[-1]["cnt"])
     sel: list[tuple[str, str, int]] = [
         (rows[0]["l"], rows[0]["r"], int(rows[0]["cnt"]))]
@@ -457,7 +460,23 @@ def learn_bpe_batched(vocab: DataFrame, n_merges: int, min_count: int = 2,
 
     For vocabularies that fit one executor (~10M distinct words — any
     corpus by Heaps' law short of web-scale multilingual), prefer
-    ``learn_bpe_local``: zero driver rounds at any depth."""
+    ``learn_bpe_local``: zero driver rounds at any depth.
+
+    TIME ENVELOPE (measured, round-11/12 driver + bench artifacts at
+    sf0.1 on local[32]): ≈ 2.1 s of fixed latency per driver round
+    (6.4 s for 8 merges certified in 3 rounds — ~2.7 merges/round on
+    the bench corpus's tie-heavy Zipf head; deeper into the
+    distribution, counts separate and batches approach the certified
+    prefix bound, so amortized cost falls well below the
+    one-merge-per-round ~2.1 s of ``learn_bpe``).  A production
+    30k-merge vocabulary through this path lands between ~6 h
+    (≳ 4 merges/round) and ~17 h (pathological one-per-round) of
+    driver-sequenced stages — the beyond-ceiling escape hatch's
+    documented cost.  Below the measured single-task memory ceiling
+    (≈ 1.2 GiB per million distinct words, tests/scale_probe.py),
+    ``learn_bpe_local`` covers all realistic vocabularies with zero
+    driver rounds (0.60 s at bench depth, 85 s for a 1M-word vocab at
+    full 30k-class depth)."""
     cur = truncate_lineage(
         vocab.select("w", "freq", chars(F.col("w")).alias("syms")))
     pc = truncate_lineage(pair_counts(cur))

@@ -1400,9 +1400,15 @@ def gopher_quality_docs(spark, sf_dir):
 
       1. 50 ≤ word count ≤ 100,000
       2. 3 ≤ mean word length ≤ 10  (sum_chars vs 3n / 10n)
-      3. (hash + ellipsis) / words ≤ 0.1  (10·symbols ≤ n)
-      4. bullet-starting lines < 90%  ('- ', '* ', or '• ' prefix)
-      5. ellipsis-ending lines < 30%
+      3. symbol-to-word ratio ≤ 0.1 for EACH of '#' and '…'
+         separately (10·hash ≤ n AND 10·ellipsis ≤ n — Table A1
+         applies the threshold per symbol, not to their sum; a doc
+         at 0.06 hash + 0.06 ellipsis passes)
+      4. bullet-starting lines ≤ 90%  ('- ', '* ', or '• ' prefix) —
+         the paper REMOVES docs strictly above 90%, so exactly-90%
+         passes (10·bullet ≤ 9·lines)
+      5. ellipsis-ending lines ≤ 30%  (10·ell_lines ≤ 3·lines, same
+         strictly-above removal semantics)
       6. ≥ 80% of words contain an alphabetic character (5·alpha ≥ 4n)
       7. ≥ 2 distinct Gopher stop words present (lowercased words)
 
@@ -1435,9 +1441,9 @@ def gopher_quality_docs(spark, sf_dir):
 
     ok_count = (n_words >= 50) & (n_words <= 100000)
     ok_mean = (sum_chars >= 3 * n_words) & (sum_chars <= 10 * n_words)
-    ok_sym = 10 * (n_hash + n_ell) <= n_words
-    ok_bullet = 10 * n_bullet < 9 * n_lines
-    ok_ell = 10 * n_ell_lines < 3 * n_lines
+    ok_sym = (10 * n_hash <= n_words) & (10 * n_ell <= n_words)
+    ok_bullet = 10 * n_bullet <= 9 * n_lines
+    ok_ell = 10 * n_ell_lines <= 3 * n_lines
     ok_alpha = 5 * n_alpha >= 4 * n_words
     ok_stop = stop_hits >= 2
     ok_all = (ok_count & ok_mean & ok_sym & ok_bullet & ok_ell
@@ -1494,9 +1500,9 @@ WITH s AS (
   SELECT source,
          (n_words >= 50 AND n_words <= 100000) AS okc,
          (sum_chars >= 3 * n_words AND sum_chars <= 10 * n_words) AS okm,
-         (10 * (n_hash + n_ell) <= n_words) AS oks,
-         (10 * n_bullet < 9 * n_lines) AS okb,
-         (10 * n_ell_lines < 3 * n_lines) AS oke,
+         (10 * n_hash <= n_words AND 10 * n_ell <= n_words) AS oks,
+         (10 * n_bullet <= 9 * n_lines) AS okb,
+         (10 * n_ell_lines <= 3 * n_lines) AS oke,
          (5 * n_alpha >= 4 * n_words) AS oka,
          (stop_hits >= 2) AS okw
   FROM m
@@ -1535,8 +1541,11 @@ def c4_quality_docs(spark, sf_dir):
     counts:
 
       line kept  ⇔ ends in terminal punctuation (. ! ? ") AND has
-                   ≥ 5 words AND does not contain the word
-                   "javascript" (case-insensitive)
+                   ≥ 5 words AND does not contain the WORD
+                   "javascript" (case-insensitive, word-boundary
+                   match — §2.2 removes lines with the word
+                   Javascript, so 'javascripting' or a URL substring
+                   does not drop the line)
       doc kept   ⇔ ≥ 3 kept lines (the paper's ≥-3-sentence rule
                    applied at the line level, the documented contract)
                    AND no "lorem ipsum" (case-insensitive) AND no '{'
@@ -1553,7 +1562,7 @@ def c4_quality_docs(spark, sf_dir):
         lambda ln: ln.rlike('[.!?"]$')
         & (F.size(F.filter(F.split(ln, " "), lambda w: w != ""))
            >= 5)
-        & ~F.lower(ln).rlike("javascript"))
+        & ~F.lower(ln).rlike(r"\bjavascript\b"))
     n_lines = F.size(lines).cast("long")
     n_kept_lines = F.size(kept).cast("long")
     has_lorem = F.lower(text).contains("lorem ipsum")
@@ -1585,7 +1594,7 @@ WITH s AS (
               l -> regexp_matches(l, '[.!?"]$')
                    AND len(list_filter(string_split(l, ' '),
                                        w -> w <> '')) >= 5
-                   AND NOT regexp_matches(lower(l), 'javascript')))
+                   AND NOT regexp_matches(lower(l), '\\bjavascript\\b')))
               AS BIGINT) AS nkl,
          (lower(text) LIKE '%lorem ipsum%') AS lor,
          (text LIKE '%{%') AS brc
@@ -1625,9 +1634,14 @@ def fineweb_quality_docs(spark, sf_dir):
          (100·punct_lines ≥ 12·n_lines)
       2. fraction of lines shorter than 30 chars ≤ 0.67
          (100·short_lines ≤ 67·n_lines)
-      3. fraction of characters in duplicated lines ≤ 0.01
-         (100·dup_chars ≤ 1·total_line_chars; a line is duplicated
-         when its exact text appears more than once in the document)
+      3. fraction of characters in REPEAT occurrences of duplicated
+         lines ≤ 0.01 (100·dup_chars ≤ len(text)): a line occurring
+         k > 1 times contributes (k−1)·len — repeats only, the first
+         occurrence is free — and the denominator is len(text)
+         INCLUDING newlines, matching the FineWeb reference
+         implementation (datatrove ``find_duplicates``; the k·len /
+         newline-free-denominator variant shipped before round 12
+         systematically failed docs the paper's pipeline keeps)
 
     Rule 3 needs within-document line multiplicity — computed with
     per-row array work (group the line array by value via a sort +
@@ -1642,12 +1656,12 @@ def fineweb_quality_docs(spark, sf_dir):
         lines, lambda ln: ln.rlike('[.!?"’”]$'))).cast("long")
     n_short = F.size(F.filter(
         lines, lambda ln: F.length(ln) < 30)).cast("long")
-    total_chars = F.length(F.concat_ws("", lines)).cast("long")
-    # duplicated-line characters: sort the lines, then one fold that
-    # adds length(line) for every line equal to its predecessor PLUS
-    # one extra length at the first repeat (so a line occurring k > 1
-    # times contributes k·len, matching "characters inside duplicated
-    # lines"); sorted order makes equal lines adjacent.
+    total_chars = F.length(text).cast("long")
+    # repeat-occurrence characters: sort the lines so equal lines are
+    # adjacent, then one fold that adds length(line) for every line
+    # equal to its predecessor — a line occurring k > 1 times has
+    # exactly k−1 such adjacencies, giving the (k−1)·len repeat-only
+    # convention of datatrove's find_duplicates.
     sorted_lines = F.sort_array(lines)
     dup_chars = F.aggregate(
         F.zip_with(
@@ -1658,18 +1672,10 @@ def fineweb_quality_docs(spark, sf_dir):
                                         F.lit(0)))),
             lambda cur, prev: F.struct(
                 cur.alias("cur"), prev.alias("prev"))),
-        F.struct(F.lit(0).cast("long").alias("tot"),
-                 F.lit(False).alias("in_run")),
-        lambda acc, x: F.struct(
-            F.when(
-                x["prev"].isNotNull() & (x["cur"] == x["prev"]),
-                acc["tot"] + F.length(x["cur"])
-                + F.when(~acc["in_run"], F.length(x["cur"]))
-                .otherwise(F.lit(0))
-            ).otherwise(acc["tot"]).alias("tot"),
-            (x["prev"].isNotNull()
-             & (x["cur"] == x["prev"])).alias("in_run")),
-        lambda acc: acc["tot"]).cast("long")
+        F.lit(0).cast("long"),
+        lambda acc, x: F.when(
+            x["prev"].isNotNull() & (x["cur"] == x["prev"]),
+            acc + F.length(x["cur"])).otherwise(acc)).cast("long")
 
     ok_punct = 100 * n_punct >= 12 * n_lines
     ok_short = 100 * n_short <= 67 * n_lines
@@ -1691,7 +1697,7 @@ def fineweb_quality_docs(spark, sf_dir):
 
 ORACLES["fineweb_quality_docs"] = """
 WITH s AS (
-  SELECT source, string_split(text, chr(10)) AS lines
+  SELECT source, text, string_split(text, chr(10)) AS lines
   FROM documents
 ), m AS (
   SELECT source,
@@ -1700,8 +1706,8 @@ WITH s AS (
               '[.!?"’”]$'))) AS BIGINT) AS n_punct,
          CAST(len(list_filter(lines, l -> len(l) < 30)) AS BIGINT)
            AS n_short,
-         CAST(len(array_to_string(lines, '')) AS BIGINT) AS total_chars,
-         CAST((SELECT COALESCE(SUM(cnt * len(ln)), 0)
+         CAST(len(text) AS BIGINT) AS total_chars,
+         CAST((SELECT COALESCE(SUM((cnt - 1) * len(ln)), 0)
                FROM (SELECT ln, count(*) AS cnt
                      FROM (SELECT unnest(lines) AS ln) GROUP BY ln)
                WHERE cnt > 1) AS BIGINT) AS dup_chars

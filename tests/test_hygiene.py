@@ -470,3 +470,118 @@ def test_line_dedup_removes_boilerplate_and_reassembles(spark, tmp_path):
     assert got[3].clean_len == 0 and got[3].clean_md5 == md5("")
     assert (got[4].n_lines, got[4].n_removed) == (1, 0)
     assert got[4].clean_md5 == md5(keep_b)
+
+
+# ---------------------------------------------------------------------------
+# Published quality-rule sets — crafted boundary vectors (round 12).
+# These pin the corrected Gopher/C4/FineWeb semantics on exactly the
+# cases the round-11 advisory flagged; the DuckDB oracle shares each
+# engine-side rule, so parity alone can NEVER catch a shared deviation —
+# these hand-pinned outcomes are the independent referee.
+# ---------------------------------------------------------------------------
+
+
+def _quality_rows(spark, tmp_path, query, docs):
+    """Run a quality catalog query over crafted docs, one source per
+    doc so the per-source rollup yields one row per vector."""
+    from openskidata_processor_spark.plans import QUERIES
+
+    rows = [(i, text, "en", src, len(text))
+            for i, (src, text) in enumerate(docs)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long") \
+        .write.mode("overwrite") \
+        .parquet(str(tmp_path / "documents.parquet"))
+    return {r.source: r for r in QUERIES[query](spark, str(tmp_path)).collect()}
+
+
+def _gopher_base(n=100):
+    """n words drawn from the Table A1 stop list: every rule passes with
+    room (mean len 3.0, all-alpha, all-stopword)."""
+    stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    return [stops[i % 8] for i in range(n)]
+
+
+def test_gopher_symbol_ratios_are_per_symbol(spark, tmp_path):
+    """Table A1 applies the 0.1 symbol-to-word threshold to '#' and '…'
+    SEPARATELY: 0.06 hash + 0.06 ellipsis passes (the pre-round-12
+    combined ratio failed it), while 0.12 of either alone fails."""
+    ws = _gopher_base(100)
+    both = list(ws)
+    for i in range(6):
+        both[2 * i] = both[2 * i] + "#"          # 6 hashes  → ratio 0.06
+        both[2 * i + 1] = both[2 * i + 1] + "..."  # 6 ellipses → 0.06
+    hash_heavy = list(ws)
+    for i in range(12):                            # 12 hashes → ratio 0.12
+        hash_heavy[i] = hash_heavy[i] + "#"
+    got = _quality_rows(
+        spark, tmp_path, "gopher_quality_docs",
+        [("both06", " ".join(both) + " end"),
+         ("hash12", " ".join(hash_heavy) + " end")])
+    assert (got["both06"].n_pass, got["both06"].fail_symbol) == (1, 0)
+    assert (got["hash12"].n_pass, got["hash12"].fail_symbol) == (0, 1)
+
+
+def test_gopher_line_rules_pass_at_exact_threshold(spark, tmp_path):
+    """Gopher removes docs STRICTLY above 90% bullet / 30% ellipsis
+    lines: exactly-at-threshold docs pass, one line more fails."""
+    # 4-char stop words keep mean word length safely ≥ 3 even though
+    # split-on-space merges each "word\n-" pair across line boundaries
+    filler = " ".join(["that", "have", "with"][i % 3] for i in range(60))
+    bullet9 = "\n".join(["- " + filler] * 9 + [filler])      # 9/10 = 90%
+    bullet10 = "\n".join(["- " + filler] * 10)               # 100%
+    ell3 = "\n".join([filler + "..."] * 3 + [filler] * 7)    # 3/10 = 30%
+    ell4 = "\n".join([filler + "..."] * 4 + [filler] * 6)    # 40%
+    got = _quality_rows(
+        spark, tmp_path, "gopher_quality_docs",
+        [("b9", bullet9), ("b10", bullet10),
+         ("e3", ell3), ("e4", ell4)])
+    assert got["b9"].fail_bullet == 0 and got["b9"].n_pass == 1
+    assert got["b10"].fail_bullet == 1 and got["b10"].n_pass == 0
+    assert got["e3"].fail_ellipsis == 0 and got["e3"].n_pass == 1
+    assert got["e4"].fail_ellipsis == 1 and got["e4"].n_pass == 0
+
+
+def test_c4_javascript_is_word_boundary(spark, tmp_path):
+    """§2.2 removes lines with the WORD Javascript: 'javascripting' or a
+    URL path segment keeps the line; the bare word (any case) drops it."""
+    keep1 = "javascripting is a fine hobby for some people."
+    keep2 = "see https://example.org/not-javascripty/page for more details."
+    drop1 = "please enable JavaScript to view this page."
+    drop2 = "this site requires javascript, said the banner."
+    text = "\n".join([keep1, keep2, drop1, drop2])
+    got = _quality_rows(spark, tmp_path, "c4_quality_docs",
+                        [("js", text)])
+    # 2 of 4 lines kept; doc itself fails the ≥3-kept-lines rule
+    assert (got["js"].n_lines, got["js"].n_kept_lines) == (4, 2)
+    assert (got["js"].n_kept_docs, got["js"].n_docs_short) == (0, 1)
+
+
+def test_fineweb_dup_chars_count_repeats_only(spark, tmp_path):
+    """datatrove find_duplicates counts (k−1)·len — repeat occurrences
+    only — over len(text) INCLUDING newlines.  A 30-char line occurring
+    twice in a ~4000-char doc yields dup_chars=30 (ratio ≤ 0.01,
+    passes); the pre-round-12 k·len convention read 60 and failed it."""
+    dup = "x" * 29 + "."                       # 30 chars, ends in punct
+    fill = [("f%03d " % i) * 9 + "tail." for i in range(64)]  # 50c each
+    lines = [dup] + fill[:32] + [dup] + fill[32:]
+    text = "\n".join(lines)
+    n = len(text)
+    assert 100 * 30 <= n < 100 * 60, n         # new passes, old failed
+    got = _quality_rows(spark, tmp_path, "fineweb_quality_docs",
+                        [("dup2", text)])
+    assert (got["dup2"].fail_dup_line_chars, got["dup2"].n_pass) == (0, 1)
+
+
+def test_fineweb_dup_chars_fail_above_threshold(spark, tmp_path):
+    """Same doc with the line tripled: dup_chars=(3−1)·30=60 → ratio
+    above 0.01 on a <6000-char doc → fails rule 3 only."""
+    dup = "y" * 29 + "."
+    fill = [("g%03d " % i) * 9 + "tail." for i in range(64)]
+    lines = [dup, dup] + fill[:32] + [dup] + fill[32:]
+    text = "\n".join(lines)
+    assert 100 * 60 > len(text)
+    got = _quality_rows(spark, tmp_path, "fineweb_quality_docs",
+                        [("dup3", text)])
+    assert (got["dup3"].fail_dup_line_chars, got["dup3"].n_pass) == (1, 0)

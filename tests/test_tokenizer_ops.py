@@ -368,6 +368,39 @@ def test_select_batch_coincident_pair_guard():
     assert sel3 == [("c", "d", 10)]
 
 
+def test_select_batch_unsorted_rows_raise_value_error():
+    """Round-12 advisory fix: the rows-sorted invariant is load-bearing
+    for certificate soundness (rows[0] must be the global argmax), so it
+    is enforced with an explicit ``raise ValueError`` — NOT ``assert``,
+    which ``python -O`` compiles out, silently restoring the unguarded
+    behavior.  Pin both the raise and its assert-independence."""
+    import pytest
+
+    from openskidata_processor_spark.operators.bpe import _select_batch
+
+    unsorted = [{"l": "x", "r": "y", "cnt": 8},
+                {"l": "c", "r": "d", "cnt": 10}]   # cnt ascending: bad
+    with pytest.raises(ValueError, match="sorted"):
+        _select_batch(unsorted, 0, 8, 1, saw_all=True)
+    # ties broken by (l, r) asc — equal counts in the wrong lex order
+    # are just as unsound and must also raise
+    lex_bad = [{"l": "q", "r": "r", "cnt": 5},
+               {"l": "a", "r": "b", "cnt": 5}]
+    with pytest.raises(ValueError, match="sorted"):
+        _select_batch(lex_bad, 0, 8, 1, saw_all=True)
+    # the guard must survive optimized runs: parse the function body and
+    # require it contains NO Assert node (python -O strips those), so
+    # the sortedness check above necessarily rode a real raise
+    import ast
+    import inspect
+    import textwrap
+    import openskidata_processor_spark.operators.bpe as bpe_mod
+    tree = ast.parse(textwrap.dedent(
+        inspect.getsource(bpe_mod._select_batch)))
+    assert not any(isinstance(n, ast.Assert) for n in ast.walk(tree)), \
+        "_select_batch must not rely on assert for the sortedness guard"
+
+
 def test_select_batch_visibility_floor():
     """Strict top-K: unseen pairs (≤ floor) cannot gain count once the
     coincident guard passes, so candidates strictly above the floor
@@ -383,23 +416,6 @@ def test_select_batch_visibility_floor():
     # seen in full → all three certify (no hidden pairs possible)
     assert _select_batch(rows, 0, 8, 1, saw_all=True) == \
         [("c", "d", 10), ("x", "y", 8), ("u", "v", 5)]
-
-
-def test_select_batch_requires_sorted_rows():
-    """rows[0] is selected unconditionally, so _select_batch asserts
-    the exact (cnt desc, l, r) top-K order — an approximate or
-    reordered collect must fail loudly, not mis-certify."""
-    from openskidata_processor_spark.operators.bpe import _select_batch
-
-    rows = [{"l": "x", "r": "y", "cnt": 8},
-            {"l": "c", "r": "d", "cnt": 10}]
-    with pytest.raises(AssertionError):
-        _select_batch(rows, 0, 8, 1, saw_all=True)
-    # lex tie-break order is asserted too
-    rows2 = [{"l": "b", "r": "a", "cnt": 8},
-             {"l": "a", "r": "b", "cnt": 8}]
-    with pytest.raises(AssertionError):
-        _select_batch(rows2, 0, 8, 1, saw_all=True)
 
 
 # --- single-task deep learner ---------------------------------------------------
