@@ -36,79 +36,79 @@ from openskidata_processor_spark.plans import ORACLES, QUERIES  # noqa: E402
 # failure even though it won't appear in CORRECTNESS_r{N}.json — if the
 # driver window ever widens past 50, drop this curation and register in
 # natural order.
+# ROTATION POLICY (round 12+, per VERDICT r11 item 1; full statement in
+# COVERAGE.md §"Driver correctness window"): every round rotate in 12
+# never-windowed oracle-backed entries — the previous round's additions
+# first, then oldest-first by commit topological order — displacing the
+# longest-proven in-window entries whose operator family keeps at least
+# one in-window representative.  Rotated-out entries remain hard-gated
+# by the identical DuckDB compare in tests/test_oracle_parity.py.  At
+# ~7 catalog additions/round and 12 rotations/round the never-windowed
+# backlog shrinks ≥5/round: 41 at r11 → 0 by ~r20.
 _DRIVER_WINDOW = [
-    # relational / pipeline core (o4_union_orders rotated out for the
-    # formatter-path probe: its class is also pinned by the K5 sink tests
-    # and the identical parity check; p5_lifecycle_resolution puts the
-    # status/flag formatter semantics — the round-5 blind spot — under the
-    # driver's hard signal)
+    # relational / pipeline core (round 12 rotates out five of the
+    # longest-proven r1 entries — o5 anti-join, a7 dedup, w_running_total,
+    # sessionize, asof — all green in eleven consecutive driver windows
+    # and all still parity-gated; their families keep representatives:
+    # W1 window fns, dedup_exact/dedup_group_resolution,
+    # stream_stateful_sessions for sessionization)
     "a2_pricing_summary", "j8_regional_revenue", "w1_top_order_per_customer",
-    "o5_customers_without_orders", "a1_merged_order_status",
+    "a1_merged_order_status",
     "p5_lifecycle_resolution",
-    "a7_lineitem_dedup", "w_running_total",
-    "a6_daily_event_stats", "sessionize_user_sessions",
-    # specialised joins (j3_acctbal_distance_join rotated out in round 11
-    # for the never-windowed probes below — the J3 distance-join class
-    # keeps j3_geo_dwithin in-window and stays parity-gated)
-    "asof_latest_order", "range_band_counts",
-    # geometry / graph
-    "j2_points_in_polygon", "j3_geo_dwithin", "cc_components",
-    # raster / projection kernel (§2.8) — r3_terrain_decode rotated out
-    # in round 10 for the never-windowed probes below; the raster family
-    # keeps two in-window entries and r3 stays parity-gated
-    "r1_mercator_tiles", "r2_viirs_pixel_rollup",
-    # text analysis + dedup families (exact members;
-    # dedup_ngram_jaccard rotated out in round 11 — the dedup family
-    # keeps three in-window entries and it stays parity-gated)
+    "a6_daily_event_stats",
+    "range_band_counts",
+    # geometry / graph (j2 rotated out round 12; j3_geo_dwithin keeps the
+    # spatial-join family in-window)
+    "j3_geo_dwithin", "cc_components",
+    # raster / projection kernel (§2.8) — r1_mercator_tiles rotated out
+    # round 12 for the never-windowed r4 point rasterizer; the family
+    # keeps two in-window entries (r2 + r4), r1/r3 stay parity-gated
+    "r2_viirs_pixel_rollup", "r4_viirs_rasterize_points",
+    # text analysis + dedup families (knn_cosine rotated out round 12 —
+    # dedup_embedding_pairs keeps the embedding-similarity family
+    # in-window and knn stays parity-gated + recall-harness-pinned)
     "text_doc_stats", "quality_docs", "dedup_exact",
-    "dedup_group_resolution", "knn_cosine", "dedup_embedding_pairs",
-    # training-data operators (vocab_top_terms / sample_mixture_epochs
-    # rotated out in round 8 for the web-ingestion probes below — their
-    # families stay in-window via tfidf_doc_terms and the other two
-    # samplers, and they stay hard-gated by the identical parity check)
-    # (sample_temperature_mixture rotated out in round 9 for the
-    # tokenizer-family probes below — sample_stratified keeps the
-    # sampler family in-window; it stays hard-gated by the identical
-    # parity check)
-    "cdc_merge_upsert", "quantiles_exact", "tfidf_doc_terms",
+    "dedup_group_resolution", "dedup_embedding_pairs",
+    # training-data operators (cdc_merge_upsert / quantiles_exact /
+    # tfidf_doc_terms rotated out round 12 after 9+ green windows;
+    # stream_lake_ingest keeps lakehouse merge semantics in-window,
+    # bm25_topk_docs carries the term-weighting family)
     "rollup_multi_granularity", "sample_stratified",
-    # tokenizer family (round 11 rotates the never-windowed round-10
-    # probes in — unigram seed pieces and the Kneser–Ney bigram count
-    # tables — and pmi_collocations back out after its green round-10
-    # window run; the r8 lesson: rotation is where latent defects
-    # surface, so never-windowed oracle entries take priority over
-    # already-proven ones)
+    # round-12 rotation cohort A — the six round-11 additions that have
+    # never had a driver CORRECTNESS row (VERDICT r11 item 1's named
+    # priority list): the interpolated-KN bigram/trigram scorers, the
+    # CCNet tercile split, and the three published quality-rule sets
+    # (all three corrected to the per-symbol / word-boundary /
+    # repeat-only semantics this round per ADVICE r11 — a fresh driver
+    # row pins the corrected behavior end-to-end)
+    "kn_score_docs", "kn3_score_docs", "ppl_bucket_docs",
+    "gopher_quality_docs", "c4_quality_docs", "fineweb_quality_docs",
+    # round-12 rotation cohort B — the six OLDEST never-windowed entries
+    # by commit topological order (kmeans → bm25 → bounded streaming
+    # dedup → r4 rasterizer [cohort above] → LM perplexity + SemDeDup →
+    # logreg quality): surfacing the round-7 scoring/clustering family
+    # under the driver's hard signal for the first time
+    "kmeans_clusters", "bm25_topk_docs", "stream_dedup_bounded",
+    "lm_perplexity_docs", "semdedup_keep", "logreg_quality_scores",
+    # tokenizer family (round-11 rotations stay one more round — their
+    # first window rows are only one round old)
     "bpe_pair_stats", "split_holdout_stats",
     "unigram_seed_pieces", "kn_bigram_stats",
-    # hygiene / packing (pack_concat_bins rotated out likewise —
-    # pack_sequences keeps the packing family in-window;
-    # quality_repetition rotated out in round 10 for the probes here —
-    # quality_docs keeps the quality family in-window — making room for
-    # the never-windowed CCNet line-level dedup and the k-anonymity
-    # privacy audit)
+    # hygiene / packing
     "pii_redact_docs", "contamination_ngram",
     "dedup_passages", "pack_sequences",
     "shard_assignment", "line_dedup_docs", "k_anonymity_stats",
-    # round-11 re-window: l_diversity_stats rejoins its k-anonymity
-    # sibling after the r10 driver host-noise reading on untouched code
-    # (a fresh in-window row settles it)
     "l_diversity_stats",
-    # round-8 web-ingestion + bloom probes, and the round-9 language-ID
-    # stage completing the crawl family (url_canonical_stats rotated out
-    # in round 11 — html_extract_text keeps the crawl family in-window;
-    # it stays parity-gated)
+    # web ingestion + bloom + language-ID
     "html_extract_text", "bloom_decontaminate",
     "lang_id_confusion",
-    # multimodal (multimodal_resize_stats rotated out for lang_id in
-    # round 9, multimodal_frame_sample for the tokenizer probes,
-    # multimodal_audio_stats in round 10 — the family keeps two
-    # in-window entries; all rotated-out queries stay hard-gated by the
-    # identical parity check + the pytest suite)
-    "multimodal_decode_stats", "multimodal_video_stats",
-    # streaming (round 11 rotates the never-windowed streaming
-    # vocab-ledger twin in — it shares bpe_pair_stats' oracle, so a
-    # ledger replay defect would surface as a driver hash mismatch)
-    "stream_event_counts", "stream_stateful_sessions", "stream_dedup_exact",
+    # multimodal (multimodal_video_stats rotated out round 12 after two
+    # green windows; multimodal_decode_stats keeps the family in-window)
+    "multimodal_decode_stats",
+    # streaming (stream_dedup_exact rotated out round 12 — the incoming
+    # never-windowed stream_dedup_bounded exercises the same streaming
+    # dedup state machinery plus the TTL bound; both stay parity-gated)
+    "stream_event_counts", "stream_stateful_sessions",
     "stream_lake_ingest", "stream_bpe_pair_stats",
 ]
 

@@ -151,6 +151,9 @@ EXTENDED_QUERIES = [
     "kn_bigram_stats",
     "kn_score_docs",
     "kn3_score_docs",
+    # round-12: modified Kneser-Ney (three count-dependent discounts
+    # per level, Chen & Goodman 1998 eq. 26)
+    "mkn_score_docs",
     # round-11 CCNet head/middle/tail perplexity-tercile split +
     # the Gopher Table-A1 rule filter
     "ppl_bucket_docs",

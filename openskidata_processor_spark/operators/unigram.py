@@ -45,9 +45,13 @@ Algorithm (simplified Kudo variant, documented contract):
   ∪ all characters, then ONE more EM step restricted to the kept
   pieces produces the final counts.  ``prune="count"`` keeps the
   simpler count-ranked variant (top ``vocab_size`` by count desc ∪
-  chars).  Deviations from full SentencePiece, by design: hard EM
-  (not marginal), single-shot prune (not iterative 20%-per-round),
-  both pinned differentially.
+  chars); ``prune="loss_iter"`` runs Kudo's MULTI-ROUND prune — drop
+  the bottom ~20% of multi-char pieces by loss per round
+  (``PRUNE_SHRINK``), re-estimate with one EM pass, re-rank, repeat
+  until ``vocab_size`` — the full §3.2 schedule under hard EM.
+  Remaining deviation from SentencePiece, by design: hard (Viterbi)
+  EM instead of marginal EM; all three prune variants differential-
+  pinned against the pure-Python reference.
 
 Reference anchor: the reference pipeline feeds downstream consumers that
 tokenize its text outputs (openskidata-processor README pipeline
@@ -140,6 +144,11 @@ def _logp_from_counts(counts: dict[str, int]) -> dict[str, float]:
 # (a float sum would make near-tie prune ranks depend on partial-agg
 # order).  Identical constant in the pure-Python differential reference.
 LOSS_QUANT = 1_000_000
+
+# Iterative-prune keep fraction per round (Kudo §3.2 removes ~20%/round;
+# SentencePiece's --shrinking_factor default is likewise 0.75-0.8).
+# Identical constant in the pure-Python differential reference.
+PRUNE_SHRINK = 0.8
 
 
 def _quantize_logp(logp: dict[str, float]) -> dict[str, int]:
@@ -247,9 +256,13 @@ def train_unigram(vocab: DataFrame, vocab_size: int = 256,
 
     ``prune="loss"`` (default) ranks pieces by the corpus-likelihood
     drop of removing them (Kudo §3.2 under hard EM, exact integer
-    micro-nats — one extra distributed pass); ``prune="count"`` keeps
-    the simpler count-ranked variant.  Both differential-pinned in
-    tests/test_unigram_ops.py."""
+    micro-nats — one extra distributed pass); ``prune="loss_iter"``
+    runs the full multi-round §3.2 schedule (drop the bottom
+    ~20%/round with EM re-estimation between rounds, ~7 rounds for the
+    default seed→vocab ratio — each round one loss pass + one EM pass,
+    driver traffic still O(model) per round); ``prune="count"`` keeps
+    the simpler count-ranked variant.  All three differential-pinned
+    in tests/test_unigram_ops.py."""
     spark = vocab.sparkSession
     vocab = vocab.select("w", "freq")
 
@@ -279,6 +292,27 @@ def train_unigram(vocab: DataFrame, vocab_size: int = 256,
     for _ in range(em_iters):
         counts = em_step(counts)
 
+    if prune == "loss_iter":
+        # Kudo's MULTI-ROUND prune: drop the bottom ~(1−shrink) of
+        # multi-char pieces by likelihood loss per round — with an EM
+        # re-estimation between rounds, so surviving pieces' losses are
+        # recomputed under the shrunken model — until vocab_size.  Each
+        # round costs one distributed loss pass + one distributed EM
+        # pass (model-sized collects); rounds = O(log_{1/shrink}
+        # (seed_size/vocab_size)) ≈ 7 for 1024→256 at 0.8.
+        while True:
+            losses = piece_prune_losses(vocab, counts, max_piece_len)
+            multi = sorted((p for p in counts if len(p) > 1),
+                           key=lambda p: (-losses.get(p, 0), p))
+            target = (vocab_size if len(multi) <= vocab_size
+                      else max(vocab_size,
+                               int(len(multi) * PRUNE_SHRINK)))
+            keep = set(multi[:target]) | chars
+            counts = {p: c for p, c in counts.items() if p in keep}
+            _char_floor(counts, chars)
+            counts = em_step(counts)           # re-estimate, then re-rank
+            if target <= vocab_size:
+                return _ranked(counts)
     if prune == "loss":
         losses = piece_prune_losses(vocab, counts, max_piece_len)
         multi = sorted((p for p in counts if len(p) > 1),
@@ -290,7 +324,10 @@ def train_unigram(vocab: DataFrame, vocab_size: int = 256,
     counts = {p: c for p, c in counts.items() if p in keep}
     _char_floor(counts, chars)
     counts = em_step(counts)                   # final restricted pass
+    return _ranked(counts)
 
+
+def _ranked(counts: dict[str, int]) -> list[dict]:
     ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
     return [{"rank": i, "piece": p, "piece_count": c}
             for i, (p, c) in enumerate(ranked)]

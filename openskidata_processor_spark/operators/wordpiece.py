@@ -262,7 +262,23 @@ def learn_wordpiece_rounds(vocab: DataFrame, n_merges: int,
     float noise (any excluded row's exact score is then provably
     smaller); otherwise the collect widens 4× and retries.  Output is
     bit-identical to ``learn_wordpiece_local`` (equality-pinned in
-    tests/test_wordpiece_ops.py)."""
+    tests/test_wordpiece_ops.py).
+
+    TIME ENVELOPE (measured, round-11/12 driver + bench artifacts at
+    sf0.1 on local[32]): ≈ 2.6 s of fixed driver-round latency per
+    merge (10.5 s for 4 merges incl. widen retries) — stage scheduling
+    + the two broadcast joins + the bounded top-K collect, near-flat in
+    corpus size at bench scale.  A production 30k-merge vocabulary
+    through this path is therefore ~20+ hours of driver-sequenced
+    rounds.  That is the DOCUMENTED COST of the escape hatch, not a
+    recommendation: below the measured single-task memory ceiling
+    (≈ 1.5 GiB per million distinct words → ~10-25M-word vocabularies,
+    covering Heaps'-law vocabularies for ~100 TB monolingual corpora;
+    tests/scale_probe.py), ``learn_wordpiece_local`` is the production
+    path — one distributed pre-aggregation, then the whole merge loop
+    in a single task (0.73 s at the same depth, seconds-per-30k-merges
+    locally).  Choose this rounds path ONLY beyond that ceiling, and
+    expect wall-clock dominated by n_merges × per-round latency."""
     from .barrier import truncate_lineage
     from .bpe import adjacent_pairs, contains_pair, pair_counts
 

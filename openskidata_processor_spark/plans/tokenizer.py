@@ -909,6 +909,224 @@ FROM scored GROUP BY doc_id
 """
 
 
+@query("mkn_score_docs")
+def mkn_score_docs(spark, sf_dir):
+    """(doc_id, n_trigrams, avg_logp): mean ln P_MKN(w3|w1 w2) per
+    document under MODIFIED Kneser–Ney trigram smoothing (Chen &
+    Goodman 1998 §3, eq. 26) — the standard production n-gram smoother,
+    upgrading ``kn3_score_docs``'s single discount to three
+    count-dependent discounts per level:
+
+        Y_k  = n1/(n1 + 2·n2)                (that level's count-of-counts)
+        D1_k = 1 − 2·Y_k·n2/n1
+        D2_k = 2 − 3·Y_k·n3/n2
+        D3_k = 3 − 4·Y_k·n4/n3               (applied to counts ≥ 3)
+        γ(u) = (D1·N1(u·) + D2·N2(u·) + D3·N3+(u·)) / c(u·)
+        p_k  = (c − D_k(c)) / c(u·) + γ(u) · p_{k−1}
+
+    The trigram level discounts raw counts c(w1w2w3); the bigram level
+    discounts CONTINUATION counts N1+(·w2w3) (its count-of-counts run
+    over the continuation-count distribution); the base is the unigram
+    continuation distribution, exactly as in kn3_score_docs.  The
+    numerator c − D_k(c) needs no clamp: D1 ≤ 1, D2 ≤ 2, D3 ≤ 3 by
+    construction (Y, n_{k+1}/n_k ≥ 0) and each applies only to counts
+    ≥ its index.  When a count-of-counts denominator is zero (no
+    singleton/doubleton/tripleton mass at that level) the affected
+    discount degrades to 0 — written identically in both engines.
+
+    Same scale shape as kn3_score_docs: ONE corpus trigram scan
+    collapsed to the Heaps-bounded trigram TYPE table; the per-(w1,w2)
+    and per-w2 tables now carry three bucketed diversity counts each
+    (count(*) FILTER over the type table — still type-bounded); the
+    scoring joins are broadcast-hash against five type-bounded tables
+    plus ONE 1-row broadcast global carrying all six discounts.  The
+    oracle's posts/tri/cont23 CTEs are AS MATERIALIZED (multiply
+    referenced — DuckDB's default inlining re-expands the chain per
+    reference, measured as a hang on kn3's twin; see that docstring)."""
+    from ..operators.barrier import truncate_lineage
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = T.words(F.col("text"))
+    posts = truncate_lineage(
+        docs.select("doc_id",
+                    F.explode(T.word_shingles(ws, 3)).alias("g"))
+        .select("doc_id",
+                F.split(F.col("g"), " ")[0].alias("w1"),
+                F.split(F.col("g"), " ")[1].alias("w2"),
+                F.split(F.col("g"), " ")[2].alias("w3")),
+        eager=False)
+    tri = truncate_lineage(
+        posts.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c123")),
+        eager=False)
+    # per-(w1,w2): prefix total + diversity bucketed by exact count
+    ctx12 = tri.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("c12"),
+        F.sum((F.col("c123") == 1).cast("long")).alias("nd1"),
+        F.sum((F.col("c123") == 2).cast("long")).alias("nd2"),
+        F.sum((F.col("c123") >= 3).cast("long")).alias("nd3p"))
+    cont23 = truncate_lineage(
+        tri.groupBy("w2", "w3").agg(F.count("*").alias("n1p123")),
+        eager=False)
+    # per-w2: middle-level denominator + continuation-count buckets
+    mid2 = cont23.groupBy("w2").agg(
+        F.sum("n1p123").alias("ncont_mid"),
+        F.sum((F.col("n1p123") == 1).cast("long")).alias("md1"),
+        F.sum((F.col("n1p123") == 2).cast("long")).alias("md2"),
+        F.sum((F.col("n1p123") >= 3).cast("long")).alias("md3p"))
+    uni3 = cont23.groupBy("w3").agg(F.count("*").alias("n1p23"))
+    glob = (tri.agg(
+        F.sum((F.col("c123") == 1).cast("long")).alias("a1"),
+        F.sum((F.col("c123") == 2).cast("long")).alias("a2"),
+        F.sum((F.col("c123") == 3).cast("long")).alias("a3"),
+        F.sum((F.col("c123") == 4).cast("long")).alias("a4"))
+        .crossJoin(cont23.agg(
+            F.count("*").alias("t2"),
+            F.sum((F.col("n1p123") == 1).cast("long")).alias("b1"),
+            F.sum((F.col("n1p123") == 2).cast("long")).alias("b2"),
+            F.sum((F.col("n1p123") == 3).cast("long")).alias("b3"),
+            F.sum((F.col("n1p123") == 4).cast("long")).alias("b4"))))
+
+    def mkn_discounts(n1, n2, n3, n4, pre):
+        """D1/D2/D3+ columns from a level's count-of-counts; each
+        degrades to 0.0 when its denominator has no mass."""
+        y = F.when(F.col(n1) + 2 * F.col(n2) > 0,
+                   F.col(n1).cast("double")
+                   / (F.col(n1) + 2 * F.col(n2)).cast("double")
+                   ).otherwise(F.lit(0.0))
+        d1 = F.when(F.col(n1) > 0,
+                    F.lit(1.0) - 2.0 * y * F.col(n2) / F.col(n1)
+                    ).otherwise(F.lit(0.0))
+        d2 = F.when(F.col(n2) > 0,
+                    F.lit(2.0) - 3.0 * y * F.col(n3) / F.col(n2)
+                    ).otherwise(F.lit(0.0))
+        d3 = F.when(F.col(n3) > 0,
+                    F.lit(3.0) - 4.0 * y * F.col(n4) / F.col(n3)
+                    ).otherwise(F.lit(0.0))
+        return {pre + "d1": d1, pre + "d2": d2, pre + "d3": d3}
+
+    def disc_of(c, pre):
+        return (F.when(c == 1, F.col(pre + "d1"))
+                .when(c == 2, F.col(pre + "d2"))
+                .otherwise(F.col(pre + "d3")))
+
+    p1 = F.col("n1p23").cast("double") / F.col("t2")
+    gamma2 = ((F.col("_2d1") * F.col("md1") + F.col("_2d2") * F.col("md2")
+               + F.col("_2d3") * F.col("md3p"))
+              / F.col("ncont_mid").cast("double"))
+    p2 = ((F.col("n1p123").cast("double")
+           - disc_of(F.col("n1p123"), "_2")) / F.col("ncont_mid")
+          + gamma2 * p1)
+    gamma3 = ((F.col("_3d1") * F.col("nd1") + F.col("_3d2") * F.col("nd2")
+               + F.col("_3d3") * F.col("nd3p"))
+              / F.col("c12").cast("double"))
+    p3 = ((F.col("c123").cast("double")
+           - disc_of(F.col("c123"), "_3")) / F.col("c12")
+          + gamma3 * p2)
+
+    scored = (posts
+              .join(tri, ["w1", "w2", "w3"])
+              .join(ctx12, ["w1", "w2"])
+              .join(cont23, ["w2", "w3"])
+              .join(mid2, "w2")
+              .join(uni3, "w3")
+              .crossJoin(F.broadcast(glob)))
+    for name, col in {**mkn_discounts("a1", "a2", "a3", "a4", "_3"),
+                      **mkn_discounts("b1", "b2", "b3", "b4", "_2")}.items():
+        scored = scored.withColumn(name, col)
+    scored = scored.withColumn("logp", F.log(p3))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").alias("n_trigrams"),
+                 F.round(F.sum("logp") / F.count("*"), 4)
+                 .alias("avg_logp")))
+
+
+ORACLES["mkn_score_docs"] = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+), posts AS MATERIALIZED (
+  SELECT doc_id, tg[1] AS w1, tg[2] AS w2, tg[3] AS w3
+  FROM (SELECT doc_id,
+               unnest([[ws[i], ws[i+1], ws[i+2]]
+                       FOR i IN generate_series(1, len(ws) - 2)]) AS tg
+        FROM d WHERE len(ws) >= 3)
+), tri AS MATERIALIZED (
+  SELECT w1, w2, w3, count(*) AS c123 FROM posts GROUP BY w1, w2, w3
+), ctx12 AS (
+  SELECT w1, w2, SUM(c123) AS c12,
+         SUM(CASE WHEN c123 = 1 THEN 1 ELSE 0 END) AS nd1,
+         SUM(CASE WHEN c123 = 2 THEN 1 ELSE 0 END) AS nd2,
+         SUM(CASE WHEN c123 >= 3 THEN 1 ELSE 0 END) AS nd3p
+  FROM tri GROUP BY w1, w2
+), cont23 AS MATERIALIZED (
+  SELECT w2, w3, count(*) AS n1p123 FROM tri GROUP BY w2, w3
+), mid2 AS (
+  SELECT w2, SUM(n1p123) AS ncont_mid,
+         SUM(CASE WHEN n1p123 = 1 THEN 1 ELSE 0 END) AS md1,
+         SUM(CASE WHEN n1p123 = 2 THEN 1 ELSE 0 END) AS md2,
+         SUM(CASE WHEN n1p123 >= 3 THEN 1 ELSE 0 END) AS md3p
+  FROM cont23 GROUP BY w2
+), uni3 AS (
+  SELECT w3, count(*) AS n1p23 FROM cont23 GROUP BY w3
+), g3 AS (
+  SELECT SUM(CASE WHEN c123 = 1 THEN 1 ELSE 0 END) AS a1,
+         SUM(CASE WHEN c123 = 2 THEN 1 ELSE 0 END) AS a2,
+         SUM(CASE WHEN c123 = 3 THEN 1 ELSE 0 END) AS a3,
+         SUM(CASE WHEN c123 = 4 THEN 1 ELSE 0 END) AS a4
+  FROM tri
+), g2 AS (
+  SELECT count(*) AS t2,
+         SUM(CASE WHEN n1p123 = 1 THEN 1 ELSE 0 END) AS b1,
+         SUM(CASE WHEN n1p123 = 2 THEN 1 ELSE 0 END) AS b2,
+         SUM(CASE WHEN n1p123 = 3 THEN 1 ELSE 0 END) AS b3,
+         SUM(CASE WHEN n1p123 = 4 THEN 1 ELSE 0 END) AS b4
+  FROM cont23
+), g AS (
+  SELECT t2,
+         CASE WHEN a1 > 0 THEN 1.0 - 2.0 * y3 * a2 / a1 ELSE 0.0 END AS d31,
+         CASE WHEN a2 > 0 THEN 2.0 - 3.0 * y3 * a3 / a2 ELSE 0.0 END AS d32,
+         CASE WHEN a3 > 0 THEN 3.0 - 4.0 * y3 * a4 / a3 ELSE 0.0 END AS d33,
+         CASE WHEN b1 > 0 THEN 1.0 - 2.0 * y2 * b2 / b1 ELSE 0.0 END AS d21,
+         CASE WHEN b2 > 0 THEN 2.0 - 3.0 * y2 * b3 / b2 ELSE 0.0 END AS d22,
+         CASE WHEN b3 > 0 THEN 3.0 - 4.0 * y2 * b4 / b3 ELSE 0.0 END AS d23
+  FROM (SELECT g3.*, g2.*,
+               CASE WHEN a1 + 2 * a2 > 0
+               THEN CAST(a1 AS DOUBLE) / CAST(a1 + 2 * a2 AS DOUBLE)
+               ELSE 0.0 END AS y3,
+               CASE WHEN b1 + 2 * b2 > 0
+               THEN CAST(b1 AS DOUBLE) / CAST(b1 + 2 * b2 AS DOUBLE)
+               ELSE 0.0 END AS y2
+        FROM g3 CROSS JOIN g2)
+), scored AS (
+  SELECT p.doc_id,
+         ln((CAST(t.c123 AS DOUBLE)
+             - CASE WHEN t.c123 = 1 THEN g.d31
+                    WHEN t.c123 = 2 THEN g.d32
+                    ELSE g.d33 END) / cx.c12
+            + ((g.d31 * cx.nd1 + g.d32 * cx.nd2 + g.d33 * cx.nd3p)
+               / CAST(cx.c12 AS DOUBLE))
+              * ((CAST(ct.n1p123 AS DOUBLE)
+                  - CASE WHEN ct.n1p123 = 1 THEN g.d21
+                         WHEN ct.n1p123 = 2 THEN g.d22
+                         ELSE g.d23 END) / m.ncont_mid
+                 + ((g.d21 * m.md1 + g.d22 * m.md2 + g.d23 * m.md3p)
+                    / CAST(m.ncont_mid AS DOUBLE))
+                   * (CAST(u.n1p23 AS DOUBLE) / g.t2))) AS logp
+  FROM posts p
+  JOIN tri t USING (w1, w2, w3)
+  JOIN ctx12 cx USING (w1, w2)
+  JOIN cont23 ct USING (w2, w3)
+  JOIN mid2 m USING (w2)
+  JOIN uni3 u USING (w3)
+  CROSS JOIN g
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       round(sum(logp) / count(*), 4) AS avg_logp
+FROM scored GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # WordPiece family (Schuster & Nakajima 2012 — the BERT tokenizer), the
 # third major subword algorithm: likelihood-scored merges with exact
@@ -948,7 +1166,17 @@ def wordpiece_learn_rounds_stats(spark, sf_dir):
     round (operators/wordpiece.py::learn_wordpiece_rounds).
     Bit-identical to the single-task learner at the same depth
     (CI-pinned, tests/test_wordpiece_ops.py); rows-only driver check —
-    the iterative argmax is not SQL-expressible."""
+    the iterative argmax is not SQL-expressible.
+
+    This entry is a LIVE DEMO of the beyond-memory-ceiling fallback at
+    bench scale, deliberately kept at 4 merges: the rounds path costs a
+    measured ≈ 2.6 s of driver-round latency PER MERGE (time envelope
+    in the operator docstring — ~20+ h at a production 30k-merge
+    depth).  The PRODUCTION path below the measured ≈ 1.5 GiB/M-words
+    single-task ceiling (i.e. for all realistic vocabularies,
+    tests/scale_probe.py) is ``learn_wordpiece_local`` — exercised by
+    ``wordpiece_learn_vocab``/``wordpiece_encode_stats`` at 16-48
+    merges in under a second."""
     vocab = word_vocab(_t(spark, sf_dir, "documents"))
     merges = learn_wordpiece_rounds(vocab, _WP_ROUNDS_MERGES)
     schema = ("merge_rank INT, left STRING, right STRING, "

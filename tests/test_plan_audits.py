@@ -295,6 +295,34 @@ def test_ppl_bucket_broadcasts_cutpoints_no_global_sort(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def test_ppl_bucket_percentile_input_is_bounded(spark):
+    """ppl_bucket_docs uses Spark's EXACT `percentile`, whose
+    aggregation buffer is a per-distinct-value counts map — safe HERE
+    only because the score column is pre-rounded to 4 decimals
+    (bounded distinct values ≈ score-range × 1e4, independent of
+    corpus size).  Pin that invariant in the plan: the percentile
+    aggregate must consume avg_logp, and avg_logp must be produced by
+    a round(..., 4) projection upstream — so a future reuse of the
+    cutpoint pattern over an UN-rounded double column (unbounded
+    buffer at scale) fails this audit instead of shipping."""
+    import re
+
+    from openskidata_processor_spark.operators.lm_score import (
+        bigram_logprob)
+    from openskidata_processor_spark.sources.tables import load_table
+
+    plan = _plan(QUERIES["ppl_bucket_docs"](spark, SF_SMOKE))
+    assert re.search(r"percentile\(avg_logp", plan), plan
+    # the avg_logp the percentile consumes is bigram_logprob's output
+    # (it crosses a lineage-truncation barrier in the full plan, and the
+    # physical HashAggregate elides result expressions, so the rounding
+    # projection is audited on the score subplan's OPTIMIZED plan)
+    score_df = bigram_logprob(load_table(spark, SF_SMOKE, "documents"))
+    score_plan = score_df._jdf.queryExecution().optimizedPlan().toString()
+    assert re.search(r"round\(.*, 4\) AS avg_logp", score_plan), \
+        "bigram_logprob's avg_logp is no longer rounded to 4 decimals"
+
+
 def test_pmi_caches_unigrams_and_broadcasts_total(spark):
     """pmi_collocations consumes the unigram frame three times (c_x
     join, c_y join, 1-row total) — it must flow through a
