@@ -152,8 +152,10 @@ EXTENDED_QUERIES = [
     "kn_score_docs",
     "kn3_score_docs",
     # round-12: modified Kneser-Ney (three count-dependent discounts
-    # per level, Chen & Goodman 1998 eq. 26)
+    # per level, Chen & Goodman 1998 eq. 26) and Stupid Backoff
+    # holdout scoring (Brants et al. 2007)
     "mkn_score_docs",
+    "sbo_score_docs",
     # round-11 CCNet head/middle/tail perplexity-tercile split +
     # the Gopher Table-A1 rule filter
     "ppl_bucket_docs",

@@ -1127,6 +1127,183 @@ FROM scored GROUP BY doc_id
 """
 
 
+@query("sbo_score_docs")
+def sbo_score_docs(spark, sf_dir):
+    """(doc_id, n_trigrams, n_oov, avg_logs): held-out documents scored
+    with STUPID BACKOFF (Brants et al. 2007, "Large Language Models in
+    Machine Translation" §4) — the smoother actually used at web scale,
+    and the family member whose whole point is the 100 TB shape: scores
+    are raw count ratios with a fixed backoff penalty, so training is
+    COUNTING ONLY — no discounts, no normalization pass, no
+    count-of-counts:
+
+        S(w3|w1 w2) = c(w1w2w3)/c(w1w2)    if c(w1w2w3) > 0
+                    = 0.4 · S(w3|w2)        otherwise
+        S(w3|w2)    = c(w2w3)/c(w2)         if c(w2w3) > 0
+                    = 0.4 · S(w3)           otherwise
+        S(w3)       = c(w3)/N
+
+    (α = 0.4, the paper's value.)  Unlike the KN family — which scores
+    the corpus on itself, where every n-gram is observed — this entry
+    TRAINS on the md5-bucket train split (the split_holdout_stats
+    convention, bucket < 80) and scores the HELD-OUT docs, so backoff
+    paths genuinely fire.  Positions whose w3 never occurs in training
+    are OOV (counted per doc, excluded from the mean — a score of 0
+    has no logarithm); docs with at least one scored position emerge.
+
+    Scale shape: ONE train-corpus scan explodes 1/2/3-grams tagged by
+    level into ONE map-side-combining groupBy (three Heaps-bounded
+    type tables in a single shuffle); the held-out trigram posting
+    then joins five type-bounded count tables and a 1-row broadcast
+    total.  avg_logs rounds to 4 decimals (family convention)."""
+    from ..operators.barrier import truncate_lineage
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = T.words(F.col("text"))
+    grp = F.md5(F.col("text"))
+    bucket = (F.conv(F.substring(grp, 1, 4), 16, 10)
+              .cast("long") % 100)
+    tagged = truncate_lineage(
+        docs.select("doc_id", ws.alias("ws"),
+                    (bucket < _SPLIT_TRAIN_PCT).alias("is_train")),
+        eager=False)
+    train = tagged.filter(F.col("is_train"))
+    grams = F.concat(
+        F.transform(F.col("ws"),
+                    lambda w: F.struct(F.lit(1).alias("lvl"),
+                                       w.alias("g"))),
+        F.transform(T.word_shingles(F.col("ws"), 2),
+                    lambda s: F.struct(F.lit(2).alias("lvl"),
+                                       s.alias("g"))),
+        F.transform(T.word_shingles(F.col("ws"), 3),
+                    lambda s: F.struct(F.lit(3).alias("lvl"),
+                                       s.alias("g"))))
+    counts = truncate_lineage(
+        train.select(F.explode(grams).alias("x"))
+        .groupBy(F.col("x.lvl").alias("lvl"), F.col("x.g").alias("g"))
+        .agg(F.count("*").alias("c")),
+        eager=False)
+    uni = counts.filter(F.col("lvl") == 1).select("g", "c")
+    bi = counts.filter(F.col("lvl") == 2).select(
+        F.split(F.col("g"), " ")[0].alias("b1"),
+        F.split(F.col("g"), " ")[1].alias("b2"), "c")
+    tri = counts.filter(F.col("lvl") == 3).select(
+        F.split(F.col("g"), " ")[0].alias("w1"),
+        F.split(F.col("g"), " ")[1].alias("w2"),
+        F.split(F.col("g"), " ")[2].alias("w3"),
+        F.col("c").alias("c123"))
+    total = uni.agg(F.sum("c").alias("n_tok"))
+
+    posts = (tagged.filter(~F.col("is_train"))
+             .select("doc_id",
+                     F.explode(T.word_shingles(F.col("ws"), 3))
+                     .alias("g"))
+             .select("doc_id",
+                     F.split(F.col("g"), " ")[0].alias("w1"),
+                     F.split(F.col("g"), " ")[1].alias("w2"),
+                     F.split(F.col("g"), " ")[2].alias("w3")))
+    scored = (posts
+              .join(tri, ["w1", "w2", "w3"], "left")
+              .join(bi.select(F.col("b1").alias("w1"),
+                              F.col("b2").alias("w2"),
+                              F.col("c").alias("c12")),
+                    ["w1", "w2"], "left")
+              .join(bi.select(F.col("b1").alias("w2"),
+                              F.col("b2").alias("w3"),
+                              F.col("c").alias("c23")),
+                    ["w2", "w3"], "left")
+              .join(uni.select(F.col("g").alias("w2"),
+                               F.col("c").alias("c2")), "w2", "left")
+              .join(uni.select(F.col("g").alias("w3"),
+                               F.col("c").alias("c3")), "w3", "left")
+              .crossJoin(F.broadcast(total))
+              .withColumn(
+                  "logs",
+                  F.when(F.col("c3").isNull(),
+                         F.lit(None).cast("double"))
+                  .when(F.col("c123").isNotNull(),
+                        F.log(F.col("c123").cast("double")
+                              / F.col("c12")))
+                  .when(F.col("c23").isNotNull(),
+                        F.log(F.lit(0.4)
+                              * (F.col("c23").cast("double")
+                                 / F.col("c2"))))
+                  .otherwise(
+                      F.log(F.lit(0.16)
+                            * (F.col("c3").cast("double")
+                               / F.col("n_tok"))))))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").alias("n_trigrams"),
+                 F.sum(F.col("logs").isNull().cast("long"))
+                 .alias("n_oov"),
+                 F.round(F.sum("logs") / F.count(F.col("logs")), 4)
+                 .alias("avg_logs"))
+            .filter(F.col("n_trigrams") > F.col("n_oov")))
+
+
+ORACLES["sbo_score_docs"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+         ('0x' || substr(md5(text), 1, 4))::BIGINT % 100
+           < {_SPLIT_TRAIN_PCT} AS is_train
+  FROM documents
+), grams AS MATERIALIZED (
+  SELECT lvl, g, count(*) AS c FROM (
+    SELECT 1 AS lvl, unnest(ws) AS g FROM d WHERE is_train
+    UNION ALL
+    SELECT 2, unnest([ws[i] || ' ' || ws[i+1]
+                      FOR i IN generate_series(1, len(ws) - 1)])
+    FROM d WHERE is_train AND len(ws) >= 2
+    UNION ALL
+    SELECT 3, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                      FOR i IN generate_series(1, len(ws) - 2)])
+    FROM d WHERE is_train AND len(ws) >= 3
+  ) GROUP BY lvl, g
+), uni AS (
+  SELECT g, c FROM grams WHERE lvl = 1
+), bi AS (
+  SELECT string_split(g, ' ')[1] AS b1, string_split(g, ' ')[2] AS b2, c
+  FROM grams WHERE lvl = 2
+), tri AS (
+  SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+         string_split(g, ' ')[3] AS w3, c AS c123
+  FROM grams WHERE lvl = 3
+), total AS (
+  SELECT SUM(c) AS n_tok FROM uni
+), posts AS (
+  SELECT doc_id, tg[1] AS w1, tg[2] AS w2, tg[3] AS w3
+  FROM (SELECT doc_id,
+               unnest([[ws[i], ws[i+1], ws[i+2]]
+                       FOR i IN generate_series(1, len(ws) - 2)]) AS tg
+        FROM d WHERE NOT is_train AND len(ws) >= 3)
+), scored AS (
+  SELECT p.doc_id,
+         CASE WHEN u3.c IS NULL THEN NULL
+              WHEN t.c123 IS NOT NULL
+                THEN ln(CAST(t.c123 AS DOUBLE) / b12.c)
+              WHEN b23.c IS NOT NULL
+                THEN ln(CAST(0.4 AS DOUBLE)
+                        * (CAST(b23.c AS DOUBLE) / u2.c))
+              ELSE ln(CAST(0.16 AS DOUBLE)
+                      * (CAST(u3.c AS DOUBLE) / total.n_tok)) END AS logs
+  FROM posts p
+  LEFT JOIN tri t USING (w1, w2, w3)
+  LEFT JOIN bi b12 ON b12.b1 = p.w1 AND b12.b2 = p.w2
+  LEFT JOIN bi b23 ON b23.b1 = p.w2 AND b23.b2 = p.w3
+  LEFT JOIN uni u2 ON u2.g = p.w2
+  LEFT JOIN uni u3 ON u3.g = p.w3
+  CROSS JOIN total
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(SUM(CASE WHEN logs IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(sum(logs) / count(logs), 4) AS avg_logs
+FROM scored GROUP BY doc_id
+HAVING count(logs) > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # WordPiece family (Schuster & Nakajima 2012 — the BERT tokenizer), the
 # third major subword algorithm: likelihood-scored merges with exact

@@ -283,6 +283,32 @@ def test_kn3_score_broadcasts_global_and_reuses_tables(spark):
     assert "Scan ExistingRDD" in plan, plan
 
 
+def test_mkn_score_broadcasts_global_and_reuses_tables(spark):
+    """mkn_score_docs (modified Kneser–Ney): same contract as kn3 — the
+    1-row six-discount global frame broadcasts (BNLJ), the five
+    type-table joins are broadcast hash joins, no Python evals, and the
+    posting/type frames flow through checkpoint barriers."""
+    plan = _plan(QUERIES["mkn_score_docs"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_sbo_score_single_count_shuffle_and_broadcast_total(spark):
+    """sbo_score_docs (Stupid Backoff): training is ONE exploded
+    1/2/3-gram groupBy (the three count tables derive from a single
+    shuffled aggregation behind one checkpoint barrier — counting only,
+    the Brants et al. scale property), the 1-row token total broadcasts
+    (BNLJ), and scoring stays Catalyst-side."""
+    plan = _plan(QUERIES["sbo_score_docs"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
 def test_ppl_bucket_broadcasts_cutpoints_no_global_sort(spark):
     """ppl_bucket_docs: the tercile cutpoints are a 1-row broadcast
     (BroadcastNestedLoopJoin), bucketing is a comparison — the plan

@@ -672,3 +672,43 @@ def test_record_task_peak_env_gate(tmp_path, monkeypatch):
     lines = [ln.split() for ln in p.read_text().splitlines()]
     assert [ln[0] for ln in lines] == ["tag_a", "tag_b"]
     assert all(int(ln[1]) > 0 for ln in lines)
+
+
+# --- stupid backoff (round 12) ------------------------------------------------
+
+def test_sbo_score_hand_computed_backoff_vectors(spark, tmp_path):
+    """Stupid Backoff pinned on a crafted corpus where every backoff
+    level fires and the expected scores are hand-computed — independent
+    of the shared-oracle parity check (which cannot catch a deviation
+    mirrored in both engines).  Trailing spaces steer each doc's md5
+    split bucket (words() drops empties, so tokens are unchanged while
+    the hash moves): train doc bucket 31; held-out docs 97/92/82/99.
+
+    Train "a b c a b d": c(abc)=1, c(ab)=2, c(bd)=1, c(b)=2, c(d)=1,
+    N=6.  Held-out:
+      "a b c"  -> trigram branch   ln(1/2)        = -0.6931
+      "c b d"  -> bigram backoff   ln(0.4 * 1/2)  = -1.6094
+      "c c d"  -> unigram backoff  ln(0.16 * 1/6) = -3.6243
+      "d d z"  -> w3 OOV, zero scored positions -> doc filtered out
+    """
+    from openskidata_processor_spark.plans import QUERIES
+
+    docs = [(0, "a b c a b d"),      # bucket 31 -> train
+            (1, "a b c "),           # bucket 97 -> held out
+            (2, "c b d"),            # bucket 92 -> held out
+            (3, "d d z  "),          # bucket 82 -> held out, all OOV
+            (4, "c c d")]            # bucket 99 -> held out
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long") \
+        .write.mode("overwrite") \
+        .parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r for r in
+           QUERIES["sbo_score_docs"](spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2, 4}                  # doc 3 all-OOV
+    assert (got[1]["n_trigrams"], got[1]["n_oov"]) == (1, 0)
+    assert got[1]["avg_logs"] == -0.6931
+    assert got[2]["avg_logs"] == -1.6094
+    assert (got[4]["n_trigrams"], got[4]["n_oov"]) == (1, 0)
+    assert got[4]["avg_logs"] == -3.6243
