@@ -1730,3 +1730,257 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          AS fail_dup_line_chars
 FROM flags GROUP BY source
 """
+
+
+def _dup_stats(arr):
+    """struct(el, ch) over an array column: repeat occurrences beyond
+    the first — an element appearing k > 1 times contributes (k−1) to
+    ``el`` and (k−1)·len to ``ch`` (datatrove ``find_duplicates``) —
+    via ONE fold over the sorted array (equal elements adjacent)."""
+    s = F.sort_array(arr)
+    z = F.zip_with(
+        s,
+        F.concat(F.array(F.lit(None).cast("string")),
+                 F.slice(s, 1, F.greatest(F.size(s) - 1, F.lit(0)))),
+        lambda cur, prev: F.struct(cur.alias("cur"), prev.alias("prev")))
+    dup = lambda x: x["prev"].isNotNull() & (x["cur"] == x["prev"])  # noqa: E731
+    return F.aggregate(
+        z,
+        F.struct(F.lit(0).cast("long").alias("el"),
+                 F.lit(0).cast("long").alias("ch")),
+        lambda acc, x: F.struct(
+            F.when(dup(x), acc["el"] + 1)
+            .otherwise(acc["el"]).alias("el"),
+            F.when(dup(x), acc["ch"] + F.length(x["cur"]))
+            .otherwise(acc["ch"]).alias("ch")))
+
+
+def _dup_gram_chars(grams):
+    """(k−1)·len chars of repeated n-grams (space-joined, so lengths
+    include separators — the datatrove convention)."""
+    return _dup_stats(grams)["ch"]
+
+
+def _top_gram_value(grams):
+    """len(gram)·count of the MOST FREQUENT n-gram, ties broken toward
+    the lexicographically smallest gram — one fold over the sorted
+    array tracking the current run and the best completed run (strict
+    ``>`` keeps the first = smallest gram on count ties)."""
+    s = F.sort_array(grams)
+    z = F.zip_with(
+        s,
+        F.concat(F.array(F.lit(None).cast("string")),
+                 F.slice(s, 1, F.greatest(F.size(s) - 1, F.lit(0)))),
+        lambda cur, prev: F.struct(cur.alias("cur"), prev.alias("prev")))
+    st = F.aggregate(
+        z,
+        F.struct(F.lit(None).cast("string").alias("g"),
+                 F.lit(0).cast("long").alias("run"),
+                 F.lit(0).cast("long").alias("bc"),
+                 F.lit(0).cast("long").alias("bv")),
+        lambda acc, x: F.struct(
+            x["cur"].alias("g"),
+            F.when(x["prev"].isNotNull() & (x["cur"] == x["prev"]),
+                   acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(x["prev"].isNotNull() & (x["cur"] != x["prev"])
+                   & (acc["run"] > acc["bc"]), acc["run"])
+            .otherwise(acc["bc"]).alias("bc"),
+            F.when(x["prev"].isNotNull() & (x["cur"] != x["prev"])
+                   & (acc["run"] > acc["bc"]),
+                   acc["run"] * F.length(acc["g"]))
+            .otherwise(acc["bv"]).alias("bv")))
+    return F.when(
+        st["g"].isNull(), F.lit(0).cast("long")
+    ).when(st["run"] > st["bc"],
+           st["run"] * F.length(st["g"])).otherwise(st["bv"])
+
+
+@query("gopher_repetition_docs")
+def gopher_repetition_docs(spark, sf_dir):
+    """(source, n_docs, n_pass, fail_dup_lines, fail_dup_paras,
+    fail_dup_line_chars, fail_dup_para_chars, fail_top_ngram,
+    fail_dup_ngram): the REPETITION half of Gopher's filter table (Rae
+    et al. 2021 §A.1.1) — the companion of ``gopher_quality_docs``,
+    which covers the quality rows.  A document passes iff NONE of the
+    thirteen repetition signals exceeds its published threshold
+    (removal is strictly-above, so exactly-at-threshold passes —
+    the round-11 advisory's semantics):
+
+      dup-line fraction ≤ 0.30        dup-paragraph fraction ≤ 0.30
+      dup-line char fraction ≤ 0.20   dup-paragraph char fraction ≤ 0.20
+      top 2/3/4-gram char fraction ≤ 0.20 / 0.18 / 0.16
+      dup 5/6/7/8/9/10-gram char fraction ≤ 0.15/0.14/0.13/0.12/0.11/0.10
+
+    Conventions (datatrove ``GopherRepetitionFilter``): duplicate
+    elements/chars count repeat occurrences only ((k−1) per distinct
+    element, ``find_duplicates``); lines split on LF, paragraphs on
+    double-LF (trailing empties kept in both engines); char-fraction
+    denominators are len(text) including newlines; n-grams are
+    space-joined so their lengths include separators.  Documented
+    deviations: the top-n-gram count tie breaks toward the
+    lexicographically smallest gram (datatrove inherits Counter
+    insertion order — not reproducible cross-engine), and dup-n-gram
+    chars count every repeat adjacency of the sorted gram multiset
+    rather than datatrove's stride-skipping sequential walk (whose
+    overlap rule is order-dependent); both are deterministic and
+    mirrored exactly in the oracle.
+
+    All thirteen signals are per-row sorted-array folds — ONE
+    whole-stage-codegen pass over the documents scan, one
+    groupBy(source); no joins, no UDFs, no explode (the n-gram arrays
+    never leave their row)."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    ws = T.words(text)
+    lc = F.length(text).cast("long")
+    lines = F.split(text, "\n", -1)
+    paras = F.split(text, "\n\n", -1)
+    dl = _dup_stats(lines)
+    dp = _dup_stats(paras)
+    n_lines = F.size(lines).cast("long")
+    n_paras = F.size(paras).cast("long")
+
+    top = {n: _top_gram_value(T.word_shingles(ws, n)) for n in (2, 3, 4)}
+    dup = {n: _dup_gram_chars(T.word_shingles(ws, n))
+           for n in range(5, 11)}
+
+    ok_dl = 10 * dl["el"] <= 3 * n_lines
+    ok_dp = 10 * dp["el"] <= 3 * n_paras
+    ok_dlc = 5 * dl["ch"] <= lc
+    ok_dpc = 5 * dp["ch"] <= lc
+    ok_top = ((5 * top[2] <= lc)
+              & (50 * top[3] <= 9 * lc)
+              & (25 * top[4] <= 4 * lc))
+    ok_dup = ((20 * dup[5] <= 3 * lc)
+              & (50 * dup[6] <= 7 * lc)
+              & (100 * dup[7] <= 13 * lc)
+              & (25 * dup[8] <= 3 * lc)
+              & (100 * dup[9] <= 11 * lc)
+              & (10 * dup[10] <= lc))
+    ok_all = ok_dl & ok_dp & ok_dlc & ok_dpc & ok_top & ok_dup
+
+    prepared = docs.select(
+        "source", ok_dl.alias("o1"), ok_dp.alias("o2"),
+        ok_dlc.alias("o3"), ok_dpc.alias("o4"),
+        ok_top.alias("o5"), ok_dup.alias("o6"), ok_all.alias("okall"))
+    fails = (lambda c, n:
+             F.sum((~F.col(c)).cast("long")).alias(n))
+    return (prepared.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("okall").cast("long")).alias("n_pass"),
+                 fails("o1", "fail_dup_lines"),
+                 fails("o2", "fail_dup_paras"),
+                 fails("o3", "fail_dup_line_chars"),
+                 fails("o4", "fail_dup_para_chars"),
+                 fails("o5", "fail_top_ngram"),
+                 fails("o6", "fail_dup_ngram")))
+
+
+ORACLES["gopher_repetition_docs"] = """
+WITH s AS MATERIALIZED (
+  SELECT doc_id AS rid, source, CAST(len(text) AS BIGINT) AS lc,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+         string_split(text, chr(10)) AS lines,
+         string_split(text, chr(10) || chr(10)) AS paras
+  FROM documents
+), dupel AS (
+  SELECT rid,
+         (SELECT CAST(coalesce(SUM(cnt - 1), 0) AS BIGINT)
+          FROM (SELECT count(*) AS cnt FROM (SELECT unnest(lines) AS e)
+                GROUP BY e) WHERE cnt > 1) AS dl_el,
+         (SELECT CAST(coalesce(SUM((cnt - 1) * len(e)), 0) AS BIGINT)
+          FROM (SELECT e, count(*) AS cnt FROM (SELECT unnest(lines) AS e)
+                GROUP BY e) WHERE cnt > 1) AS dl_ch,
+         (SELECT CAST(coalesce(SUM(cnt - 1), 0) AS BIGINT)
+          FROM (SELECT count(*) AS cnt FROM (SELECT unnest(paras) AS e)
+                GROUP BY e) WHERE cnt > 1) AS dp_el,
+         (SELECT CAST(coalesce(SUM((cnt - 1) * len(e)), 0) AS BIGINT)
+          FROM (SELECT e, count(*) AS cnt FROM (SELECT unnest(paras) AS e)
+                GROUP BY e) WHERE cnt > 1) AS dp_ch,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(paras) AS BIGINT) AS n_paras
+  FROM s
+), grams AS (
+  SELECT rid,
+         [array_to_string(ws[i:i+1], ' ')
+          FOR i IN generate_series(1, len(ws) - 1)] AS g2,
+         [array_to_string(ws[i:i+2], ' ')
+          FOR i IN generate_series(1, len(ws) - 2)] AS g3,
+         [array_to_string(ws[i:i+3], ' ')
+          FOR i IN generate_series(1, len(ws) - 3)] AS g4,
+         [array_to_string(ws[i:i+4], ' ')
+          FOR i IN generate_series(1, len(ws) - 4)] AS g5,
+         [array_to_string(ws[i:i+5], ' ')
+          FOR i IN generate_series(1, len(ws) - 5)] AS g6,
+         [array_to_string(ws[i:i+6], ' ')
+          FOR i IN generate_series(1, len(ws) - 6)] AS g7,
+         [array_to_string(ws[i:i+7], ' ')
+          FOR i IN generate_series(1, len(ws) - 7)] AS g8,
+         [array_to_string(ws[i:i+8], ' ')
+          FOR i IN generate_series(1, len(ws) - 8)] AS g9,
+         [array_to_string(ws[i:i+9], ' ')
+          FOR i IN generate_series(1, len(ws) - 9)] AS g10
+  FROM s
+), tops AS (
+  SELECT rid,
+         CAST(coalesce((SELECT len(g) * cnt FROM
+            (SELECT g, count(*) AS cnt FROM (SELECT unnest(g2) AS g)
+             GROUP BY g ORDER BY cnt DESC, g ASC LIMIT 1)), 0)
+          AS BIGINT) AS t2,
+         CAST(coalesce((SELECT len(g) * cnt FROM
+            (SELECT g, count(*) AS cnt FROM (SELECT unnest(g3) AS g)
+             GROUP BY g ORDER BY cnt DESC, g ASC LIMIT 1)), 0)
+          AS BIGINT) AS t3,
+         CAST(coalesce((SELECT len(g) * cnt FROM
+            (SELECT g, count(*) AS cnt FROM (SELECT unnest(g4) AS g)
+             GROUP BY g ORDER BY cnt DESC, g ASC LIMIT 1)), 0)
+          AS BIGINT) AS t4,
+         (SELECT CAST(coalesce(SUM((cnt - 1) * len(g)), 0) AS BIGINT)
+          FROM (SELECT g, count(*) AS cnt FROM (SELECT unnest(g5) AS g)
+                GROUP BY g) WHERE cnt > 1) AS d5,
+         (SELECT CAST(coalesce(SUM((cnt - 1) * len(g)), 0) AS BIGINT)
+          FROM (SELECT g, count(*) AS cnt FROM (SELECT unnest(g6) AS g)
+                GROUP BY g) WHERE cnt > 1) AS d6,
+         (SELECT CAST(coalesce(SUM((cnt - 1) * len(g)), 0) AS BIGINT)
+          FROM (SELECT g, count(*) AS cnt FROM (SELECT unnest(g7) AS g)
+                GROUP BY g) WHERE cnt > 1) AS d7,
+         (SELECT CAST(coalesce(SUM((cnt - 1) * len(g)), 0) AS BIGINT)
+          FROM (SELECT g, count(*) AS cnt FROM (SELECT unnest(g8) AS g)
+                GROUP BY g) WHERE cnt > 1) AS d8,
+         (SELECT CAST(coalesce(SUM((cnt - 1) * len(g)), 0) AS BIGINT)
+          FROM (SELECT g, count(*) AS cnt FROM (SELECT unnest(g9) AS g)
+                GROUP BY g) WHERE cnt > 1) AS d9,
+         (SELECT CAST(coalesce(SUM((cnt - 1) * len(g)), 0) AS BIGINT)
+          FROM (SELECT g, count(*) AS cnt FROM (SELECT unnest(g10) AS g)
+                GROUP BY g) WHERE cnt > 1) AS d10
+  FROM grams
+), flags AS (
+  SELECT s.source,
+         (10 * d.dl_el <= 3 * d.n_lines) AS o1,
+         (10 * d.dp_el <= 3 * d.n_paras) AS o2,
+         (5 * d.dl_ch <= s.lc) AS o3,
+         (5 * d.dp_ch <= s.lc) AS o4,
+         ((5 * t.t2 <= s.lc) AND (50 * t.t3 <= 9 * s.lc)
+          AND (25 * t.t4 <= 4 * s.lc)) AS o5,
+         ((20 * t.d5 <= 3 * s.lc) AND (50 * t.d6 <= 7 * s.lc)
+          AND (100 * t.d7 <= 13 * s.lc) AND (25 * t.d8 <= 3 * s.lc)
+          AND (100 * t.d9 <= 11 * s.lc) AND (10 * t.d10 <= s.lc)) AS o6
+  FROM s JOIN dupel d USING (rid) JOIN tops t USING (rid)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN o1 AND o2 AND o3 AND o4 AND o5 AND o6
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN o1 THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_dup_lines,
+       CAST(SUM(CASE WHEN o2 THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_dup_paras,
+       CAST(SUM(CASE WHEN o3 THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_dup_line_chars,
+       CAST(SUM(CASE WHEN o4 THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_dup_para_chars,
+       CAST(SUM(CASE WHEN o5 THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_top_ngram,
+       CAST(SUM(CASE WHEN o6 THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_dup_ngram
+FROM flags GROUP BY source
+"""

@@ -585,3 +585,63 @@ def test_fineweb_dup_chars_fail_above_threshold(spark, tmp_path):
     got = _quality_rows(spark, tmp_path, "fineweb_quality_docs",
                         [("dup3", text)])
     assert (got["dup3"].fail_dup_line_chars, got["dup3"].n_pass) == (1, 0)
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rules (round 12) — crafted boundary vectors.  As with
+# the quality-rule tests above, the DuckDB oracle shares every rule, so
+# these hand-pinned outcomes are the independent referee.
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_repetition_dup_line_fraction_boundary(spark, tmp_path):
+    """Gopher removes docs with dup-line fraction STRICTLY above 0.30:
+    a 10-line doc where one line occurs 4 times has 3 repeat
+    occurrences (find_duplicates counts k−1) = exactly 0.30 → passes;
+    5 occurrences (0.40) fails only the dup-line rule.  Lines are
+    single words with no spaces, so the word stream is one token and
+    every n-gram signal is trivially zero."""
+    dup = "qqqqq"
+    fill = ["uniquefillerlineno%02dxxxxx" % i for i in range(8)]  # 25 ch
+    ten = lambda k: "\n".join([dup] * k + fill[:10 - k])  # noqa: E731
+    got = _quality_rows(
+        spark, tmp_path, "gopher_repetition_docs",
+        [("at30", ten(4)), ("at40", ten(5))])
+    assert (got["at30"].n_pass, got["at30"].fail_dup_lines) == (1, 0)
+    assert (got["at40"].n_pass, got["at40"].fail_dup_lines) == (0, 1)
+    # 4 repeats x 5 chars = 20 dup chars against L = 159: under 0.20, so
+    # the char-fraction twin rule must NOT fire alongside
+    assert got["at40"].fail_dup_line_chars == 0
+
+
+def test_gopher_repetition_top_bigram_boundary(spark, tmp_path):
+    """Top-2-gram char fraction ≤ 0.20 passes AT the threshold: 'aa bb'
+    ×10 (value 10·5 = 50 chars) against total length exactly 250 passes
+    (5·50 = 250 ≤ L); shaving one character off the padding word
+    (L = 249) fails only the top-n-gram family."""
+    units = " ".join("aa bb u%02d" % i for i in range(1, 11))  # 99 chars
+    doc_pass = units + " " + "z" * 150                          # L = 250
+    doc_fail = units + " " + "z" * 149                          # L = 249
+    assert len(doc_pass) == 250 and len(doc_fail) == 249
+    got = _quality_rows(
+        spark, tmp_path, "gopher_repetition_docs",
+        [("at20", doc_pass), ("above", doc_fail)])
+    assert (got["at20"].n_pass, got["at20"].fail_top_ngram) == (1, 0)
+    assert (got["above"].n_pass, got["above"].fail_top_ngram) == (0, 1)
+    assert got["above"].fail_dup_ngram == 0
+
+
+def test_gopher_repetition_dup_ngram_family(spark, tmp_path):
+    """A 40-word all-distinct sequence written twice repeats every
+    internal 5..10-gram once: the (k−1)·len repeat mass fails the
+    dup-n-gram family while the top-2/3/4-gram values (count 2, short
+    grams) stay far below their thresholds.  The same sequence followed
+    by 40 fresh words passes everything."""
+    s = " ".join("a%d" % i if i >= 10 else "b%d" % i for i in range(40))
+    t = " ".join("c%d" % i if i >= 10 else "d%d" % i for i in range(40))
+    got = _quality_rows(
+        spark, tmp_path, "gopher_repetition_docs",
+        [("rep", s + " " + s), ("fresh", s + " " + t)])
+    assert (got["rep"].n_pass, got["rep"].fail_dup_ngram) == (0, 1)
+    assert got["rep"].fail_top_ngram == 0
+    assert (got["fresh"].n_pass, got["fresh"].fail_dup_ngram) == (1, 0)
