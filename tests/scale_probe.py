@@ -619,3 +619,18 @@ QUERIES_TO_PROBE += ["c4_quality_docs"]
 # sort+fold dup-line rule stays sub-second (no explode, no shuffle
 # beyond the source rollup).
 QUERIES_TO_PROBE += ["fineweb_quality_docs"]
+
+# Round-12 additions, measured at 10x (local[32], 2026-08-17; sf0.1
+# first readings carry the session's one-time codegen):
+# mkn_score_docs 10.5s -> 11.3s — near-FLAT: the three-discount
+# upgrade adds only per-type-table aggregate columns and a wider 1-row
+# global; the data-dependent stage is the same trigram posting scan as
+# kn3.  sbo_score_docs 3.5s -> 9.6s (2.7x wall for 10x data): the
+# exploded 1/2/3-gram count shuffle is the linear stage; the five count
+# tables stay Heaps-bounded and the scoring joins are type-table-sized.
+# gopher_repetition_docs 3.9s -> 3.2s — FLAT warm: thirteen per-row
+# sorted-array folds, no explode/join, one source rollup; the sf0.1
+# first reading is dominated by codegen of the ~13-fold expression
+# tree.
+QUERIES_TO_PROBE += ["mkn_score_docs", "sbo_score_docs",
+                     "gopher_repetition_docs"]
