@@ -156,8 +156,10 @@ EXTENDED_QUERIES = [
     # holdout scoring (Brants et al. 2007)
     "mkn_score_docs",
     "sbo_score_docs",
-    # round-12: the repetition half of Gopher's filter table
+    # round-12: the repetition half of Gopher's filter table, and the
+    # per-source KL/JS divergence for data-mixing decisions
     "gopher_repetition_docs",
+    "source_unigram_kl",
     # round-11 CCNet head/middle/tail perplexity-tercile split +
     # the Gopher Table-A1 rule filter
     "ppl_bucket_docs",

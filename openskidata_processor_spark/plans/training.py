@@ -1581,3 +1581,106 @@ FROM d a JOIN d b USING (shingle)
 WHERE a.source < b.source
 GROUP BY 1, 2
 """
+
+
+_LN2 = 0.6931471805599453   # ln 2 as an exact double LITERAL in both
+                            # engines (never a runtime log(2) call —
+                            # cross-engine libm identity is not worth
+                            # betting a hash match on)
+
+
+@query("source_unigram_kl")
+def source_unigram_kl(spark, sf_dir):
+    """(source, n_words, n_distinct, coverage_q, kl_to_corpus,
+    js_to_corpus): per-source unigram-distribution divergence from the
+    whole-corpus distribution — the domain-relevance statistic behind
+    data-mixing and domain-reweighting decisions (which sources are
+    interchangeable, which are outliers; the n-gram-distribution
+    counterpart of DSIR's hashed importance weights):
+
+        KL(P_s ‖ P_c) = Σ_w  p·ln(p/q)          (support of the source)
+        JS(P_s, P_c)  = ½·Σ_w p·ln(p/m) + ½·Σ_w q·ln(q/m),  m = (p+q)/2
+
+    with p = c_sw/tot_s, q = c_w/tot.  KL is finite by construction
+    (q ≥ p·tot_s/tot > 0 on the source's support).  The JS right-hand
+    sum nominally runs over the WHOLE corpus vocabulary per source —
+    a |sources|×|vocab| blowup — but every word OUTSIDE the source's
+    support has m = q/2, so its term is q·ln 2, and the tail collapses
+    in closed form:
+
+        Σ_{w∉S} q·ln(q/m) = (1 − Q_S)·ln 2,   Q_S = Σ_{w∈S} q
+
+    so the whole computation stays on the (source, word) support frame
+    — the algebra, not a bigger join, removes the blowup.  coverage_q
+    IS Q_S (share of corpus token mass covered by the source's vocab).
+
+    Scale shape: one corpus scan → (source, word) counts (one shuffle,
+    |sources|×Heaps-bounded); word-level corpus counts derive from the
+    SAME frame by a second type-table-bounded aggregation; per-source
+    totals and the 1-row corpus total broadcast.  Per-source sums
+    round to 4 decimals (family convention; the ~1e-11 cross-engine
+    double-sum association drift is far inside the rounding step)."""
+    from ..operators.barrier import truncate_lineage
+
+    sw = truncate_lineage(
+        _t(spark, sf_dir, "documents")
+        .select("source", F.explode(T.words(F.col("text"))).alias("w"))
+        .groupBy("source", "w").agg(F.count("*").alias("c_sw")),
+        eager=False)
+    tot_s = sw.groupBy("source").agg(F.sum("c_sw").alias("tot_s"))
+    glob_w = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    tot = glob_w.agg(F.sum("c_w").alias("tot"))
+
+    p = F.col("c_sw").cast("double") / F.col("tot_s")
+    q = F.col("c_w").cast("double") / F.col("tot")
+    m = (p + q) / F.lit(2.0)
+    terms = (sw.join(glob_w, "w")
+             .join(F.broadcast(tot_s), "source")
+             .crossJoin(F.broadcast(tot))
+             .select("source", "c_sw",
+                     (p * F.log(p / q)).alias("kl_term"),
+                     (p * F.log(p / m)).alias("js_p_term"),
+                     (q * F.log(q / m)).alias("js_q_term"),
+                     q.alias("q")))
+    return (terms.groupBy("source")
+            .agg(F.sum("c_sw").alias("n_words"),
+                 F.count("*").alias("n_distinct"),
+                 F.round(F.sum("q"), 4).alias("coverage_q"),
+                 F.round(F.sum("kl_term"), 4).alias("kl_to_corpus"),
+                 F.round(F.lit(0.5) * F.sum("js_p_term")
+                         + F.lit(0.5) * (F.sum("js_q_term")
+                                         + (F.lit(1.0) - F.sum("q"))
+                                         * F.lit(_LN2)), 4)
+                 .alias("js_to_corpus")))
+
+
+ORACLES["source_unigram_kl"] = f"""
+WITH sw AS MATERIALIZED (
+  SELECT source, w, count(*) AS c_sw
+  FROM (SELECT source, unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY source, w
+), tot_s AS (
+  SELECT source, CAST(SUM(c_sw) AS BIGINT) AS tot_s FROM sw GROUP BY source
+), glob_w AS (
+  SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY w
+), tot AS (
+  SELECT CAST(SUM(c_w) AS BIGINT) AS tot FROM glob_w
+), terms AS (
+  SELECT sw.source, sw.c_sw,
+         (CAST(sw.c_sw AS DOUBLE) / ts.tot_s) AS p,
+         (CAST(g.c_w AS DOUBLE) / t.tot) AS q
+  FROM sw JOIN glob_w g USING (w) JOIN tot_s ts USING (source)
+  CROSS JOIN tot t
+)
+SELECT source,
+       CAST(SUM(c_sw) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(SUM(q), 4) AS coverage_q,
+       round(SUM(p * ln(p / q)), 4) AS kl_to_corpus,
+       round(0.5 * SUM(p * ln(p / ((p + q) / 2.0)))
+             + 0.5 * (SUM(q * ln(q / ((p + q) / 2.0)))
+                      + (1.0 - SUM(q)) * {_LN2!r}), 4) AS js_to_corpus
+FROM terms GROUP BY source
+"""

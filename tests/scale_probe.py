@@ -634,3 +634,10 @@ QUERIES_TO_PROBE += ["fineweb_quality_docs"]
 # tree.
 QUERIES_TO_PROBE += ["mkn_score_docs", "sbo_score_docs",
                      "gopher_repetition_docs"]
+
+# source_unigram_kl at 10x (local[32], 2026-08-17): 7.0s -> 2.6s —
+# the sf0.1 first reading is session codegen; warm, the one
+# (source, word) count shuffle plus the word-level re-aggregation are
+# both |sources|x-Heaps-bounded, and the JS out-of-support tail is
+# CLOSED-FORM ((1-Q_S)*ln2), so no stage grows with sources x vocab.
+QUERIES_TO_PROBE += ["source_unigram_kl"]

@@ -955,3 +955,54 @@ def test_file_skipping_prunes_majority_for_narrow_predicates(spark):
     for r in rows:
         assert 0 <= r.n_skipped <= r.n_files
         assert 0 <= r.rows_scanned <= r.rows_total
+
+
+# --- per-source unigram divergence (round 12) ---------------------------------
+
+def test_source_unigram_kl_hand_computed(spark, tmp_path):
+    """KL/JS pinned on a two-source corpus small enough to hand-derive:
+    src A = 'x x y' (x:2 y:1), src B = 'x z' (x:1 z:1); corpus x:3 y:1
+    z:1, tot 5.  Expected values computed from the same closed forms in
+    python — including the (1−Q_S)·ln2 tail that replaces the
+    out-of-support half of the JS sum — and compared after the shared
+    4-decimal rounding."""
+    import math
+
+    from openskidata_processor_spark.plans import QUERIES
+    from openskidata_processor_spark.plans.training import _LN2
+
+    docs = [(0, "x x y", "A"), (1, "x z", "B")]
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in docs],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long") \
+        .write.mode("overwrite") \
+        .parquet(str(tmp_path / "documents.parquet"))
+
+    def expected(counts, corpus, tot):
+        ts = sum(counts.values())
+        kl = js_p = js_q = qs = 0.0
+        for w, c in counts.items():
+            p, q = c / ts, corpus[w] / tot
+            kl += p * math.log(p / q)
+            m = (p + q) / 2.0
+            js_p += p * math.log(p / m)
+            js_q += q * math.log(q / m)
+            qs += q
+        return (round(qs, 4), round(kl, 4),
+                round(0.5 * js_p + 0.5 * (js_q + (1.0 - qs) * _LN2), 4))
+
+    corpus = {"x": 3, "y": 1, "z": 1}
+    exp = {"A": expected({"x": 2, "y": 1}, corpus, 5),
+           "B": expected({"x": 1, "z": 1}, corpus, 5)}
+    got = {r["source"]: r for r in
+           QUERIES["source_unigram_kl"](spark, str(tmp_path)).collect()}
+    assert set(got) == {"A", "B"}
+    assert (got["A"]["n_words"], got["A"]["n_distinct"]) == (3, 2)
+    assert (got["B"]["n_words"], got["B"]["n_distinct"]) == (2, 2)
+    for s in ("A", "B"):
+        assert (got[s]["coverage_q"], got[s]["kl_to_corpus"],
+                got[s]["js_to_corpus"]) == exp[s], s
+    # A is closer to the corpus than B (it carries 3/5 of the mass)
+    assert got["A"]["kl_to_corpus"] < got["B"]["kl_to_corpus"]
+    assert got["A"]["js_to_corpus"] < got["B"]["js_to_corpus"]
