@@ -160,6 +160,7 @@ EXTENDED_QUERIES = [
     # per-source KL/JS divergence for data-mixing decisions
     "gopher_repetition_docs",
     "source_unigram_kl",
+    "stream_gopher_quality",
     # round-11 CCNet head/middle/tail perplexity-tercile split +
     # the Gopher Table-A1 rule filter
     "ppl_bucket_docs",

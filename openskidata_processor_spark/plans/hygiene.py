@@ -1415,7 +1415,15 @@ def gopher_quality_docs(spark, sf_dir):
     One whole-stage-codegen pass over the documents scan — per-row
     string ops, one groupBy(source); no joins, no UDFs, no shuffles
     beyond the final source rollup."""
-    docs = _t(spark, sf_dir, "documents")
+    return gopher_quality_rollup(
+        gopher_quality_flags(_t(spark, sf_dir, "documents")))
+
+
+def gopher_quality_flags(docs):
+    """(source, okc, okm, oks, okb, oke, oka, okw, okall): per-row
+    Gopher Table A1 rule flags — the whole-stage-codegen half of
+    ``gopher_quality_docs``, shared with the streaming ledger twin
+    (``streaming/documents.py::streaming_gopher_quality``)."""
     text = F.col("text")
     ws = T.words(text)
     n_words = F.size(ws).cast("long")
@@ -1448,15 +1456,22 @@ def gopher_quality_docs(spark, sf_dir):
     ok_stop = stop_hits >= 2
     ok_all = (ok_count & ok_mean & ok_sym & ok_bullet & ok_ell
               & ok_alpha & ok_stop)
-
-    def fails(c, name):
-        return F.sum((~c).cast("long")).alias(name)
-
-    prepared = docs.select(
+    return docs.select(
         "source", ok_count.alias("okc"), ok_mean.alias("okm"),
         ok_sym.alias("oks"), ok_bullet.alias("okb"),
         ok_ell.alias("oke"), ok_alpha.alias("oka"),
         ok_stop.alias("okw"), ok_all.alias("okall"))
+
+
+def gopher_quality_rollup(prepared):
+    """Per-source pass/fail rollup over a flag frame.  The counters are
+    purely ADDITIVE, so the rollup composes: applying it per micro-batch
+    and summing the partials (``gopher_quality_merge``) equals applying
+    it once to the whole corpus — the property the streaming ledger
+    twin's oracle-sharing rests on."""
+    def fails(c, name):
+        return F.sum((~c).cast("long")).alias(name)
+
     return (prepared.groupBy("source")
             .agg(F.count("*").alias("n_docs"),
                  F.sum(F.col("okall").cast("long")).alias("n_pass"),
@@ -1467,6 +1482,19 @@ def gopher_quality_docs(spark, sf_dir):
                  fails(F.col("oke"), "fail_ellipsis"),
                  fails(F.col("oka"), "fail_alpha"),
                  fails(F.col("okw"), "fail_stop")))
+
+
+GOPHER_COUNTER_COLS = ("n_docs", "n_pass", "fail_word_count",
+                       "fail_mean_len", "fail_symbol", "fail_bullet",
+                       "fail_ellipsis", "fail_alpha", "fail_stop")
+
+
+def gopher_quality_merge(partials):
+    """Merge per-batch rollup partials into the corpus answer: one
+    groupBy(source) summing each additive counter."""
+    return (partials.groupBy("source")
+            .agg(*[F.sum(c).cast("long").alias(c)
+                   for c in GOPHER_COUNTER_COLS]))
 
 
 ORACLES["gopher_quality_docs"] = f"""
@@ -1874,6 +1902,22 @@ def gopher_repetition_docs(spark, sf_dir):
                  fails("o4", "fail_dup_para_chars"),
                  fails("o5", "fail_top_ngram"),
                  fails("o6", "fail_dup_ngram")))
+
+
+@query("stream_gopher_quality")
+def stream_gopher_quality(spark, sf_dir):
+    """(source, n_docs, n_pass, fail_* x7): streaming twin of
+    gopher_quality_docs — per-batch Table A1 flags over NEW documents
+    only, additive per-source counters in a replay-idempotent ledger
+    (streaming/documents.py::streaming_gopher_quality).  Shares the
+    batch oracle: a ledger replay or merge defect surfaces as a hash
+    mismatch."""
+    from ..streaming.documents import streaming_gopher_quality
+
+    return streaming_gopher_quality(spark, sf_dir)
+
+
+ORACLES["stream_gopher_quality"] = ORACLES["gopher_quality_docs"]
 
 
 ORACLES["gopher_repetition_docs"] = """

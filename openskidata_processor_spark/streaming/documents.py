@@ -656,3 +656,67 @@ def streaming_vocab_pair_stats(spark: SparkSession, sf_dir: str,
     if state_base is None:
         shutil.rmtree(work, ignore_errors=True)
     return result
+
+
+def streaming_gopher_quality(spark: SparkSession, sf_dir: str,
+                             max_files_per_trigger: int | None = None,
+                             state_base: str | None = None) -> DataFrame:
+    """Incremental Gopher quality audit — the streaming twin of
+    ``plans.hygiene.gopher_quality_docs``, and the STATELESS-hygiene
+    genre of the streaming family: per micro-batch the Table A1 flags
+    are pure per-row expression work over the NEW documents only (no
+    standing state is ever read back), and the per-source pass/fail
+    counters are purely ADDITIVE, so each batch writes its own partial
+    rollup to a replay-idempotent ledger (OVERWRITE ``batch=<id>``
+    partition — a re-delivered batch_id rewrites identical content
+    instead of double-counting, the same contract as the vocab/
+    curation/winnow twins) and the drained ledger merges to EXACTLY
+    the batch query's answer.  Shares ``gopher_quality_docs``' DuckDB
+    oracle for that reason: a ledger replay or merge defect surfaces
+    as a driver hash mismatch, not a weaker rows-only check.
+
+    At 100 TB this is how the audit actually runs: quality counters
+    update as crawl shards land, with per-batch cost proportional to
+    the batch — never a corpus re-scan — and the ledger merge is
+    sources-sized."""
+    import shutil
+    import tempfile
+
+    from ..plans.hygiene import (gopher_quality_flags,
+                                 gopher_quality_merge,
+                                 gopher_quality_rollup)
+
+    work = state_base or tempfile.mkdtemp(prefix="stream_gopher_")
+    if state_base:
+        _pin_source(work, sf_dir)
+    stream = _file_stream(spark, sf_dir, "documents",
+                          max_files_per_trigger)
+    ledger_dir = os.path.join(work, "quality_ledger")
+    ckpt_dir = os.path.join(work, "checkpoint")
+
+    def process_batch(batch_df, batch_id):
+        (gopher_quality_rollup(gopher_quality_flags(batch_df))
+         .write.mode("overwrite")
+         .parquet(os.path.join(ledger_dir, f"batch={batch_id}")))
+
+    name = f"stream_gopher_{uuid.uuid4().hex[:8]}"
+    q = (stream.writeStream.foreachBatch(process_batch)
+         .queryName(name)
+         .option("checkpointLocation", ckpt_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+    if not os.path.exists(ledger_dir):       # empty source → no batches
+        if state_base is None:
+            shutil.rmtree(work, ignore_errors=True)
+        return spark.createDataFrame(
+            [], "source string, n_docs long, n_pass long, "
+                "fail_word_count long, fail_mean_len long, "
+                "fail_symbol long, fail_bullet long, "
+                "fail_ellipsis long, fail_alpha long, fail_stop long")
+    result = gopher_quality_merge(
+        spark.read.parquet(ledger_dir)).localCheckpoint(eager=True)
+    if state_base is None:
+        shutil.rmtree(work, ignore_errors=True)
+    return result

@@ -742,3 +742,51 @@ def test_streaming_vocab_state_base_pinned_and_reusable(spark, tmp_path):
     other.mkdir()
     with _pytest.raises(ValueError, match="pinned to source"):
         streaming_vocab_pair_stats(spark, str(other), state_base=state)
+
+
+def test_streaming_gopher_quality_forced_multi_batch(spark, tmp_path):
+    """The quality ledger must accumulate ADDITIVE per-source counters
+    across micro-batches (one file per trigger) and merge into EXACTLY
+    the batch oracle — a source spanning batches must sum its partials,
+    not shadow them.  Docs are crafted so pass and multiple distinct
+    fail reasons land in different batches of the same source."""
+    import duckdb
+    import pandas as pd
+
+    from openskidata_processor_spark.plans import ORACLES
+    from openskidata_processor_spark.streaming.documents import \
+        streaming_gopher_quality
+
+    stops = ["that", "have", "with"]     # 4-char stops: mean len 4.0
+    good = " ".join(stops[i % 3] for i in range(100))      # passes all
+    short = "too few words"                                # fails count
+    hashy = " ".join(stops[i % 3] + ("#" if i < 20 else "")
+                     for i in range(100))                  # fails symbol
+    b1 = [(1, "s1", good, "en", len(good))]
+    b2 = [(2, "s1", short, "en", len(short)),
+          (3, "s2", good, "en", len(good))]
+    b3 = [(4, "s1", hashy, "en", len(hashy))]
+    schema = ("doc_id long, source string, text string, lang string, "
+              "n_chars long")
+    d = tmp_path / "stream_gopher_src"
+    d.mkdir()
+    for batch in (b1, b2, b3):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append").parquet(str(d / "documents.parquet"))
+
+    got = sorted(map(tuple, streaming_gopher_quality(
+        spark, str(d), max_files_per_trigger=1).collect()))
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        b1 + b2 + b3, columns=["doc_id", "source", "text", "lang",
+                               "n_chars"]))
+    want = sorted(map(tuple,
+                      con.execute(ORACLES["stream_gopher_quality"])
+                      .fetchall()))
+    assert got == want
+    by_src = {r[0]: r for r in got}
+    # s1 spans all three batches: 3 docs, 1 pass, one count fail from
+    # batch 2 and one symbol fail from batch 3 — cross-batch summation
+    assert by_src["s1"][1:4] == (3, 1, 1)     # n_docs, n_pass, fail_count
+    assert by_src["s1"][5] == 1               # fail_symbol
+    assert by_src["s2"][1:3] == (1, 1)
