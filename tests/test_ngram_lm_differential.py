@@ -282,3 +282,65 @@ def test_mkn_differs_from_kn3_where_it_should(spark, tmp_path):
                 if exp_kn3[d][1] != exp_mkn[d][1]}
     assert diff_engine, "modified KN never changed a score"
     assert diff_engine == diff_ref
+
+
+# --- stupid backoff (first principles, incl. the md5 split) -------------------
+
+def ref_sbo(docs):
+    """doc_id -> (n_trigrams, n_oov, avg_logs) from raw token lists:
+    md5-bucket split (bucket < 80 trains), counts-only training, the
+    Brants recurrence with alpha = 0.4 — no engine machinery."""
+    import hashlib
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % 100
+
+    train = [(d, t) for d, t in docs if bucket(t) < 80]
+    held = [(d, t) for d, t in docs if bucket(t) >= 80]
+    uni, bi, tri = Counter(), Counter(), Counter()
+    for _, t in train:
+        ws = _words(t)
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+        tri.update(zip(ws, ws[1:], ws[2:]))
+    n_tok = sum(uni.values())
+    out = {}
+    for doc_id, t in held:
+        ws = _words(t)
+        if len(ws) < 3:
+            continue
+        logs, n_oov, n_tri = [], 0, 0
+        for g in zip(ws, ws[1:], ws[2:]):
+            n_tri += 1
+            a, b, c = g
+            if uni[c] == 0:
+                n_oov += 1
+                continue
+            if tri[g] > 0:
+                s = tri[g] / bi[(a, b)]
+            elif bi[(b, c)] > 0:
+                s = 0.4 * (bi[(b, c)] / uni[b])
+            else:
+                s = 0.16 * (uni[c] / n_tok)
+            logs.append(math.log(s))
+        if logs:
+            out[doc_id] = (n_tri, n_oov,
+                           round(sum(logs) / len(logs), 4))
+    return out
+
+
+def test_sbo_matches_first_principles_on_smoke(spark, tmp_path):
+    """Full-corpus differential for sbo_score_docs: the md5 split, the
+    single-pass 1/2/3-gram ledger, the five left joins, and the OOV
+    exclusion must all reduce to the plain dict recurrence."""
+    docs = _texts()
+    exp = ref_sbo(docs)
+    got = _run(spark, tmp_path, docs, "sbo_score_docs")
+    assert set(got) == set(exp)
+    for doc_id, (n, oov, avg) in exp.items():
+        row = got[doc_id]
+        assert (row["n_trigrams"], row["n_oov"]) == (n, oov), doc_id
+        assert row["avg_logs"] == avg, (
+            doc_id, row["avg_logs"], avg)
+    # the held-out slice is a real minority split, not degenerate
+    assert 0 < len(exp) < len(docs)
