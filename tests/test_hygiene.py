@@ -645,3 +645,73 @@ def test_gopher_repetition_dup_ngram_family(spark, tmp_path):
     assert (got["rep"].n_pass, got["rep"].fail_dup_ngram) == (0, 1)
     assert got["rep"].fail_top_ngram == 0
     assert (got["fresh"].n_pass, got["fresh"].fail_dup_ngram) == (1, 0)
+
+
+def test_gopher_repetition_matches_first_principles(spark, tmp_path):
+    """Full-corpus differential: every repetition signal recomputed in
+    plain python (Counter-based find_duplicates, explicit top-gram tie
+    rule, repeat-adjacency dup-gram mass) from raw text — independent
+    of both engines' fold/subquery machinery — and the per-source
+    pass/fail rollup must match exactly on the smoke corpus."""
+    from collections import Counter
+
+    import duckdb
+
+    from conftest import SF_SMOKE
+    from openskidata_processor_spark.plans import QUERIES
+
+    rows = duckdb.sql(
+        f"SELECT source, text FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')").fetchall()
+
+    def dup_stats(elems):
+        cnt = Counter(elems)
+        el = sum(c - 1 for c in cnt.values() if c > 1)
+        ch = sum((c - 1) * len(e) for e, c in cnt.items() if c > 1)
+        return el, ch
+
+    def grams(ws, n):
+        return [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+
+    def top_val(gs):
+        if not gs:
+            return 0
+        cnt = Counter(gs)
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        return len(best[0]) * best[1]
+
+    def doc_ok(text):
+        ws = [w for w in text.split(" ") if w]
+        lc = len(text)
+        lines, paras = text.split("\n"), text.split("\n\n")
+        dl_el, dl_ch = dup_stats(lines)
+        dp_el, dp_ch = dup_stats(paras)
+        o1 = 10 * dl_el <= 3 * len(lines)
+        o2 = 10 * dp_el <= 3 * len(paras)
+        o3 = 5 * dl_ch <= lc
+        o4 = 5 * dp_ch <= lc
+        t2, t3, t4 = (top_val(grams(ws, n)) for n in (2, 3, 4))
+        o5 = (5 * t2 <= lc) and (50 * t3 <= 9 * lc) \
+            and (25 * t4 <= 4 * lc)
+        d = {n: dup_stats(grams(ws, n))[1] for n in range(5, 11)}
+        o6 = ((20 * d[5] <= 3 * lc) and (50 * d[6] <= 7 * lc)
+              and (100 * d[7] <= 13 * lc) and (25 * d[8] <= 3 * lc)
+              and (100 * d[9] <= 11 * lc) and (10 * d[10] <= lc))
+        return (o1, o2, o3, o4, o5, o6)
+
+    exp = {}
+    for source, text in rows:
+        oks = doc_ok(text)
+        agg = exp.setdefault(source, [0] * 8)
+        agg[0] += 1
+        agg[1] += all(oks)
+        for i, ok in enumerate(oks):
+            agg[2 + i] += not ok
+    got = {r["source"]: r for r in QUERIES["gopher_repetition_docs"](
+        spark, SF_SMOKE).collect()}
+    assert set(got) == set(exp)
+    cols = ("n_docs", "n_pass", "fail_dup_lines", "fail_dup_paras",
+            "fail_dup_line_chars", "fail_dup_para_chars",
+            "fail_top_ngram", "fail_dup_ngram")
+    for s, agg in exp.items():
+        assert tuple(got[s][c] for c in cols) == tuple(agg), s
