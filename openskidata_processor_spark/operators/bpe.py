@@ -142,9 +142,15 @@ def learn_bpe(vocab: DataFrame, n_merges: int, min_count: int = 2,
     drops below ``min_count``.  ``incremental=False`` recomputes the
     pair counts from scratch each iteration (the equality-pin twin).
     """
+    # Lazy lineage cuts (eager=False): the per-round argmax collect is the
+    # only driver-sequenced action; pending pc/cur checkpoints materialize
+    # inside that job instead of as extra synchronous jobs, and the final
+    # round's never-read pc update is skipped outright.
     cur = truncate_lineage(
-        vocab.select("w", "freq", chars(F.col("w")).alias("syms")))
-    pc = truncate_lineage(pair_counts(cur)) if incremental else None
+        vocab.select("w", "freq", chars(F.col("w")).alias("syms")),
+        eager=False)
+    pc = truncate_lineage(pair_counts(cur), eager=False) \
+        if incremental else None
 
     merges: list[dict] = []
     for rank in range(n_merges):
@@ -161,16 +167,25 @@ def learn_bpe(vocab: DataFrame, n_merges: int, min_count: int = 2,
 
         hit = contains_pair(F.col("syms"), a, b)
         if incremental:
-            affected = cur.filter(hit)
-            old_p = (affected
+            # Materialize the affected words WITH their post-merge symbol
+            # arrays once (lazy cut): both ±delta legs then derive from
+            # plain columns, so the Catalyst merge fold is planned and
+            # evaluated once per round instead of once per leg, and cur
+            # is scanned once instead of per leg.
+            upd = truncate_lineage(
+                cur.filter(hit).select(
+                    "freq", "syms",
+                    merge_pair(F.col("syms"), a, b).alias("nsyms")),
+                eager=False)
+            old_p = (upd
                      .select("freq", F.explode(
                          adjacent_pairs(F.col("syms"))).alias("p"))
                      .select(F.col("p.l").alias("l"),
                              F.col("p.r").alias("r"),
                              (-F.col("freq")).alias("cnt")))
-            new_p = (affected
-                     .select("freq", F.explode(adjacent_pairs(
-                         merge_pair(F.col("syms"), a, b))).alias("p"))
+            new_p = (upd
+                     .select("freq", F.explode(
+                         adjacent_pairs(F.col("nsyms"))).alias("p"))
                      .select(F.col("p.l").alias("l"),
                              F.col("p.r").alias("r"),
                              F.col("freq").alias("cnt")))
@@ -183,7 +198,7 @@ def learn_bpe(vocab: DataFrame, n_merges: int, min_count: int = 2,
             pc = (pc.unionByName(old_p).unionByName(new_p)
                   .groupBy("l", "r").agg(F.sum("cnt").alias("cnt"))
                   .filter(F.col("cnt") > 0))
-            pc = truncate_lineage(pc)
+            pc = truncate_lineage(pc, eager=False)
         cur = cur.withColumn(
             "syms",
             F.when(hit, merge_pair(F.col("syms"), a, b))
@@ -477,9 +492,12 @@ def learn_bpe_batched(vocab: DataFrame, n_merges: int, min_count: int = 2,
     ``learn_bpe_local`` covers all realistic vocabularies with zero
     driver rounds (0.60 s at bench depth, 85 s for a 1M-word vocab at
     full 30k-class depth)."""
+    # Lazy lineage cuts, as in learn_bpe: one driver-sequenced action
+    # (the top-K collect) per round.
     cur = truncate_lineage(
-        vocab.select("w", "freq", chars(F.col("w")).alias("syms")))
-    pc = truncate_lineage(pair_counts(cur))
+        vocab.select("w", "freq", chars(F.col("w")).alias("syms")),
+        eager=False)
+    pc = truncate_lineage(pair_counts(cur), eager=False)
 
     merges: list[dict] = []
     rounds = 0
@@ -502,23 +520,31 @@ def learn_bpe_batched(vocab: DataFrame, n_merges: int, min_count: int = 2,
 
         pairs = [(a, b) for a, b, _ in sel]
         hit = contains_any_pair(F.col("syms"), pairs)
-        affected = cur.filter(hit)
-        old_p = (affected
+        # Affected words + post-merge symbols materialized once (lazy
+        # cut); the ±delta legs read plain columns — the combined fold is
+        # planned/evaluated once per round, cur scanned once per round.
+        upd = truncate_lineage(
+            cur.filter(hit).select(
+                "freq", "syms",
+                merge_pairs_multi(F.col("syms"), pairs).alias("nsyms")),
+            eager=False)
+        old_p = (upd
                  .select("freq", F.explode(
                      adjacent_pairs(F.col("syms"))).alias("p"))
                  .select(F.col("p.l").alias("l"),
                          F.col("p.r").alias("r"),
                          (-F.col("freq")).alias("cnt")))
-        new_p = (affected
-                 .select("freq", F.explode(adjacent_pairs(
-                     merge_pairs_multi(F.col("syms"), pairs))).alias("p"))
+        new_p = (upd
+                 .select("freq", F.explode(
+                     adjacent_pairs(F.col("nsyms"))).alias("p"))
                  .select(F.col("p.l").alias("l"),
                          F.col("p.r").alias("r"),
                          F.col("freq").alias("cnt")))
         pc = truncate_lineage(
             pc.unionByName(old_p).unionByName(new_p)
             .groupBy("l", "r").agg(F.sum("cnt").alias("cnt"))
-            .filter(F.col("cnt") > 0))
+            .filter(F.col("cnt") > 0),
+            eager=False)
         cur = cur.withColumn(
             "syms",
             F.when(hit, merge_pairs_multi(F.col("syms"), pairs))

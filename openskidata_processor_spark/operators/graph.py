@@ -48,7 +48,8 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_iterations: int = 50,
                          checkpoint_interval: int = 3,
                          reliable: bool | None = None,
-                         shortcut: bool = False) -> DataFrame:
+                         shortcut: bool = False,
+                         stats: dict | None = None) -> DataFrame:
     """Connected components of an undirected graph.
 
     ``edges``: DataFrame with ``src``/``dst`` columns (isolated vertices may
@@ -86,11 +87,13 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                                        F.col("sb").alias("vertex")))
                  .distinct())
 
+    # Lazy lineage cut: the first round's convergence action materializes
+    # sym inside its own job instead of a separate synchronous job here.
     sym = truncate_lineage(
         ids.unionByName(ids.select(F.col("b").alias("a"),
                                    F.col("a").alias("b"))).distinct(),
-        reliable=reliable)
-    # labels derive from the (already materialized) sym — no extra job
+        eager=False, reliable=reliable)
+    # labels derive from the (checkpoint-cached) sym — no extra job
     labels = (sym.select(F.col("a").alias("v")).distinct()
               .withColumn("c", F.col("v")))
 
@@ -128,6 +131,8 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             prev_cached.unpersist()
         prev_cached = new_labels if we_persisted else None
         labels = new_labels
+        if stats is not None:
+            stats["iterations"] = i + 1
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

@@ -263,14 +263,30 @@ def train_unigram(vocab: DataFrame, vocab_size: int = 256,
     driver traffic still O(model) per round); ``prune="count"`` keeps
     the simpler count-ranked variant.  All three differential-pinned
     in tests/test_unigram_ops.py."""
-    spark = vocab.sparkSession
-    vocab = vocab.select("w", "freq")
+    from pyspark.storagelevel import StorageLevel
 
-    seed = (seed_piece_counts(vocab, max_piece_len)
+    spark = vocab.sparkSession
+    # The vocab frame is re-read by EVERY pass below (seeding, each EM
+    # iteration, each loss pass — ~6 at the default schedule, more under
+    # loss_iter).  Without a barrier each pass re-runs the upstream
+    # corpus→vocab collapse, i.e. ~6 full corpus scans at 100 TB; a lazy
+    # disk-spillable persist makes the first pass pay it once.  Lineage
+    # is retained, so an executor loss recomputes instead of failing.
+    vocab = vocab.select("w", "freq").persist(StorageLevel.MEMORY_AND_DISK)
+
+    # ONE substring-statistics pass serves both the top-K seed selection
+    # and the alphabet: length-1 pieces of the full table are exactly
+    # seed_piece_counts(vocab, 1) (identical explode+groupBy counts), so
+    # the second corpus-scale pass the old two-call shape paid is gone.
+    full = seed_piece_counts(vocab, max_piece_len).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    seed = (full
             .orderBy(F.col("piece_count").desc(), F.col("piece").asc())
             .limit(seed_size)
             .collect())                        # bounded: model-sized
-    char_rows = seed_piece_counts(vocab, 1).collect()  # alphabet-sized
+    char_rows = (full.filter(F.length("piece") == 1)
+                 .collect())                   # alphabet-sized
+    full.unpersist()
     chars = {r["piece"] for r in char_rows}
     counts = {r["piece"]: int(r["piece_count"]) for r in seed}
     for r in char_rows:                        # coverage union, true counts
@@ -292,39 +308,44 @@ def train_unigram(vocab: DataFrame, vocab_size: int = 256,
     for _ in range(em_iters):
         counts = em_step(counts)
 
-    if prune == "loss_iter":
-        # Kudo's MULTI-ROUND prune: drop the bottom ~(1−shrink) of
-        # multi-char pieces by likelihood loss per round — with an EM
-        # re-estimation between rounds, so surviving pieces' losses are
-        # recomputed under the shrunken model — until vocab_size.  Each
-        # round costs one distributed loss pass + one distributed EM
-        # pass (model-sized collects); rounds = O(log_{1/shrink}
-        # (seed_size/vocab_size)) ≈ 7 for 1024→256 at 0.8.
-        while True:
+    try:
+        if prune == "loss_iter":
+            # Kudo's MULTI-ROUND prune: drop the bottom ~(1−shrink) of
+            # multi-char pieces by likelihood loss per round — with an EM
+            # re-estimation between rounds, so surviving pieces' losses
+            # are recomputed under the shrunken model — until vocab_size.
+            # Each round costs one distributed loss pass + one
+            # distributed EM pass (model-sized collects); rounds =
+            # O(log_{1/shrink} (seed_size/vocab_size)) ≈ 7 for 1024→256
+            # at 0.8.
+            while True:
+                losses = piece_prune_losses(vocab, counts, max_piece_len)
+                multi = sorted((p for p in counts if len(p) > 1),
+                               key=lambda p: (-losses.get(p, 0), p))
+                target = (vocab_size if len(multi) <= vocab_size
+                          else max(vocab_size,
+                                   int(len(multi) * PRUNE_SHRINK)))
+                keep = set(multi[:target]) | chars
+                counts = {p: c for p, c in counts.items() if p in keep}
+                _char_floor(counts, chars)
+                counts = em_step(counts)       # re-estimate, then re-rank
+                if target <= vocab_size:
+                    return _ranked(counts)
+        if prune == "loss":
             losses = piece_prune_losses(vocab, counts, max_piece_len)
             multi = sorted((p for p in counts if len(p) > 1),
                            key=lambda p: (-losses.get(p, 0), p))
-            target = (vocab_size if len(multi) <= vocab_size
-                      else max(vocab_size,
-                               int(len(multi) * PRUNE_SHRINK)))
-            keep = set(multi[:target]) | chars
-            counts = {p: c for p, c in counts.items() if p in keep}
-            _char_floor(counts, chars)
-            counts = em_step(counts)           # re-estimate, then re-rank
-            if target <= vocab_size:
-                return _ranked(counts)
-    if prune == "loss":
-        losses = piece_prune_losses(vocab, counts, max_piece_len)
-        multi = sorted((p for p in counts if len(p) > 1),
-                       key=lambda p: (-losses.get(p, 0), p))
-        keep = set(multi[:vocab_size]) | chars
-    else:
-        kept = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        keep = {p for p, _ in kept[:vocab_size]} | chars
-    counts = {p: c for p, c in counts.items() if p in keep}
-    _char_floor(counts, chars)
-    counts = em_step(counts)                   # final restricted pass
-    return _ranked(counts)
+            keep = set(multi[:vocab_size]) | chars
+        else:
+            kept = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            keep = {p for p, _ in kept[:vocab_size]} | chars
+        counts = {p: c for p, c in counts.items() if p in keep}
+        _char_floor(counts, chars)
+        counts = em_step(counts)               # final restricted pass
+        return _ranked(counts)
+    finally:
+        vocab.unpersist()                      # model is collected; drop
+
 
 
 def _ranked(counts: dict[str, int]) -> list[dict]:

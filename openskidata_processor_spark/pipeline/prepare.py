@@ -52,7 +52,12 @@ def prepare(spark: SparkSession,
             path = os.path.join(checkpoint_dir, name)
             df.write.mode("overwrite").parquet(path)
             return spark.read.parquet(path)
-        return truncate_lineage(df)
+        # Lazy lineage cut: each phase still materializes exactly once
+        # (inside the first downstream action, where consumers reuse the
+        # cached blocks), but the driver no longer sequences a separate
+        # synchronous job per phase boundary — ~8 fewer serialized
+        # driver round trips per prepare() run, identical computed work.
+        return truncate_lineage(df, eager=False)
 
     site_areas = fmt.format_ski_areas_sites(sites)
     runs = fmt.attach_site_ski_areas(fmt.format_runs(runs_raw), sites,
