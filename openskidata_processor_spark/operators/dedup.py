@@ -78,6 +78,20 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def shingle_arrays(df: DataFrame, id_col: str, text_col: str,
+                   n: int = 3) -> DataFrame:
+    """(id, sh_arr) — each document's distinct word-n-gram shingles as ONE
+    array row.  The tokenize→shingle→distinct chain (the regex-heavy part
+    of every shingle-based family) runs exactly once here; the exploded
+    inverted index, the set sizes and the MinHash signatures are all cheap
+    derivations of this table (see ``ngram_jaccard_pairs`` /
+    ``minhash_dedup_pairs``)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            word_shingles(words(F.col(text_col)), n)).alias("sh_arr"))
+
+
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) inverted-index rows, distinct per document."""
     return (
@@ -112,9 +126,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     prefix filtering pays off once hot shingles make postings buckets
     quadratic — switch it on for web-scale corpora.
     """
-    sh = materialize(  # computed once, reused by both join sides + sizes
-        shingle_table(_spread(df), id_col, text_col, n))
-    sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
+    # One materialized pass builds each document's shingle ARRAY; the
+    # exploded inverted index (both join sides) and the set sizes are
+    # projections of it.  Replaces the previous materialized exploded
+    # table + a groupBy(id) count: the size aggregation's corpus-wide
+    # Exchange is gone (set_size = array length, computed map-side).
+    arr = materialize(shingle_arrays(_spread(df), id_col, text_col, n))
+    sizes = arr.select("id", F.size("sh_arr").alias("set_size"))
+    sh = arr.select("id", F.explode("sh_arr").alias("shingle"))
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         sh = (sh.join(freq.filter(F.col("df") <= max_doc_freq), "shingle")
@@ -194,16 +213,14 @@ def _prefix_filter_candidates(sh: DataFrame, sizes: DataFrame,
     )
 
 
-def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       n: int = 3, num_perm: int = 64) -> DataFrame:
-    """(id, sig array<bigint>[num_perm]) MinHash signatures.
+def _minhash_sig_udf(num_perm: int):
+    """Arrow-batched MinHash signature UDF over a feature-hash array column.
 
-    Base shingle hashes are JVM-side (xxhash64 → [0, 2^32)); the 64 affine
-    permutations + min-reduce run as one Arrow-batched numpy broadcast
-    ((num_perm × n_shingles) per doc).  A pure-Catalyst nested-lambda variant
-    exists but re-evaluates the literal permutation arrays per element
-    (~100× slower), so the vectorized UDF is the hot path by design.
-    Documents with no shingles get an all-p sentinel signature.
+    The 64 affine permutations + min-reduce run as one numpy broadcast
+    ((num_perm × n_shingles) per doc).  A pure-Catalyst nested-lambda
+    variant exists but re-evaluates the literal permutation arrays per
+    element (~100× slower), so the vectorized UDF is the hot path by
+    design.  Documents with no shingles get an all-p sentinel signature.
     """
     from pyspark.sql.types import ArrayType, LongType
 
@@ -225,9 +242,26 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
             out.append(perms.min(axis=1).tolist())
         return pd.Series(out)
 
-    sh = F.array_distinct(word_shingles(words(F.col(text_col)), n))
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
-    return df.select(F.col(id_col).alias("id"), sig_udf(base).alias("sig"))
+    return sig_udf
+
+
+def minhash_signatures_from_arrays(arr: DataFrame,
+                                   num_perm: int = 64) -> DataFrame:
+    """(id, sig) MinHash signatures from a ``shingle_arrays`` table —
+    base shingle hashes JVM-side (xxhash64 → [0, 2^32)), permutations in
+    the vectorized UDF.  Lets a caller that also needs the inverted index
+    share one tokenize→shingle pass (see ``minhash_dedup_pairs``)."""
+    base = F.transform(F.col("sh_arr"),
+                       lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)))
+    return arr.select("id", _minhash_sig_udf(num_perm)(base).alias("sig"))
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 3, num_perm: int = 64) -> DataFrame:
+    """(id, sig array<bigint>[num_perm]) MinHash signatures from raw text
+    (single-consumer convenience wrapper over the _from_arrays path)."""
+    return minhash_signatures_from_arrays(
+        shingle_arrays(df, id_col, text_col, n), num_perm)
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 16) -> DataFrame:
@@ -264,11 +298,16 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     The scale path for Jaccard dedup: LSH prunes the quadratic pair space,
     the exact verify join only touches candidates.
     """
-    df = _spread(df)
-    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
+    # ONE tokenize→shingle→distinct pass over the corpus (materialized
+    # array table) feeds the signature UDF, the exploded inverted index
+    # AND the set sizes — previously the regex-heavy shingle chain ran
+    # twice (signatures + verify index) and sizes paid a corpus-wide
+    # groupBy(id) Exchange; set_size is now a map-side array length.
+    arr = materialize(shingle_arrays(_spread(df), id_col, text_col, n))
+    sigs = minhash_signatures_from_arrays(arr, num_perm)
     cands = lsh_candidate_pairs(sigs, bands)
-    sh = materialize(shingle_table(df, id_col, text_col, n))
-    sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
+    sizes = arr.select("id", F.size("sh_arr").alias("set_size"))
+    sh = arr.select("id", F.explode("sh_arr").alias("shingle"))
     a = sh.toDF("id_a", "shingle")
     b = sh.toDF("id_b", "shingle")
     inter = (

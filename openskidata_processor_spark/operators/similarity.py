@@ -23,20 +23,28 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine, cosine_batch_udf
+from ..functions.vectors import as_double, cosine, cosine_batch_udf, dot, norm
 
 
 def knn_brute_force(queries: DataFrame, corpus: DataFrame, k: int,
                     query_id: str = "query_id", corpus_id: str = "corpus_id",
                     query_vec: str = "qvec", corpus_vec: str = "cvec") -> DataFrame:
-    """Exact cosine top-k: (query_id, rank, corpus_id, cosine_sim)."""
+    """Exact cosine top-k: (query_id, rank, corpus_id, cosine_sim).
+
+    Norms are computed once per ROW on each side before the join instead
+    of once per PAIR: the higher-order dot/norm folds are interpreted
+    (CodegenFallback), so the per-pair work drops from three folds to one
+    with bit-identical results (same float ops in the same order —
+    dot / (sqrt(dot_aa) · sqrt(dot_bb)))."""
+    q = queries.withColumn("__qn", norm(as_double(F.col(query_vec))))
+    c = corpus.withColumn("__cn", norm(as_double(F.col(corpus_vec))))
     scored = (
-        F.broadcast(queries)
-        .crossJoin(corpus)
+        F.broadcast(q)
+        .crossJoin(c)
         .select(
             F.col(query_id), F.col(corpus_id),
-            cosine(as_double(F.col(query_vec)),
-                   as_double(F.col(corpus_vec))).alias("cosine_sim"))
+            (dot(as_double(F.col(query_vec)), as_double(F.col(corpus_vec)))
+             / (F.col("__qn") * F.col("__cn"))).alias("cosine_sim"))
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine_sim").desc(),
                                              F.col(corpus_id).asc())
@@ -111,10 +119,13 @@ def lsh_ann_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
     tables = [_hyperplanes(dim, n_planes, seed=42 + t)
               for t in range(n_tables)]
     codes = _lsh_codes_udf(tables)
-    c = corpus.select(
+    # Row norms computed once per vector BEFORE the table/probe explosion
+    # (the interpreted norm folds otherwise re-run per candidate pair);
+    # bit-identical scores — see knn_brute_force.
+    c = corpus.withColumn("__cn", norm(as_double(F.col(corpus_vec)))).select(
         "*",
         F.posexplode(codes(F.col(corpus_vec))).alias("__table", "__bucket"))
-    q = queries.select(
+    q = queries.withColumn("__qn", norm(as_double(F.col(query_vec)))).select(
         "*",
         F.posexplode(codes(F.col(query_vec))).alias("__table", "__code"))
     masks = [0]
@@ -129,8 +140,9 @@ def lsh_ann_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
         F.broadcast(q.drop("__code"))
         .join(c, ["__table", "__bucket"])
         .select(F.col(query_id), F.col(corpus_id),
-                cosine(as_double(F.col(query_vec)),
-                       as_double(F.col(corpus_vec))).alias("cosine_sim"))
+                (dot(as_double(F.col(query_vec)),
+                     as_double(F.col(corpus_vec)))
+                 / (F.col("__qn") * F.col("__cn"))).alias("cosine_sim"))
         .dropDuplicates([query_id, corpus_id])
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine_sim").desc(),
@@ -209,15 +221,18 @@ def ivf_ann_topk(queries: DataFrame, corpus: DataFrame, k: int,
     cells1 = _ivf_cells_udf(
         _train_ivf_centroids(corpus, corpus_vec, n_centroids,
                              sample_size, n_iters), max(n_probe, 1))
-    c = corpus.withColumn("__cell", cells1(F.col(corpus_vec))[0])
-    q = queries.withColumn(
-        "__cell", F.explode(cells1(F.col(query_vec))))
+    # Per-row norms before the candidate join — see knn_brute_force.
+    c = (corpus.withColumn("__cn", norm(as_double(F.col(corpus_vec))))
+         .withColumn("__cell", cells1(F.col(corpus_vec))[0]))
+    q = (queries.withColumn("__qn", norm(as_double(F.col(query_vec))))
+         .withColumn("__cell", F.explode(cells1(F.col(query_vec)))))
     scored = (
         F.broadcast(q)
         .join(c, "__cell")
         .select(F.col(query_id), F.col(corpus_id),
-                cosine(as_double(F.col(query_vec)),
-                       as_double(F.col(corpus_vec))).alias("cosine_sim"))
+                (dot(as_double(F.col(query_vec)),
+                     as_double(F.col(corpus_vec)))
+                 / (F.col("__qn") * F.col("__cn"))).alias("cosine_sim"))
         .dropDuplicates([query_id, corpus_id])
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine_sim").desc(),
@@ -252,13 +267,21 @@ def embedding_near_dup_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
     threshold no LSH prunes meaningfully (candidates → all pairs); that is
     a property of the data, not the plan.
     """
+    from .barrier import materialize
+
     tables = [_hyperplanes(dim, n_planes, seed=42 + t)
               for t in range(n_tables)]
     codes = _lsh_codes_udf(tables)
-    base = df.select(F.col(id_col).alias("__id"),
-                     F.col(vec_col).alias("__vec"))
+    # ONE materialized corpus pass computes (id, vec, codes): previously
+    # the codes UDF (the plan's only Python stage) ran once per self-join
+    # side and the verify legs re-scanned the source twice more — 2 UDF
+    # passes + 4 scans collapse to 1 UDF pass + 1 scan.
+    base = materialize(
+        df.select(F.col(id_col).alias("__id"),
+                  F.col(vec_col).alias("__vec"))
+          .withColumn("__codes", codes(F.col("__vec"))))
     coded = base.select(
-        "*", F.posexplode(codes(F.col("__vec"))).alias("__table", "__code"))
+        "__id", F.posexplode(F.col("__codes")).alias("__table", "__code"))
     masks = [0]
     if probe_hamming >= 1:
         masks += [1 << j for j in range(n_planes)]

@@ -449,7 +449,8 @@ def streaming_minhash_pairs(spark: SparkSession, sf_dir: str,
     import shutil
     import tempfile
 
-    from ..operators.dedup import minhash_signatures, shingle_table
+    from ..operators.dedup import (minhash_signatures_from_arrays,
+                                   shingle_arrays)
 
     stream = _file_stream(spark, sf_dir, "documents",
                           max_files_per_trigger)
@@ -475,10 +476,14 @@ def streaming_minhash_pairs(spark: SparkSession, sf_dir: str,
                 "doc_id", "left_anti")
         else:
             standing_bands = None
-        sigs = minhash_signatures(new_docs, "doc_id", "text")
+        # ONE tokenize→shingle pass per batch (shared array table):
+        # signatures and the shingle postings previously each re-ran the
+        # regex-heavy shingle chain over the batch.
+        arr = shingle_arrays(new_docs, "doc_id", "text").persist()
+        sigs = minhash_signatures_from_arrays(arr)
         new_bands = _band_rows(sigs).persist()
-        new_sh = shingle_table(new_docs, "doc_id", "text") \
-            .toDF("doc_id", "shingle").persist()
+        new_sh = arr.select(F.col("id").alias("doc_id"),
+                            F.explode("sh_arr").alias("shingle")).persist()
         cands = None
         try:
             nn = (new_bands.toDF("id_a", "band", "band_hash")
@@ -542,6 +547,7 @@ def streaming_minhash_pairs(spark: SparkSession, sf_dir: str,
             new_sh.write.mode("overwrite") \
                 .parquet(os.path.join(sh_state, f"batch={batch_id}"))
         finally:
+            arr.unpersist()
             new_bands.unpersist()
             new_sh.unpersist()
             if cands is not None:
