@@ -56,6 +56,46 @@ def materialize(df: DataFrame, reliable: bool | None = None) -> DataFrame:
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
+def materialize_now(df: DataFrame, reliable: bool | None = None) -> DataFrame:
+    """``materialize`` + immediate cache fill, for subplans whose consumers
+    are INDEPENDENT leaf stages of one query (self-join sides, multi-leg
+    unions).  AQE submits such stages concurrently, and a lazily persisted
+    frame is then computed once PER STAGE — none of the racing tasks sees
+    the others' in-progress blocks, so an expensive upstream (a pandas-UDF
+    chain, a corpus-scale shingle explode) runs N× instead of 1×
+    (measured: 12 concurrent ~3 s synth recomputes in
+    ``multimodal_near_dup_groups`` before this barrier existed).  The
+    ``count()`` is one extra scheduled job but does no extra WORK — it
+    performs the cache build the first consumer stage would have done,
+    after which every consumer reads the cached blocks.  Lineage is
+    retained (eviction/executor loss recomputes), unlike a checkpoint."""
+    out = materialize(df, reliable=reliable)
+    out.count()
+    return out
+
+
+def spread_input(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's parallelism when the input arrives
+    as fewer files than cores (bench testdata is single-row-group parquet,
+    so EVERY scan stage otherwise runs as one task and serializes the
+    per-row work — regex tokenization, shingle explodes, fold expressions,
+    encode UDFs — onto one core until the first shuffle; guide §2.5
+    "input skew: one huge unsplittable file → repartition right after the
+    read").  Uses the scan's file list, not ``df.rdd.getNumPartitions()``
+    (which forces an RDD conversion of the plan per call); at real scale
+    the scan has many files/splits and this is a no-op.  Only worth
+    inserting where the scan stage's per-row compute dominates the one
+    round-robin exchange it adds."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:
+        nfiles = 0
+    if 0 < nfiles < par:
+        return df.repartition(par)
+    return df
+
+
 def truncate_lineage(df: DataFrame, eager: bool = True,
                      reliable: bool | None = None) -> DataFrame:
     """Lineage cut for iterative loops / staged pipelines (plans must stay

@@ -50,10 +50,18 @@ from .barrier import truncate_lineage
 
 
 def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(w, freq): corpus word frequencies — the one corpus-scale pass."""
-    from ..functions.text import words
+    """(w, freq): corpus word frequencies — the one corpus-scale pass.
 
-    return (df.select(F.explode(words(F.col(text_col))).alias("w"))
+    ``spread_input`` (projected to the text column first, guide §2.3)
+    parallelizes the regex tokenize+explode when the input arrives as
+    fewer files than cores — bench testdata is single-row-group parquet,
+    so the whole corpus pass otherwise runs as ONE task; no-op at real
+    scale (many files)."""
+    from ..functions.text import words
+    from .barrier import spread_input
+
+    return (spread_input(df.select(F.col(text_col)))
+            .select(F.explode(words(F.col(text_col))).alias("w"))
             .groupBy("w").agg(F.count("*").alias("freq")))
 
 

@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import word_shingles, words
-from .barrier import materialize
+from .barrier import materialize, materialize_now, spread_input
 
 MERSENNE_PRIME = (1 << 61) - 1
 
@@ -46,21 +46,9 @@ def _perm_constants(num_perm: int, seed: int = 42) -> tuple[list[int], list[int]
 
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to the session's parallelism when the input arrives
-    as fewer files (a single small parquet file otherwise serializes the
-    whole shingle explode onto one core).  Uses the scan's file list — not
-    ``df.rdd.getNumPartitions()``, which forces an RDD conversion of the
-    plan per call; at real scale the scan has many files/splits and this
-    is a no-op."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        nfiles = len(df.inputFiles())
-    except Exception:
-        nfiles = 0
-    if 0 < nfiles < par:
-        return df.repartition(par)
-    return df
+# moved to barrier.spread_input (plan modules import it from there); the
+# alias keeps this module's call sites and external references stable
+_spread = spread_input
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -131,7 +119,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # projections of it.  Replaces the previous materialized exploded
     # table + a groupBy(id) count: the size aggregation's corpus-wide
     # Exchange is gone (set_size = array length, computed map-side).
-    arr = materialize(shingle_arrays(_spread(df), id_col, text_col, n))
+    # Eager fill: the join sides are independent AQE leaf stages that
+    # would otherwise race and each recompute the shingle chain.
+    arr = materialize_now(shingle_arrays(_spread(df), id_col, text_col, n))
     sizes = arr.select("id", F.size("sh_arr").alias("set_size"))
     sh = arr.select("id", F.explode("sh_arr").alias("shingle"))
     if max_doc_freq is not None:
@@ -303,7 +293,10 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     # AND the set sizes — previously the regex-heavy shingle chain ran
     # twice (signatures + verify index) and sizes paid a corpus-wide
     # groupBy(id) Exchange; set_size is now a map-side array length.
-    arr = materialize(shingle_arrays(_spread(df), id_col, text_col, n))
+    # Eager fill: the signature leg and the two index sides are
+    # independent AQE leaf stages that would otherwise race and each
+    # recompute the shingle chain (see barrier.materialize_now).
+    arr = materialize_now(shingle_arrays(_spread(df), id_col, text_col, n))
     sigs = minhash_signatures_from_arrays(arr, num_perm)
     cands = lsh_candidate_pairs(sigs, bands)
     sizes = arr.select("id", F.size("sh_arr").alias("set_size"))

@@ -453,14 +453,22 @@ def phash_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     the 64 bits split into ``max_hamming + 1`` blocks, so any pair
     within distance agrees on ≥ 1 block — candidates are an equi-join
     per block, the verify touches candidates only."""
+    from .barrier import materialize_now
+
     n_blocks = max_hamming + 1
     width = 64 // n_blocks              # last block takes the remainder
-    packed = hashes.select(
+    # Eager barrier: the two self-join sides are independent AQE leaf
+    # stages; a lazy (or absent) cache means the upstream fingerprint
+    # chain — typically a mapInPandas codec pass — runs once PER SIDE
+    # (measured in multimodal_near_dup_groups: each modality's decode+
+    # fingerprint chain executed 2-4×).  The packed table is tiny
+    # (id + three longs), so the cache is cheap at any scale.
+    packed = materialize_now(hashes.select(
         "id", "ph_hi", "ph_lo",
         # bitwise pack — an arithmetic hi·2³² would overflow-throw under
         # ANSI whenever bit 63 is set; shiftleft wraps into the sign bit
         F.shiftleft(F.col("ph_hi"), 32).bitwiseOR(F.col("ph_lo"))
-        .alias("__ph"))
+        .alias("__ph")))
 
     def block(i: int):
         lo_bit = i * width

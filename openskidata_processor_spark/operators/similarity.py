@@ -36,8 +36,14 @@ def knn_brute_force(queries: DataFrame, corpus: DataFrame, k: int,
     (CodegenFallback), so the per-pair work drops from three folds to one
     with bit-identical results (same float ops in the same order —
     dot / (sqrt(dot_aa) · sqrt(dot_bb)))."""
+    from .barrier import spread_input
+
     q = queries.withColumn("__qn", norm(as_double(F.col(query_vec))))
-    c = corpus.withColumn("__cn", norm(as_double(F.col(corpus_vec))))
+    # spread_input: the corpus is the cross join's STREAM side; a
+    # single-file scan otherwise scores every pair in one task (no-op at
+    # real scale)
+    c = spread_input(corpus).withColumn(
+        "__cn", norm(as_double(F.col(corpus_vec))))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -119,10 +125,15 @@ def lsh_ann_topk(queries: DataFrame, corpus: DataFrame, k: int, dim: int,
     tables = [_hyperplanes(dim, n_planes, seed=42 + t)
               for t in range(n_tables)]
     codes = _lsh_codes_udf(tables)
+    from .barrier import spread_input
+
     # Row norms computed once per vector BEFORE the table/probe explosion
     # (the interpreted norm folds otherwise re-run per candidate pair);
-    # bit-identical scores — see knn_brute_force.
-    c = corpus.withColumn("__cn", norm(as_double(F.col(corpus_vec)))).select(
+    # bit-identical scores — see knn_brute_force.  spread_input: the
+    # corpus-side codes UDF + explosion otherwise run as ONE scan task on
+    # single-file bench input (no-op at real scale).
+    c = spread_input(corpus).withColumn(
+        "__cn", norm(as_double(F.col(corpus_vec)))).select(
         "*",
         F.posexplode(codes(F.col(corpus_vec))).alias("__table", "__bucket"))
     q = queries.withColumn("__qn", norm(as_double(F.col(query_vec)))).select(
@@ -222,7 +233,14 @@ def ivf_ann_topk(queries: DataFrame, corpus: DataFrame, k: int,
         _train_ivf_centroids(corpus, corpus_vec, n_centroids,
                              sample_size, n_iters), max(n_probe, 1))
     # Per-row norms before the candidate join — see knn_brute_force.
-    c = (corpus.withColumn("__cn", norm(as_double(F.col(corpus_vec))))
+    # spread_input on the ASSIGNMENT leg only: centroid training above
+    # reads the unspread corpus, so the driver-collected sample (and
+    # therefore the centroids and every downstream result) is
+    # byte-identical; the per-row cell UDF parallelizes (no-op at scale).
+    from .barrier import spread_input
+
+    c = (spread_input(corpus)
+         .withColumn("__cn", norm(as_double(F.col(corpus_vec))))
          .withColumn("__cell", cells1(F.col(corpus_vec))[0]))
     q = (queries.withColumn("__qn", norm(as_double(F.col(query_vec))))
          .withColumn("__cell", F.explode(cells1(F.col(query_vec)))))
@@ -267,7 +285,7 @@ def embedding_near_dup_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
     threshold no LSH prunes meaningfully (candidates → all pairs); that is
     a property of the data, not the plan.
     """
-    from .barrier import materialize
+    from .barrier import materialize_now
 
     tables = [_hyperplanes(dim, n_planes, seed=42 + t)
               for t in range(n_tables)]
@@ -275,10 +293,16 @@ def embedding_near_dup_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
     # ONE materialized corpus pass computes (id, vec, codes): previously
     # the codes UDF (the plan's only Python stage) ran once per self-join
     # side and the verify legs re-scanned the source twice more — 2 UDF
-    # passes + 4 scans collapse to 1 UDF pass + 1 scan.
-    base = materialize(
-        df.select(F.col(id_col).alias("__id"),
-                  F.col(vec_col).alias("__vec"))
+    # passes + 4 scans collapse to 1 UDF pass + 1 scan.  Eager fill: the
+    # self-join sides are independent AQE leaf stages that would race a
+    # lazy cache and each re-run the codes UDF (barrier.materialize_now).
+    # spread_input: the one codes-UDF pass otherwise runs as ONE scan
+    # task on single-file bench input (no-op at real scale)
+    from .barrier import spread_input
+
+    base = materialize_now(
+        spread_input(df.select(F.col(id_col).alias("__id"),
+                               F.col(vec_col).alias("__vec")))
           .withColumn("__codes", codes(F.col("__vec"))))
     coded = base.select(
         "__id", F.posexplode(F.col("__codes")).alias("__table", "__code"))
@@ -397,7 +421,14 @@ def pq_ann_topk(queries: DataFrame, corpus: DataFrame, k: int,
     books = _train_pq_codebooks(corpus, corpus_vec, m, n_codes,
                                 sample_size, n_iters)
     codes = _pq_codes_udf(books)
-    coded = corpus.withColumn("__codes", codes(F.col(corpus_vec)))
+    # spread_input on the ENCODE leg only: codebook training above reads
+    # the unspread corpus, so the driver-collected sample (and the
+    # codebooks, hence every result) is byte-identical; the per-row code
+    # UDF parallelizes (no-op at real scale).
+    from .barrier import spread_input
+
+    coded = spread_input(corpus).withColumn("__codes",
+                                            codes(F.col(corpus_vec)))
 
     # The query side is driver-collected to build the ADC tables — queries
     # are ≪ corpus by contract (same rationale as the broadcast in
@@ -445,6 +476,14 @@ def pq_ann_topk(queries: DataFrame, corpus: DataFrame, k: int,
             .filter(F.col("__r") <= max(rerank, k))
             .select(query_id, corpus_id))
 
+    # NOTE: deliberately NOT the per-row norm hoist used in
+    # knn_brute_force/lsh/ivf.  There every row reaches ≥1 scored pair, so
+    # hoisting the self-norm below the join strictly saves folds.  Here the
+    # norm projection would sit below the candidate join's PROBE side and
+    # run for every corpus row, while the re-rank only scores
+    # nq×rerank pairs ≪ corpus by construction — measured 5.5 → 14.3 s at
+    # bench scale when hoisted.  Per-pair cosine over the tiny candidate
+    # set is the right side of that tradeoff at any corpus size.
     cvecs = corpus.select(F.col(corpus_id), F.col(corpus_vec))
     qdf = queries.select(F.col(query_id), F.col(query_vec))
     rer = (cand.join(cvecs, corpus_id).join(F.broadcast(qdf), query_id)

@@ -464,10 +464,24 @@ def knn_cosine(spark, sf_dir):
 @query("dedup_embedding_pairs")
 def dedup_embedding_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (sim > 0.4, id_a < id_b)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    sim = V.cosine(V.as_double(F.col("va")), V.as_double(F.col("vb")))
+    from ..operators.barrier import spread_input
+
+    # spread_input: the cross join's stream side is otherwise ONE task on
+    # single-file bench input — measured 27-45 s single-core vs ~4 s
+    # spread (no-op at real scale).
+    emb = spread_input(_t(spark, sf_dir, "embeddings")
+                       .select("vec_id", "embedding"))
+    # per-ROW norms below the crossJoin: 3 interpreted folds per PAIR → 1
+    # (bit-identical — same scalar ops in the same order; see
+    # operators/similarity.knn_brute_force)
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("va"),
+                   V.norm(V.as_double(F.col("embedding"))).alias("__na"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("vb"),
+                   V.norm(V.as_double(F.col("embedding"))).alias("__nb"))
+    sim = (V.dot(V.as_double(F.col("va")), V.as_double(F.col("vb")))
+           / (F.col("__na") * F.col("__nb")))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))

@@ -20,6 +20,7 @@ import numpy as np
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..operators.barrier import spread_input
 from .analytics import _avg_fixed, _sum_fixed, _t, query
 from .oracles import ORACLES
 
@@ -480,6 +481,9 @@ def _synth_png_assets(docs):
 
     from ..operators.multimodal import encode_png_rgb
 
+    # spread_input: the PNG encode mapInPandas otherwise runs as ONE
+    # task on single-row-group bench input (no-op at scale)
+    docs = spread_input(docs)
     meta = docs.select(
         F.col("doc_id").alias("id"), "source",
         F.length(F.encode("text", "UTF-8")).alias("nb"))
@@ -578,7 +582,10 @@ def multimodal_frame_sample(spark, sf_dir):
     from ..operators.multimodal import encode_y4m, sample_frames_y4m
 
     W, H = 8, 4
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    # spread_input: the synth codec chain otherwise runs as ONE task on
+    # single-row-group bench input (no-op at scale)
+    docs = spread_input(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"))
 
     def synth(parts):
         for pdf in parts:
@@ -926,7 +933,10 @@ def multimodal_audio_stats(spark, sf_dir):
 
     from ..operators.multimodal import audio_features, encode_wav_pcm16
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # spread_input: the synth/codec mapInPandas chain otherwise runs as
+    # ONE task on single-row-group bench input (no-op at scale); synth is
+    # per-row deterministic, so partitioning cannot change results
+    docs = spread_input(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(parts):
         for pdf in parts:
@@ -1020,7 +1030,10 @@ def multimodal_video_stats(spark, sf_dir):
     from ..operators.multimodal import encode_y4m, video_frame_stats
 
     W, H = 8, 4
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # spread_input: the synth/codec mapInPandas chain otherwise runs as
+    # ONE task on single-row-group bench input (no-op at scale); synth is
+    # per-row deterministic, so partitioning cannot change results
+    docs = spread_input(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(parts):
         for pdf in parts:
@@ -1076,7 +1089,10 @@ def multimodal_resize_stats(spark, sf_dir):
                                         resize_images)
 
     H, W = 4, 8
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # spread_input: the synth/codec mapInPandas chain otherwise runs as
+    # ONE task on single-row-group bench input (no-op at scale); synth is
+    # per-row deterministic, so partitioning cannot change results
+    docs = spread_input(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(parts):
         for pdf in parts:
@@ -1205,7 +1221,10 @@ def multimodal_audio_fingerprint(spark, sf_dir):
 
     from ..operators.multimodal import audio_fingerprint, encode_wav_pcm16
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # spread_input: the synth/codec mapInPandas chain otherwise runs as
+    # ONE task on single-row-group bench input (no-op at scale); synth is
+    # per-row deterministic, so partitioning cannot change results
+    docs = spread_input(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(parts):
         for pdf in parts:
@@ -1266,7 +1285,10 @@ def multimodal_video_fingerprint(spark, sf_dir):
     from ..operators.multimodal import encode_y4m, video_fingerprint
 
     W, H = 8, 4
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # spread_input: the synth/codec mapInPandas chain otherwise runs as
+    # ONE task on single-row-group bench input (no-op at scale); synth is
+    # per-row deterministic, so partitioning cannot change results
+    docs = spread_input(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(parts):
         for pdf in parts:
@@ -1343,12 +1365,22 @@ def multimodal_near_dup_groups(spark, sf_dir):
                                         encode_y4m, perceptual_hash,
                                         phash_pairs, video_fingerprint)
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # spread_input: the synth/codec mapInPandas chain otherwise runs as
+    # ONE task on single-row-group bench input (no-op at scale); synth is
+    # per-row deterministic, so partitioning cannot change results
+    docs = spread_input(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def bits_of(key: int, nbits: int) -> np.ndarray:
-        hx = hashlib.md5(str(key).encode()).hexdigest()
-        return np.array([(int(hx[k // 4], 16) >> (k % 4)) & 1
-                         for k in range(nbits)], dtype=np.int64)
+        # vectorized nibble math — bit k = (nibble[k//4] >> (k%4)) & 1
+        # over the hex digest, identical to the per-character int(hx[i],16)
+        # loop it replaces (hex char 2j = high nibble of digest byte j)
+        d = np.frombuffer(hashlib.md5(str(key).encode()).digest(),
+                          dtype=np.uint8)
+        nib = np.empty(32, dtype=np.int64)
+        nib[0::2] = d >> 4
+        nib[1::2] = d & 0xF
+        k = np.arange(nbits)
+        return (nib[k // 4] >> (k % 4)) & 1
 
     def synth(parts):
         for pdf in parts:
@@ -1382,8 +1414,15 @@ def multimodal_near_dup_groups(spark, sf_dir):
             yield pd.DataFrame({"id": pdf["doc_id"].astype("int64"),
                                 "img": img, "aud": aud, "vid": vid})
 
-    assets = docs.mapInPandas(
-        synth, "id long, img binary, aud binary, vid binary").persist()
+    from ..operators.barrier import materialize_now
+
+    # Eager cache fill: the three modality fingerprint legs and both
+    # sides of each pigeonhole self-join are INDEPENDENT AQE leaf stages;
+    # with a lazy persist they race and each re-runs the synth codec
+    # chain (measured: 12 concurrent ~3 s recomputes per run — the
+    # dominant cost of this query).  One count() builds the cache once.
+    assets = materialize_now(docs.mapInPandas(
+        synth, "id long, img binary, aud binary, vid binary"))
 
     ih = perceptual_hash(decode_images(assets.select(
         "id", F.col("img").alias("payload"))))

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from ..functions import pii as P
 from ..functions import text as T
+from ..operators.barrier import spread_input
 from ..operators.packing import pack_sequences as _pack
 from .analytics import _t, query
 from .oracles import ORACLES
@@ -126,8 +127,11 @@ def quality_repetition(spark, sf_dir):
     most frequent word bigram (lexicographically smallest on count ties).
     One explode + two map-side-partial aggregations; the bigram top-1 is a
     per-doc window (doc-sized partitions, never a global sort)."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", T.words(F.col("text")).alias("ws"))
+    # spread_input before the regex tokenize (single-row-group bench
+    # input = one scan task otherwise; no-op at scale)
+    docs = spread_input(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", T.words(F.col("text")).alias("ws"))
     base = docs.select(
         "doc_id",
         F.size("ws").alias("n_words"),
@@ -193,8 +197,11 @@ def contamination_ngram(spark, sf_dir):
     shares with the benchmark slice, and with how many benchmark docs.
     Equi-join on the shingle (shuffle key = content hash), distinct
     aggregation — the standard decontamination scan shape."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", T.words(F.col("text")).alias("ws"))
+    # spread_input before the regex tokenize (single-row-group bench
+    # input = one scan task otherwise; no-op at scale)
+    docs = spread_input(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", T.words(F.col("text")).alias("ws"))
     sh = docs.select(
         "doc_id",
         F.explode(F.array_distinct(
@@ -242,8 +249,11 @@ def dedup_passages(spark, sf_dir):
     (doc_id, position); report per-doc passage/kept counts.  Shuffle key =
     passage hash (content-derived, uniform); window partitions are
     duplicate groups (tiny), never whole-corpus."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", T.words(F.col("text")).alias("ws"))
+    # spread_input before the regex tokenize (single-row-group bench
+    # input = one scan task otherwise; no-op at scale)
+    docs = spread_input(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", T.words(F.col("text")).alias("ws"))
     n_chunks = F.ceil(F.size("ws") / F.lit(_PASSAGE_WORDS)).cast("int")
     # Guard n_chunks == 0: sequence(0, -1) would emit a *descending* array.
     passages = F.when(
@@ -329,8 +339,11 @@ def line_dedup_docs(spark, sf_dir):
     """(doc_id, n_lines, n_removed, clean_len, clean_md5): CCNet
     line-level boilerplate removal — normalized-line corpus frequency
     threshold, then in-order document reassembly."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", T.words(F.col("text")).alias("ws"))
+    # spread_input before the regex tokenize (single-row-group bench
+    # input = one scan task otherwise; no-op at scale)
+    docs = spread_input(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", T.words(F.col("text")).alias("ws"))
     n_chunks = F.ceil(F.size("ws") / F.lit(_LINE_WORDS)).cast("int")
     chunks = F.when(
         F.size("ws") > 0,
@@ -534,7 +547,10 @@ def dup_ngram_docs(spark, sf_dir):
     cross-engine (``operators/dupstats.py``)."""
     from ..operators.dupstats import dup_ngram_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread_input: the shingle explode otherwise runs as ONE scan task
+    # on single-row-group bench input (no-op at scale)
+    docs = spread_input(_t(spark, sf_dir, "documents")
+                        .select("doc_id", "text"))
     return dup_ngram_stats(docs, n=5)
 
 
@@ -582,7 +598,10 @@ def curate_corpus(spark, sf_dir):
     hash-matches one composed DuckDB oracle."""
     from ..pipeline.curation import curate
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread_input: the per-doc quality/token chain otherwise runs as
+    # ONE scan task on single-row-group bench input (no-op at scale)
+    docs = spread_input(_t(spark, sf_dir, "documents")
+                        .select("doc_id", "source", "text"))
     return curate(docs)
 
 
@@ -679,8 +698,11 @@ def substring_dedup_spans(spark, sf_dir):
     ≤ K); ``n_dup_windows`` counts the duplicated windows the span
     absorbed.  The training pipeline cuts these spans before packing."""
     K = _SUBSTR_K
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", T.words(F.col("text")).alias("ws"))
+    # spread_input before the regex tokenize (single-row-group bench
+    # input = one scan task otherwise; no-op at scale)
+    docs = spread_input(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", T.words(F.col("text")).alias("ws"))
     wins = (docs.filter(F.size("ws") >= K)
             .select("doc_id",
                     F.posexplode(F.transform(
@@ -766,15 +788,24 @@ def semantic_decontamination(spark, sf_dir):
     benchmark slice, nearest benchmark id (ties → smallest id), and the
     threshold verdict."""
     from ..functions import vectors as V
+    from ..operators.dedup import _spread
 
     emb = _t(spark, sf_dir, "embeddings")
+    # Per-ROW norms hoisted below the join (the interpreted norm folds
+    # otherwise re-run per PAIR — 3 folds per pair → 1); bit-identical:
+    # same scalar ops in the same order, dot / (sqrt(aa)·sqrt(bb)).
+    # _spread: a single-file embeddings scan otherwise serializes the
+    # whole pool×bench scoring pass onto one core (no-op at real scale).
     bench = F.broadcast(
         emb.filter(F.col("vec_id") % _SEMDECON_MOD == 0)
         .select(F.col("vec_id").alias("bench_id"),
-                F.col("embedding").alias("bv")))
-    pool = (emb.filter(F.col("vec_id") % _SEMDECON_MOD != 0)
-            .select("vec_id", F.col("embedding").alias("v")))
-    sim = V.cosine(V.as_double(F.col("v")), V.as_double(F.col("bv")))
+                F.col("embedding").alias("bv"),
+                V.norm(V.as_double(F.col("embedding"))).alias("__bn")))
+    pool = (_spread(emb.filter(F.col("vec_id") % _SEMDECON_MOD != 0))
+            .select("vec_id", F.col("embedding").alias("v"),
+                    V.norm(V.as_double(F.col("embedding"))).alias("__vn")))
+    sim = (V.dot(V.as_double(F.col("v")), V.as_double(F.col("bv")))
+           / (F.col("__vn") * F.col("__bn")))
     scored = pool.crossJoin(bench).select(
         "vec_id", "bench_id", sim.alias("sim"))
     out = (scored.groupBy("vec_id")
@@ -1014,8 +1045,11 @@ def chunk_documents(spark, sf_dir):
     token lands in ≥ 1 chunk and no start begins past the text);
     token-less docs produce no chunks."""
     C, S = _CHUNK_TOKENS, _CHUNK_STRIDE
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", T.words(F.col("text")).alias("ws"))
+    # spread_input before the regex tokenize (single-row-group bench
+    # input = one scan task otherwise; no-op at scale)
+    docs = spread_input(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", T.words(F.col("text")).alias("ws"))
     nz = docs.filter(F.size("ws") > 0).select(
         "doc_id", "ws",
         # number of chunks: 1 + ceil(max(n − C, 0) / S), via int math
@@ -1115,7 +1149,11 @@ def bloom_decontaminate(spark, sf_dir):
     join, equal to the plain exact join's answer."""
     from ..operators.bloom import build_bloom_bits, might_contain, size_bits
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread_input: the shingle explodes (bench + train legs) otherwise
+    # run as ONE scan task each on single-row-group bench input (no-op
+    # at scale)
+    docs = spread_input(_t(spark, sf_dir, "documents")
+                        .select("doc_id", "text"))
     # localCheckpoint(eager) + coalesce: the bench frame is read twice
     # more after sizing (bitmap build, verify join) and `doc_id < N`
     # cannot row-group-prune a corpus parquet whose id ranges
@@ -1195,8 +1233,11 @@ def blocklist_filter_docs(spark, sf_dir):
     doc).  Docs with zero hits are KEPT in the output with zeros —
     downstream filters need the full verdict table, not just the
     positives."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", T.words(F.col("text")).alias("ws"))
+    # spread_input before the regex tokenize (single-row-group bench
+    # input = one scan task otherwise; no-op at scale)
+    docs = spread_input(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", T.words(F.col("text")).alias("ws"))
     base = docs.select("doc_id", F.size("ws").cast("long").alias("n_words"))
     bl = spark.createDataFrame([(w,) for w in _BLOCKLIST], "w string")
     hits = (docs.select("doc_id", F.explode("ws").alias("w"))
@@ -1856,8 +1897,11 @@ def gopher_repetition_docs(spark, sf_dir):
     All thirteen signals are per-row sorted-array folds — ONE
     whole-stage-codegen pass over the documents scan, one
     groupBy(source); no joins, no UDFs, no explode (the n-gram arrays
-    never leave their row)."""
-    docs = _t(spark, sf_dir, "documents")
+    never leave their row).  ``spread_input`` parallelizes the per-row
+    fold work when the input arrives as one file (bench); the no-join/
+    no-explode shape is unchanged."""
+    docs = spread_input(_t(spark, sf_dir, "documents")
+                        .select("source", "text"))
     text = F.col("text")
     ws = T.words(text)
     lc = F.length(text).cast("long")

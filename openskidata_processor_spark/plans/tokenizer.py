@@ -49,6 +49,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..operators.barrier import spread_input
 from ..operators.bpe import chars as bpe_chars
 from ..operators.bpe import (encode_words, learn_bpe_batched,
                              learn_bpe_local, pair_stats_over_vocab,
@@ -173,7 +174,9 @@ def pmi_collocations(spark, sf_dir):
     driver hash; the 1-row total joins in via broadcast."""
     from ..operators.barrier import truncate_lineage
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread_input: the regex tokenize + both explodes otherwise run as
+    # ONE scan task on single-row-group bench input (no-op at scale)
+    docs = spread_input(_t(spark, sf_dir, "documents").select("text"))
     ws = T.words(F.col("text"))
     toks = docs.select(F.explode(ws).alias("w"))
     # uni feeds three consumers (c_x join, c_y join, the 1-row total);
@@ -323,8 +326,11 @@ def bpe_encode_stats(spark, sf_dir):
     doc counts).  All-integer output (``div``), hash-stable."""
     from ..operators.barrier import truncate_lineage
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "source", T.words(F.col("text")).alias("ws"))
+    # spread_input before the regex tokenize (single-row-group bench
+    # input = one scan task otherwise; no-op at scale)
+    docs = spread_input(
+        _t(spark, sf_dir, "documents").select("source", "text")
+    ).select("source", T.words(F.col("text")).alias("ws"))
     # caller-invisible reuse barrier -> localCheckpoint, not persist
     # (ContextCleaner-reclaimable; see pmi_collocations)
     by_word = truncate_lineage(
@@ -387,7 +393,10 @@ def training_corpus_stats(spark, sf_dir):
     """
     from ..operators.barrier import truncate_lineage
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread_input: hygiene token_count + md5 dedup keying otherwise run
+    # as ONE scan task on single-row-group bench input (no-op at scale)
+    docs = spread_input(_t(spark, sf_dir, "documents")
+                        .select("doc_id", "text"))
     kept = docs.filter(T.token_count(F.col("text")) >= _PIPE_MIN_TOKENS)
     uniq = (kept.groupBy(F.md5(F.col("text")).alias("grp"))
             .agg(F.min(F.struct("doc_id", "text")).alias("keep"))
@@ -520,8 +529,11 @@ def unigram_encode_stats(spark, sf_dir):
     all outputs are exact integers (``div``)."""
     from ..operators.barrier import truncate_lineage
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "source", T.words(F.col("text")).alias("ws"))
+    # spread_input before the regex tokenize (single-row-group bench
+    # input = one scan task otherwise; no-op at scale)
+    docs = spread_input(
+        _t(spark, sf_dir, "documents").select("source", "text")
+    ).select("source", T.words(F.col("text")).alias("ws"))
     by_word = truncate_lineage(
         docs.select("source", F.explode("ws").alias("w"))
         .groupBy("source", "w").agg(F.count("*").alias("cnt")),
@@ -575,7 +587,10 @@ def kn_bigram_stats(spark, sf_dir):
     from ..operators.barrier import truncate_lineage
     from ..operators.bpe import adjacent_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread_input: the n-gram explode otherwise runs as ONE scan task
+    # on single-row-group bench input (no-op at scale)
+    docs = spread_input(_t(spark, sf_dir, "documents")
+                        .select("doc_id", "text"))
     ws = T.words(F.col("text"))
     big = truncate_lineage(
         docs.select(F.explode(adjacent_pairs(ws)).alias("b"))
@@ -656,7 +671,10 @@ def kn_score_docs(spark, sf_dir):
     from ..operators.barrier import truncate_lineage
     from ..operators.bpe import adjacent_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread_input: the n-gram explode otherwise runs as ONE scan task
+    # on single-row-group bench input (no-op at scale)
+    docs = spread_input(_t(spark, sf_dir, "documents")
+                        .select("doc_id", "text"))
     ws = T.words(F.col("text"))
     pairs = truncate_lineage(
         docs.select("doc_id", F.explode(adjacent_pairs(ws)).alias("b"))
@@ -772,7 +790,10 @@ def kn3_score_docs(spark, sf_dir):
     materialized, the oracle runs in 0.1 s.)"""
     from ..operators.barrier import truncate_lineage
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread_input: the n-gram explode otherwise runs as ONE scan task
+    # on single-row-group bench input (no-op at scale)
+    docs = spread_input(_t(spark, sf_dir, "documents")
+                        .select("doc_id", "text"))
     ws = T.words(F.col("text"))
     # word_shingles joins with a single space — safe to split back
     # because words are space-free by construction (space-delimited
@@ -945,7 +966,10 @@ def mkn_score_docs(spark, sf_dir):
     reference, measured as a hang on kn3's twin; see that docstring)."""
     from ..operators.barrier import truncate_lineage
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread_input: the n-gram explode otherwise runs as ONE scan task
+    # on single-row-group bench input (no-op at scale)
+    docs = spread_input(_t(spark, sf_dir, "documents")
+                        .select("doc_id", "text"))
     ws = T.words(F.col("text"))
     posts = truncate_lineage(
         docs.select("doc_id",
@@ -1158,7 +1182,10 @@ def sbo_score_docs(spark, sf_dir):
     total.  avg_logs rounds to 4 decimals (family convention)."""
     from ..operators.barrier import truncate_lineage
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread_input: the n-gram explode otherwise runs as ONE scan task
+    # on single-row-group bench input (no-op at scale)
+    docs = spread_input(_t(spark, sf_dir, "documents")
+                        .select("doc_id", "text"))
     ws = T.words(F.col("text"))
     grp = F.md5(F.col("text"))
     bucket = (F.conv(F.substring(grp, 1, 4), 16, 10)
@@ -1377,8 +1404,11 @@ def wordpiece_encode_stats(spark, sf_dir):
     reference-pinned end-to-end."""
     from ..operators.barrier import truncate_lineage
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "source", T.words(F.col("text")).alias("ws"))
+    # spread_input before the regex tokenize (single-row-group bench
+    # input = one scan task otherwise; no-op at scale)
+    docs = spread_input(
+        _t(spark, sf_dir, "documents").select("source", "text")
+    ).select("source", T.words(F.col("text")).alias("ws"))
     by_word = truncate_lineage(
         docs.select("source", F.explode("ws").alias("w"))
         .groupBy("source", "w").agg(F.count("*").alias("cnt")),

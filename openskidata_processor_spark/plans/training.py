@@ -957,7 +957,13 @@ def winnow_fingerprints(docs, B=_WINNOW_POS_BASE):
     streaming twin so both select IDENTICAL fingerprints.
     Hash = first 10 hex chars of md5(k-gram) as BIGINT (< 2⁴⁰, so the
     pos-packed tie-break key stays exact in int64)."""
+    from ..operators.barrier import spread_input
+
     K, W = _WINNOW_K, _WINNOW_W
+    # spread_input: the md5 k-gram chain otherwise runs as ONE scan task
+    # on single-row-group bench input (no-op at scale and on the
+    # streaming twin's per-batch frames, which have no input files)
+    docs = spread_input(docs)
     kg = (docs.select("doc_id", T.words(F.col("text")).alias("ws"))
           .filter(F.size("ws") >= K)
           .select("doc_id",
@@ -997,7 +1003,13 @@ def winnow_fingerprints(docs, B=_WINNOW_POS_BASE):
 def winnow_fingerprint_pairs(spark, sf_dir):
     """(id_a, id_b, n_shared) — document pairs sharing ≥ 1 winnowed
     fingerprint, with the count of distinct shared fingerprint hashes."""
-    fp = winnow_fingerprints(_t(spark, sf_dir, "documents"))
+    from ..operators.barrier import materialize_now
+
+    # One eager pass: the md5 k-gram + window + distinct chain otherwise
+    # runs once per self-join side (no ReusedExchange across the
+    # probe/broadcast-build stages; the streaming twin already persists
+    # its per-batch fingerprints the same way).
+    fp = materialize_now(winnow_fingerprints(_t(spark, sf_dir, "documents")))
     a = fp.toDF("id_a", "h")
     b = fp.toDF("id_b", "h")
     return (a.join(b, "h")
@@ -1176,7 +1188,13 @@ _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 def profile_table_stats(spark, sf_dir):
     """(column, n_rows, n_nulls, n_distinct, min_c, max_c, sum_c) for
     lineitem's four measure columns, all exact integer cents."""
-    li = _t(spark, sf_dir, "lineitem")
+    from ..operators.barrier import spread_input
+
+    # spread_input: the Expand×4 + distinct partial aggregation otherwise
+    # run as ONE scan task on single-row-group bench input (no-op at
+    # scale); projected to the four measure columns first (guide §2.3)
+    li = spread_input(_t(spark, sf_dir, "lineitem")
+                      .select(*_PROFILE_COLS))
     cents = {c: _cents(F.col(c)) for c in _PROFILE_COLS}
     aggs = []
     for c in _PROFILE_COLS:
@@ -1219,7 +1237,12 @@ def profile_table_sketch(spark, sf_dir):
     scan, NO Expand, constant per-column state (HLL registers) —
     CI-pinned in tests/test_plan_audits.py.  Approximate-by-design
     (no DuckDB oracle); error bound pinned in test_training_ops."""
-    li = _t(spark, sf_dir, "lineitem")
+    from ..operators.barrier import spread_input
+
+    # spread_input: same rationale as the exact twin — the HLL partial
+    # aggregation otherwise runs as ONE scan task at bench scale
+    li = spread_input(_t(spark, sf_dir, "lineitem")
+                      .select(*_PROFILE_COLS))
     aggs = []
     for c in _PROFILE_COLS:
         v = _cents(F.col(c))
@@ -1493,8 +1516,13 @@ def oov_rate_docs(spark, sf_dir):
     exact integer per-mille) — the tokenizer-coverage report.  The
     vocabulary is corpus-derived (one agg + one top-K sort of K rows)
     and BROADCASTS to the per-doc join; token-less docs report 0/0/0."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", T.words(F.col("text")).alias("ws"))
+    from ..operators.barrier import spread_input
+
+    # spread_input before the regex tokenize (single-row-group bench
+    # input = one scan task otherwise; no-op at scale)
+    docs = spread_input(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", T.words(F.col("text")).alias("ws"))
     toks = docs.select("doc_id", F.explode("ws").alias("w"))
     vocab = (toks.groupBy("w").agg(F.count("*").alias("n"))
              .orderBy(F.col("n").desc(), F.col("w"))
@@ -1549,12 +1577,20 @@ def source_overlap_matrix(spark, sf_dir):
     output is bounded by sources², never the corpus.  At crawl scale a
     stop-shingle doc-frequency cap bounds the per-shingle fan-out — the
     same ``max_doc_freq`` lever the MinHash dedup path uses."""
-    d = (_t(spark, sf_dir, "documents")
-         .select("source",
-                 F.explode(F.array_distinct(T.word_shingles(
-                     T.words(F.col("text")), _OVERLAP_N)))
-                 .alias("shingle"))
-         .distinct())
+    from ..operators.barrier import materialize_now
+
+    # The distinct (source, shingle) posting feeds BOTH self-join sides;
+    # without a barrier the corpus-scale explode+distinct chain is planned
+    # (and executed) once per side — no ReusedExchange fires across the
+    # probe/broadcast-build stages, and the two are independent AQE leaf
+    # stages that race a lazy cache.  One eager pass, both sides cached.
+    d = materialize_now(
+        _t(spark, sf_dir, "documents")
+        .select("source",
+                F.explode(F.array_distinct(T.word_shingles(
+                    T.words(F.col("text")), _OVERLAP_N)))
+                .alias("shingle"))
+        .distinct())
     a = d.toDF("source_a", "shingle")
     b = d.toDF("source_b", "shingle")
     return (a.join(b, "shingle")

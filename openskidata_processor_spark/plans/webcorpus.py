@@ -469,7 +469,13 @@ def lang_id_confusion(spark, sf_dir):
     scored over the rest via a broadcast join + integer argmax."""
     from pyspark.sql import Window
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # spread_input: the char-trigram explodes (train + test legs)
+    # otherwise run as ONE scan task each on single-row-group bench
+    # input (no-op at scale)
+    from ..operators.barrier import spread_input
+
+    docs = spread_input(_t(spark, sf_dir, "documents")
+                        .select("doc_id", "lang", "text"))
     grams = _char_trigrams(F.col("text")).alias("__grams")
 
     model_counts = (docs.filter(F.col("doc_id") % _LID_TRAIN_MOD == 0)

@@ -478,10 +478,18 @@ def streaming_minhash_pairs(spark: SparkSession, sf_dir: str,
             standing_bands = None
         # ONE tokenize→shingle pass per batch (shared array table):
         # signatures and the shingle postings previously each re-ran the
-        # regex-heavy shingle chain over the batch.
-        arr = shingle_arrays(new_docs, "doc_id", "text").persist()
+        # regex-heavy shingle chain over the batch.  spread_input: a
+        # micro-batch from a file source is otherwise as few partitions
+        # as files (ONE at bench scale) and the whole chain serializes;
+        # eager fills (materialize_now): the band self-join sides and
+        # the verify legs are independent leaf stages that race a lazy
+        # persist and each recompute the chain.
+        from ..operators.barrier import materialize_now, spread_input
+
+        arr = materialize_now(
+            shingle_arrays(spread_input(new_docs), "doc_id", "text"))
         sigs = minhash_signatures_from_arrays(arr)
-        new_bands = _band_rows(sigs).persist()
+        new_bands = materialize_now(_band_rows(sigs))
         new_sh = arr.select(F.col("id").alias("doc_id"),
                             F.explode("sh_arr").alias("shingle")).persist()
         cands = None
@@ -500,7 +508,9 @@ def streaming_minhash_pairs(spark: SparkSession, sf_dir: str,
                       .select(F.least("id_n", "id_o").alias("id_a"),
                               F.greatest("id_n", "id_o").alias("id_b")))
                 cands = cands.unionByName(no)
-            cands = cands.distinct().persist()
+            # eager: cand_ids + the intersection join + both size joins
+            # all read cands inside one action — a lazy persist races
+            cands = materialize_now(cands.distinct())
 
             if os.path.exists(sh_state):
                 # prune the standing postings to candidate docs BEFORE
