@@ -433,6 +433,12 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col).alias("id"),
         F.transform(F.array_distinct(word_shingles(words(F.col(text_col)), n)),
                     lambda s: F.xxhash64(s)).alias("__hashes"))
+    # LAZY persist is deliberate: the two block self-join sides race and
+    # each run the shingle+signature chain (event log: two 32-task
+    # ~1 s stages), but the duplicates back-fill idle cores while an
+    # eager `materialize_now` fill serializes the critical path —
+    # measured slower (warm median 0.81 → 1.09 s); see
+    # OPTIMIZATION_r12.md "eager-fill A/B" for the full ledger
     sh = materialize(feats.select(
         "id", simhash_signature_udf()(F.col("__hashes")).alias("simhash")))
     blocks = sh.select(

@@ -53,7 +53,14 @@ def dsir_select(docs: DataFrame, target: Column, k: int,
     # the bucketed posting feeds THREE consumers (raw counts, target
     # counts, per-doc scoring) — persist it once instead of re-running
     # the tokenize+explode+md5 pipeline three times (measured 6.7 s →
-    # ~3 s at sf0.1; at scale this is the corpus-sized subplan)
+    # ~3 s at sf0.1; at scale this is the corpus-sized subplan).
+    # LAZY persist + no spread is deliberate: the consumers race as
+    # independent leaf stages (event log: five concurrent ~2.8 s
+    # single-task recomputes), but they back-fill idle cores, and the
+    # eager `materialize_now`+`spread_input` remedy — which pays one
+    # serialized cache-build of the EXPLODED posting on the critical
+    # path — measured 1.33 → 2.9 s warm median (see OPTIMIZATION_r12.md
+    # "eager-fill A/B")
     posting = materialize(
         bigram_pairs(docs, id_col, text_col).select("doc_id", bucket_of))
     flagged = posting.join(

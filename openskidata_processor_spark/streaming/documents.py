@@ -205,6 +205,11 @@ def streaming_curation_stats(spark: SparkSession, sf_dir: str,
     ckpt_dir = os.path.join(work, "checkpoint")
 
     def process_batch(batch_df, batch_id):
+        # LAZY persists are deliberate here: base/uniq/cont race as
+        # independent leaf stages and re-run the quality fold, but the
+        # per-batch eager-fill remedy (materialize_now on flagged +
+        # new_uniq, spread_input on the batch) measured 2.7 → 3.4 s warm
+        # median (see OPTIMIZATION_r12.md "eager-fill A/B")
         flagged = flags(batch_df).persist()
         new_uniq = None
         try:
@@ -363,6 +368,11 @@ def streaming_winnow_pairs(spark: SparkSession, sf_dir: str,
                                      "doc_id", "left_anti")
         else:
             standing = None
+        # LAZY persist is deliberate: the nn self-join sides + the
+        # standing leg race and re-run the fingerprint window pass once
+        # per leg, but the per-batch `materialize_now` remedy serializes
+        # a count job into every micro-batch and measured 1.8 → 4.2 s
+        # warm median (see OPTIMIZATION_r12.md "eager-fill A/B")
         new_fp = winnow_fingerprints(new_docs).persist()
         try:
             nn = (new_fp.toDF("id_a", "h")
