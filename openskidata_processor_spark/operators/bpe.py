@@ -52,16 +52,16 @@ from .barrier import truncate_lineage
 def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(w, freq): corpus word frequencies — the one corpus-scale pass.
 
-    ``spread_input`` (projected to the text column first, guide §2.3)
-    parallelizes the regex tokenize+explode when the input arrives as
-    fewer files than cores — bench testdata is single-row-group parquet,
-    so the whole corpus pass otherwise runs as ONE task; no-op at real
-    scale (many files)."""
+    NO ``spread_input`` (tried in the r12 campaign, reverted): the
+    vocab-collapsed consumers measured SLOWER with it in the isolated
+    A/B (unigram_seed_pieces 0.70 -> 0.95 s, bpe_learn_deep 0.73 ->
+    0.95 s medians) — the groupBy Exchange already spreads the reduce
+    side, and the extra round-robin Exchange outweighs parallelizing the
+    tokenize at bench scale (see OPTIMIZATION_r12.md "spread_input
+    re-measure")."""
     from ..functions.text import words
-    from .barrier import spread_input
 
-    return (spread_input(df.select(F.col(text_col)))
-            .select(F.explode(words(F.col(text_col))).alias("w"))
+    return (df.select(F.explode(words(F.col(text_col))).alias("w"))
             .groupBy("w").agg(F.count("*").alias("freq")))
 
 

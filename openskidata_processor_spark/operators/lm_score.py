@@ -88,13 +88,12 @@ def bigram_logprob(docs: DataFrame, model_docs: DataFrame | None = None,
     the scored corpus itself — self-perplexity, the repetition/outlier
     signal).  Higher avg_logp = more typical text; the quality filter
     drops the low tail."""
-    from .barrier import spread_input
-
-    # spread_input: the tokenize + bigram explode otherwise runs as ONE
-    # scan task on single-row-group bench input (no-op at scale).  Per-doc
-    # float sums are unaffected: a document is one row before the explode,
-    # so its pairs stay contiguous in one partition either way.
-    docs = spread_input(docs)
+    # NO spread_input (tried in the r12 campaign, reverted): the two
+    # consumers (lm_perplexity_docs, ppl_bucket_docs) both measured
+    # SLOWER with it in the isolated A/B (2.26 -> 2.74 / 1.71 -> 2.52 s
+    # medians) — the broadcast-model scoring joins are too light for the
+    # extra round-robin Exchange at bench scale (see OPTIMIZATION_r12.md
+    # "spread_input re-measure")
     pairs = bigram_pairs(docs, id_col, text_col)
     model_pairs = (pairs if model_docs is None
                    else bigram_pairs(model_docs, id_col, text_col))

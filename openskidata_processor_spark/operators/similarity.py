@@ -233,13 +233,12 @@ def ivf_ann_topk(queries: DataFrame, corpus: DataFrame, k: int,
         _train_ivf_centroids(corpus, corpus_vec, n_centroids,
                              sample_size, n_iters), max(n_probe, 1))
     # Per-row norms before the candidate join — see knn_brute_force.
-    # spread_input on the ASSIGNMENT leg only: centroid training above
-    # reads the unspread corpus, so the driver-collected sample (and
-    # therefore the centroids and every downstream result) is
-    # byte-identical; the per-row cell UDF parallelizes (no-op at scale).
-    from .barrier import spread_input
-
-    c = (spread_input(corpus)
+    # NO spread_input on the assignment leg (tried in the r12 campaign,
+    # reverted): isolated A/B read 1.23 -> 1.86 s median — the 32-way
+    # fan-out multiplies the per-task centroid-UDF setup and the
+    # Exchange outweighs the parallel cell assignment at bench scale
+    # (see OPTIMIZATION_r12.md "spread_input re-measure")
+    c = (corpus
          .withColumn("__cn", norm(as_double(F.col(corpus_vec))))
          .withColumn("__cell", cells1(F.col(corpus_vec))[0]))
     q = (queries.withColumn("__qn", norm(as_double(F.col(query_vec))))
@@ -421,14 +420,12 @@ def pq_ann_topk(queries: DataFrame, corpus: DataFrame, k: int,
     books = _train_pq_codebooks(corpus, corpus_vec, m, n_codes,
                                 sample_size, n_iters)
     codes = _pq_codes_udf(books)
-    # spread_input on the ENCODE leg only: codebook training above reads
-    # the unspread corpus, so the driver-collected sample (and the
-    # codebooks, hence every result) is byte-identical; the per-row code
-    # UDF parallelizes (no-op at real scale).
-    from .barrier import spread_input
-
-    coded = spread_input(corpus).withColumn("__codes",
-                                            codes(F.col(corpus_vec)))
+    # NO spread_input on the encode leg (tried in the r12 campaign,
+    # reverted): isolated A/B read 1.40 -> 2.44 s median — the 32-way
+    # fan-out multiplies the per-task codebook materialization of the
+    # code UDF and the Exchange outweighs the parallel encode at bench
+    # scale (see OPTIMIZATION_r12.md "spread_input re-measure")
+    coded = corpus.withColumn("__codes", codes(F.col(corpus_vec)))
 
     # The query side is driver-collected to build the ADC tables — queries
     # are ≪ corpus by contract (same rationale as the broadcast in

@@ -933,10 +933,11 @@ def multimodal_audio_stats(spark, sf_dir):
 
     from ..operators.multimodal import audio_features, encode_wav_pcm16
 
-    # spread_input: the synth/codec mapInPandas chain otherwise runs as
-    # ONE task on single-row-group bench input (no-op at scale); synth is
-    # per-row deterministic, so partitioning cannot change results
-    docs = spread_input(_t(spark, sf_dir, "documents").select("doc_id"))
+    # NO spread_input (tried in the r12 campaign, reverted): the synth
+    # waveform is tiny per row and the isolated A/B read 0.56 -> 1.06 s
+    # median — 32 Python tasks of setup for sub-second work (see
+    # OPTIMIZATION_r12.md "spread_input re-measure")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
 
     def synth(parts):
         for pdf in parts:
@@ -1221,10 +1222,11 @@ def multimodal_audio_fingerprint(spark, sf_dir):
 
     from ..operators.multimodal import audio_fingerprint, encode_wav_pcm16
 
-    # spread_input: the synth/codec mapInPandas chain otherwise runs as
-    # ONE task on single-row-group bench input (no-op at scale); synth is
-    # per-row deterministic, so partitioning cannot change results
-    docs = spread_input(_t(spark, sf_dir, "documents").select("doc_id"))
+    # NO spread_input (tried in the r12 campaign, reverted): the synth
+    # waveform is tiny per row and the isolated A/B read 0.56 -> 0.93 s
+    # median — 32 Python tasks of setup for sub-second work (see
+    # OPTIMIZATION_r12.md "spread_input re-measure")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
 
     def synth(parts):
         for pdf in parts:

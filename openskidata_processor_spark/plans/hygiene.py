@@ -339,11 +339,13 @@ def line_dedup_docs(spark, sf_dir):
     """(doc_id, n_lines, n_removed, clean_len, clean_md5): CCNet
     line-level boilerplate removal — normalized-line corpus frequency
     threshold, then in-order document reassembly."""
-    # spread_input before the regex tokenize (single-row-group bench
-    # input = one scan task otherwise; no-op at scale)
-    docs = spread_input(
-        _t(spark, sf_dir, "documents").select("doc_id", "text")
-    ).select("doc_id", T.words(F.col("text")).alias("ws"))
+    # NO spread_input (tried in the r12 campaign, reverted): isolated
+    # A/B read 1.34 -> 2.04 s median — the line explode + reassembly
+    # already shuffles twice, and the extra round-robin Exchange buys
+    # nothing at bench scale (see OPTIMIZATION_r12.md "spread_input
+    # re-measure")
+    docs = (_t(spark, sf_dir, "documents").select("doc_id", "text")
+            .select("doc_id", T.words(F.col("text")).alias("ws")))
     n_chunks = F.ceil(F.size("ws") / F.lit(_LINE_WORDS)).cast("int")
     chunks = F.when(
         F.size("ws") > 0,
@@ -598,10 +600,11 @@ def curate_corpus(spark, sf_dir):
     hash-matches one composed DuckDB oracle."""
     from ..pipeline.curation import curate
 
-    # spread_input: the per-doc quality/token chain otherwise runs as
-    # ONE scan task on single-row-group bench input (no-op at scale)
-    docs = spread_input(_t(spark, sf_dir, "documents")
-                        .select("doc_id", "source", "text"))
+    # NO spread_input (tried in the r12 campaign, reverted): curate()
+    # re-reads the doc frame across several stages, so the spread
+    # Exchange re-ran per stage and the isolated A/B read 3.00 -> 3.99 s
+    # median (see OPTIMIZATION_r12.md "spread_input re-measure")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     return curate(docs)
 
 
@@ -1233,11 +1236,12 @@ def blocklist_filter_docs(spark, sf_dir):
     doc).  Docs with zero hits are KEPT in the output with zeros —
     downstream filters need the full verdict table, not just the
     positives."""
-    # spread_input before the regex tokenize (single-row-group bench
-    # input = one scan task otherwise; no-op at scale)
-    docs = spread_input(
-        _t(spark, sf_dir, "documents").select("doc_id", "text")
-    ).select("doc_id", T.words(F.col("text")).alias("ws"))
+    # NO spread_input (tried in the r12 campaign, reverted): the tokenized
+    # frame feeds TWO un-persisted legs (base + hits), so the spread
+    # Exchange ran twice and the isolated A/B read ~1.2 -> ~1.4-3.9 s
+    # (see OPTIMIZATION_r12.md "spread_input re-measure")
+    docs = (_t(spark, sf_dir, "documents").select("doc_id", "text")
+            .select("doc_id", T.words(F.col("text")).alias("ws")))
     base = docs.select("doc_id", F.size("ws").cast("long").alias("n_words"))
     bl = spark.createDataFrame([(w,) for w in _BLOCKLIST], "w string")
     hits = (docs.select("doc_id", F.explode("ws").alias("w"))

@@ -529,11 +529,13 @@ def unigram_encode_stats(spark, sf_dir):
     all outputs are exact integers (``div``)."""
     from ..operators.barrier import truncate_lineage
 
-    # spread_input before the regex tokenize (single-row-group bench
-    # input = one scan task otherwise; no-op at scale)
-    docs = spread_input(
-        _t(spark, sf_dir, "documents").select("source", "text")
-    ).select("source", T.words(F.col("text")).alias("ws"))
+    # NO spread_input here (it was tried in the r12 campaign and
+    # reverted): the isolated A/B read 2.88 -> 5.28 s median — the
+    # round-robin Exchange + 32-way task fan-out of the tokenize costs
+    # more than the single-task scan it replaces on this vocab-collapsed
+    # shape (see OPTIMIZATION_r12.md "spread_input re-measure")
+    docs = (_t(spark, sf_dir, "documents").select("source", "text")
+            .select("source", T.words(F.col("text")).alias("ws")))
     by_word = truncate_lineage(
         docs.select("source", F.explode("ws").alias("w"))
         .groupBy("source", "w").agg(F.count("*").alias("cnt")),
@@ -671,10 +673,12 @@ def kn_score_docs(spark, sf_dir):
     from ..operators.barrier import truncate_lineage
     from ..operators.bpe import adjacent_pairs
 
-    # spread_input: the n-gram explode otherwise runs as ONE scan task
-    # on single-row-group bench input (no-op at scale)
-    docs = spread_input(_t(spark, sf_dir, "documents")
-                        .select("doc_id", "text"))
+    # NO spread_input (tried in the r12 campaign, reverted): isolated
+    # A/B read 1.38 -> 1.87 s median — the bigram pair frame is too
+    # light for the extra Exchange at bench scale, unlike the 3-gram
+    # kn3/mkn/sbo twins where spread measured a win (see
+    # OPTIMIZATION_r12.md "spread_input re-measure")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     ws = T.words(F.col("text"))
     pairs = truncate_lineage(
         docs.select("doc_id", F.explode(adjacent_pairs(ws)).alias("b"))
@@ -1404,11 +1408,13 @@ def wordpiece_encode_stats(spark, sf_dir):
     reference-pinned end-to-end."""
     from ..operators.barrier import truncate_lineage
 
-    # spread_input before the regex tokenize (single-row-group bench
-    # input = one scan task otherwise; no-op at scale)
-    docs = spread_input(
-        _t(spark, sf_dir, "documents").select("source", "text")
-    ).select("source", T.words(F.col("text")).alias("ws"))
+    # NO spread_input (tried in the r12 campaign, reverted): isolated
+    # A/B read 1.37 -> 1.84 s median — the 32-way fan-out multiplies the
+    # per-task broadcast-vocab materialization of the encode UDF and the
+    # Exchange outweighs the parallel tokenize on this vocab-collapsed
+    # shape (see OPTIMIZATION_r12.md "spread_input re-measure")
+    docs = (_t(spark, sf_dir, "documents").select("source", "text")
+            .select("source", T.words(F.col("text")).alias("ws")))
     by_word = truncate_lineage(
         docs.select("source", F.explode("ws").alias("w"))
         .groupBy("source", "w").agg(F.count("*").alias("cnt")),

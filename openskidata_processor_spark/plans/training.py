@@ -1237,12 +1237,11 @@ def profile_table_sketch(spark, sf_dir):
     scan, NO Expand, constant per-column state (HLL registers) —
     CI-pinned in tests/test_plan_audits.py.  Approximate-by-design
     (no DuckDB oracle); error bound pinned in test_training_ops."""
-    from ..operators.barrier import spread_input
-
-    # spread_input: same rationale as the exact twin — the HLL partial
-    # aggregation otherwise runs as ONE scan task at bench scale
-    li = spread_input(_t(spark, sf_dir, "lineitem")
-                      .select(*_PROFILE_COLS))
+    # NO spread_input (tried in the r12 campaign, reverted): unlike the
+    # exact twin's Expand x4, the HLL partial aggregation is too light
+    # for the extra Exchange — isolated A/B read 1.50 -> 2.30 s median
+    # (see OPTIMIZATION_r12.md "spread_input re-measure")
+    li = _t(spark, sf_dir, "lineitem").select(*_PROFILE_COLS)
     aggs = []
     for c in _PROFILE_COLS:
         v = _cents(F.col(c))
