@@ -481,9 +481,11 @@ def _synth_png_assets(docs):
 
     from ..operators.multimodal import encode_png_rgb
 
-    # spread_input: the PNG encode mapInPandas otherwise runs as ONE
-    # task on single-row-group bench input (no-op at scale)
-    docs = spread_input(docs)
+    # NO spread_input (tried in the r12 campaign, reverted): the synth
+    # PNGs are 24 pixels at bench scale and the isolated A/B read the
+    # consumers SLOWER with it (decode_stats 1.52 -> 2.18 s, phash
+    # 1.33 -> 1.62 s medians) — 32 Python tasks of setup for sub-second
+    # work (see OPTIMIZATION_r12.md "spread_input re-measure")
     meta = docs.select(
         F.col("doc_id").alias("id"), "source",
         F.length(F.encode("text", "UTF-8")).alias("nb"))
@@ -582,10 +584,11 @@ def multimodal_frame_sample(spark, sf_dir):
     from ..operators.multimodal import encode_y4m, sample_frames_y4m
 
     W, H = 8, 4
-    # spread_input: the synth codec chain otherwise runs as ONE task on
-    # single-row-group bench input (no-op at scale)
-    docs = spread_input(
-        _t(spark, sf_dir, "documents").select("doc_id", "source"))
+    # NO spread_input (tried in the r12 campaign, reverted): the synth
+    # frames are 8x4 at bench scale — same measured verdict as the
+    # video/resize twins (see OPTIMIZATION_r12.md "spread_input
+    # re-measure")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
 
     def synth(parts):
         for pdf in parts:
@@ -1031,10 +1034,11 @@ def multimodal_video_stats(spark, sf_dir):
     from ..operators.multimodal import encode_y4m, video_frame_stats
 
     W, H = 8, 4
-    # spread_input: the synth/codec mapInPandas chain otherwise runs as
-    # ONE task on single-row-group bench input (no-op at scale); synth is
-    # per-row deterministic, so partitioning cannot change results
-    docs = spread_input(_t(spark, sf_dir, "documents").select("doc_id"))
+    # NO spread_input (tried in the r12 campaign, reverted): isolated
+    # A/B read 0.72 -> 0.82 s median — the 8x4 synth frames are too
+    # small for the fan-out at bench scale (see OPTIMIZATION_r12.md
+    # "spread_input re-measure")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
 
     def synth(parts):
         for pdf in parts:
@@ -1090,10 +1094,11 @@ def multimodal_resize_stats(spark, sf_dir):
                                         resize_images)
 
     H, W = 4, 8
-    # spread_input: the synth/codec mapInPandas chain otherwise runs as
-    # ONE task on single-row-group bench input (no-op at scale); synth is
-    # per-row deterministic, so partitioning cannot change results
-    docs = spread_input(_t(spark, sf_dir, "documents").select("doc_id"))
+    # NO spread_input (tried in the r12 campaign, reverted): isolated
+    # A/B read 0.96 -> 1.58 s median — the 4x8 synth PNGs are too small
+    # for the fan-out at bench scale (see OPTIMIZATION_r12.md
+    # "spread_input re-measure")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
 
     def synth(parts):
         for pdf in parts:
@@ -1287,10 +1292,11 @@ def multimodal_video_fingerprint(spark, sf_dir):
     from ..operators.multimodal import encode_y4m, video_fingerprint
 
     W, H = 8, 4
-    # spread_input: the synth/codec mapInPandas chain otherwise runs as
-    # ONE task on single-row-group bench input (no-op at scale); synth is
-    # per-row deterministic, so partitioning cannot change results
-    docs = spread_input(_t(spark, sf_dir, "documents").select("doc_id"))
+    # NO spread_input (tried in the r12 campaign, reverted): same
+    # measured verdict as the video/resize twins — tiny synth payloads,
+    # fan-out overhead dominates at bench scale (see OPTIMIZATION_r12.md
+    # "spread_input re-measure")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
 
     def synth(parts):
         for pdf in parts:

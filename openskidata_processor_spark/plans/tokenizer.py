@@ -326,11 +326,14 @@ def bpe_encode_stats(spark, sf_dir):
     doc counts).  All-integer output (``div``), hash-stable."""
     from ..operators.barrier import truncate_lineage
 
-    # spread_input before the regex tokenize (single-row-group bench
-    # input = one scan task otherwise; no-op at scale)
-    docs = spread_input(
-        _t(spark, sf_dir, "documents").select("source", "text")
-    ).select("source", T.words(F.col("text")).alias("ws"))
+    # NO spread_input (tried in the r12 campaign, reverted): isolated
+    # A/B read 2.27 -> 2.92 s median — same vocab-collapsed shape as the
+    # unigram/wordpiece encode twins, where the Exchange plus the 32x
+    # per-task broadcast-merges materialization of the encode UDF
+    # outweigh the parallel tokenize (see OPTIMIZATION_r12.md
+    # "spread_input re-measure")
+    docs = (_t(spark, sf_dir, "documents").select("source", "text")
+            .select("source", T.words(F.col("text")).alias("ws")))
     # caller-invisible reuse barrier -> localCheckpoint, not persist
     # (ContextCleaner-reclaimable; see pmi_collocations)
     by_word = truncate_lineage(
