@@ -46,52 +46,49 @@ from openskidata_processor_spark.plans import ORACLES, QUERIES  # noqa: E402
 # ~7 catalog additions/round and 12 rotations/round the never-windowed
 # backlog shrinks ≥5/round: 41 at r11 → 0 by ~r20.
 _DRIVER_WINDOW = [
-    # relational / pipeline core (round 12 rotates out five of the
-    # longest-proven r1 entries — o5 anti-join, a7 dedup, w_running_total,
-    # sessionize, asof — all green in eleven consecutive driver windows
-    # and all still parity-gated; their families keep representatives:
-    # W1 window fns, dedup_exact/dedup_group_resolution,
-    # stream_stateful_sessions for sessionization)
-    "a2_pricing_summary", "j8_regional_revenue", "w1_top_order_per_customer",
-    "a1_merged_order_status",
+    # relational / pipeline core (round 13 rotates out four 12-round
+    # r1 veterans — j8, w1, a1, a6 — all parity-gated; the family keeps
+    # a2 [the flagship], p5 and range_band_counts in-window)
+    "a2_pricing_summary",
     "p5_lifecycle_resolution",
-    "a6_daily_event_stats",
     "range_band_counts",
-    # geometry / graph (j2 rotated out round 12; j3_geo_dwithin keeps the
-    # spatial-join family in-window)
+    # geometry / graph (sole in-window family representatives — exempt
+    # from rotation until a family sibling rotates in)
     "j3_geo_dwithin", "cc_components",
-    # raster / projection kernel (§2.8) — r1_mercator_tiles rotated out
-    # round 12 for the never-windowed r4 point rasterizer; the family
-    # keeps two in-window entries (r2 + r4), r1/r3 stay parity-gated
+    # raster / projection kernel (§2.8)
     "r2_viirs_pixel_rollup", "r4_viirs_rasterize_points",
-    # text analysis + dedup families (knn_cosine rotated out round 12 —
-    # dedup_embedding_pairs keeps the embedding-similarity family
-    # in-window and knn stays parity-gated + recall-harness-pinned)
-    "text_doc_stats", "quality_docs", "dedup_exact",
-    "dedup_group_resolution", "dedup_embedding_pairs",
-    # training-data operators (cdc_merge_upsert / quantiles_exact /
-    # tfidf_doc_terms rotated out round 12 after 9+ green windows;
-    # stream_lake_ingest keeps lakehouse merge semantics in-window,
-    # bm25_topk_docs carries the term-weighting family)
+    # training-data operators
     "rollup_multi_granularity", "sample_stratified",
-    # round-12 rotation cohort A — the six round-11 additions that have
-    # never had a driver CORRECTNESS row (VERDICT r11 item 1's named
-    # priority list): the interpolated-KN bigram/trigram scorers, the
-    # CCNet tercile split, and the three published quality-rule sets
-    # (all three corrected to the per-symbol / word-boundary /
-    # repeat-only semantics this round per ADVICE r11 — a fresh driver
-    # row pins the corrected behavior end-to-end)
+    # round-12 rotation cohorts stay (their first window rows are one
+    # round old): interpolated-KN scorers, CCNet terciles, the three
+    # published quality-rule sets, scoring/clustering family
     "kn_score_docs", "kn3_score_docs", "ppl_bucket_docs",
     "gopher_quality_docs", "c4_quality_docs", "fineweb_quality_docs",
-    # round-12 rotation cohort B — the six OLDEST never-windowed entries
-    # by commit topological order (kmeans → bm25 → bounded streaming
-    # dedup → r4 rasterizer [cohort above] → LM perplexity + SemDeDup →
-    # logreg quality): surfacing the round-7 scoring/clustering family
-    # under the driver's hard signal for the first time
     "kmeans_clusters", "bm25_topk_docs", "stream_dedup_bounded",
     "lm_perplexity_docs", "semdedup_keep", "logreg_quality_scores",
-    # tokenizer family (round-11 rotations stay one more round — their
-    # first window rows are only one round old)
+    # round-13 rotation cohort A — the five round-12 catalog additions,
+    # never driver-windowed (newest code, highest defect probability;
+    # gopher_repetition + source_overlap also carry this round's
+    # optimization rewrites, so a fresh driver row pins them end-to-end)
+    "mkn_score_docs", "sbo_score_docs", "gopher_repetition_docs",
+    "source_unigram_kl", "stream_gopher_quality",
+    # round-13 rotation cohort B — the seven OLDEST never-windowed
+    # entries by commit topological order (git log --reverse -S over the
+    # @query registrations): dsir → dup_ngram → centroid_outlier →
+    # curate_corpus → the three multimodal fingerprint families
+    "dsir_select_docs", "dup_ngram_docs", "centroid_outlier_docs",
+    "curate_corpus", "multimodal_phash_groups",
+    "multimodal_audio_fingerprint", "multimodal_video_fingerprint",
+    # rotated out round 13 (longest-proven, 9-12 green windows each,
+    # families keep representatives): j8_regional_revenue,
+    # w1_top_order_per_customer, a1_merged_order_status,
+    # a6_daily_event_stats, text_doc_stats, quality_docs, dedup_exact,
+    # dedup_group_resolution, dedup_embedding_pairs,
+    # multimodal_decode_stats, stream_event_counts,
+    # stream_stateful_sessions — all remain hard-gated by the identical
+    # DuckDB compare in tests/test_oracle_parity.py
+    #
+    # tokenizer family
     "bpe_pair_stats", "split_holdout_stats",
     "unigram_seed_pieces", "kn_bigram_stats",
     # hygiene / packing
@@ -102,13 +99,9 @@ _DRIVER_WINDOW = [
     # web ingestion + bloom + language-ID
     "html_extract_text", "bloom_decontaminate",
     "lang_id_confusion",
-    # multimodal (multimodal_video_stats rotated out round 12 after two
-    # green windows; multimodal_decode_stats keeps the family in-window)
-    "multimodal_decode_stats",
-    # streaming (stream_dedup_exact rotated out round 12 — the incoming
-    # never-windowed stream_dedup_bounded exercises the same streaming
-    # dedup state machinery plus the TTL bound; both stay parity-gated)
-    "stream_event_counts", "stream_stateful_sessions",
+    # streaming (event_counts/stateful_sessions rotated out round 13;
+    # the family keeps stream_dedup_bounded, stream_lake_ingest,
+    # stream_bpe_pair_stats and the incoming stream_gopher_quality)
     "stream_lake_ingest", "stream_bpe_pair_stats",
 ]
 

@@ -299,14 +299,44 @@ def main() -> None:
     # outgrew the tail window).  A final COMPACT line guarantees any
     # tail-truncated capture still ends with parseable JSON carrying the
     # headline number.
-    print(json.dumps({
+    #
+    # Round 13 (VERDICT r12 item 4): the driver's capture window is the
+    # LAST 2000 characters of stdout, and its per-query/scaling tables come
+    # from the last parseable line's "queries" dict — which for two rounds
+    # was absent because only the compact totals survived the tail.  The
+    # compact line therefore now ALSO carries (a) the full 16-entry
+    # headline "queries" dict (~650 chars — always fits) and (b) as many
+    # of the SLOWEST extended entries as keep the whole line under the
+    # budget below (slowest-first: the sub-second entries are fixed-
+    # latency noise; the expensive ones are what perf comparison needs).
+    # This is a measurement-visibility fix only: the big line above is
+    # unchanged, no timing methodology changed, values are identical.
+    tail_budget = 1900          # < the driver's 2000-char window
+    compact: dict[str, object] = {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
         "n_extended": len(extended),
-    }))
+        "queries": timings,
+    }
+    numeric_ext = sorted(
+        ((k, v) for k, v in extended.items()
+         if isinstance(v, (int, float))),
+        key=lambda kv: -kv[1])
+    ext_out: dict[str, float] = {}
+    line = json.dumps(compact)
+    for k, v in numeric_ext:
+        candidate = dict(compact)
+        candidate["extended"] = {**ext_out, k: v}
+        candidate["extended_omitted"] = len(numeric_ext) - len(ext_out) - 1
+        cand_line = json.dumps(candidate)
+        if len(cand_line) > tail_budget:
+            break
+        ext_out[k] = v
+        line = cand_line
+    print(line)
     spark.stop()
 
 

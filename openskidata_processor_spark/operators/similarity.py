@@ -238,9 +238,20 @@ def ivf_ann_topk(queries: DataFrame, corpus: DataFrame, k: int,
     # fan-out multiplies the per-task centroid-UDF setup and the
     # Exchange outweighs the parallel cell assignment at bench scale
     # (see OPTIMIZATION_r12.md "spread_input re-measure")
+    # The corpus assignment UDF is marked non-deterministic (guide §4.4):
+    # the equi-join's implied isnotnull(__cell) gets pushed below the
+    # projection otherwise, and the optimizer DUPLICATES the UDF — the
+    # r12 plan dump shows two ArrowEvalPython nodes evaluating
+    # _cells(embedding) over the whole corpus (one feeding the pushed
+    # null filter, one the projection).  The function is genuinely
+    # deterministic, so blocking the duplication cannot change results.
+    # The query leg keeps the deterministic instance: it feeds a
+    # Generate (explode), where non-deterministic expressions are
+    # disallowed, and the 10-row query table has no duplication cost.
     c = (corpus
          .withColumn("__cn", norm(as_double(F.col(corpus_vec))))
-         .withColumn("__cell", cells1(F.col(corpus_vec))[0]))
+         .withColumn("__cell",
+                     cells1.asNondeterministic()(F.col(corpus_vec))[0]))
     q = (queries.withColumn("__qn", norm(as_double(F.col(query_vec))))
          .withColumn("__cell", F.explode(cells1(F.col(query_vec)))))
     scored = (
@@ -326,7 +337,13 @@ def embedding_near_dup_pairs_lsh(df: DataFrame, id_col: str, vec_col: str,
             .select("id_a", "id_b").distinct())
     va = base.select(F.col("__id").alias("id_a"), F.col("__vec").alias("__va"))
     vb = base.select(F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"))
-    cos = cosine_batch_udf()
+    # Non-deterministic marking (guide §4.4): the threshold filter
+    # references the UDF-computed column, and the optimizer otherwise
+    # pushes the filter below the projection and DUPLICATES the UDF —
+    # the r12 plan dump shows two ArrowEvalPython _cos nodes, so every
+    # candidate pair paid the Arrow round trip twice.  The cosine is
+    # deterministic; blocking duplication cannot change results.
+    cos = cosine_batch_udf().asNondeterministic()
     return (
         cand.join(va, "id_a").join(vb, "id_b")
         .withColumn("cosine_sim",

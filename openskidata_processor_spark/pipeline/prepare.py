@@ -52,12 +52,19 @@ def prepare(spark: SparkSession,
             path = os.path.join(checkpoint_dir, name)
             df.write.mode("overwrite").parquet(path)
             return spark.read.parquet(path)
-        # Lazy lineage cut: each phase still materializes exactly once
-        # (inside the first downstream action, where consumers reuse the
-        # cached blocks), but the driver no longer sequences a separate
-        # synchronous job per phase boundary — ~8 fewer serialized
-        # driver round trips per prepare() run, identical computed work.
-        return truncate_lineage(df, eager=False)
+        # EAGER lineage cut — reverted to the r11 behavior (r13, VERDICT
+        # r12 item 1).  The r12 lazy barrier saved ~9 driver-sequenced
+        # jobs but event-log CPU attribution shows the phase-frame work
+        # then runs ~2.8× (10.4 s CPU as 4 eager checkpoint jobs vs
+        # +29.1 s CPU inside the racing consumer stages): clustering's
+        # independent AQE leaf stages each recompute the un-materialized
+        # phase frame.  On an idle local[32] the duplicates back-fill
+        # (wall floors measured equal, ~95-97 s both arms), but at full
+        # utilization — a loaded host or a real cluster — the +25% CPU
+        # is wall, which matches the driver's r12 e2e_prepare_50
+        # 91 → 117 s reading.  Total work is what matters at 100 TB:
+        # eager computes each phase exactly once.
+        return truncate_lineage(df)
 
     site_areas = fmt.format_ski_areas_sites(sites)
     runs = fmt.attach_site_ski_areas(fmt.format_runs(runs_raw), sites,

@@ -1236,23 +1236,29 @@ def blocklist_filter_docs(spark, sf_dir):
     doc).  Docs with zero hits are KEPT in the output with zeros —
     downstream filters need the full verdict table, not just the
     positives."""
-    # NO spread_input (tried in the r12 campaign, reverted): the tokenized
-    # frame feeds TWO un-persisted legs (base + hits), so the spread
-    # Exchange ran twice and the isolated A/B read ~1.2 -> ~1.4-3.9 s
-    # (see OPTIMIZATION_r12.md "spread_input re-measure")
-    docs = (_t(spark, sf_dir, "documents").select("doc_id", "text")
-            .select("doc_id", T.words(F.col("text")).alias("ws")))
-    base = docs.select("doc_id", F.size("ws").cast("long").alias("n_words"))
-    bl = spark.createDataFrame([(w,) for w in _BLOCKLIST], "w string")
-    hits = (docs.select("doc_id", F.explode("ws").alias("w"))
-            .join(F.broadcast(bl), "w")
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("n_hits"),
-                 F.countDistinct("w").alias("n_distinct_hits")))
-    return (base.join(hits, "doc_id", "left")
+    # r13 restructure (ADVICE r12 follow-up): the old shape tokenized the
+    # corpus TWICE (un-persisted base + hits legs), exploded every word
+    # through a broadcast join and paid a groupBy(doc_id) Exchange plus
+    # the final left join.  Blocklist membership is a per-word set probe,
+    # so the whole verdict is computable IN-ROW: filter the word array to
+    # hits, take sizes.  One tokenize, zero explodes, zero joins, zero
+    # Exchanges (the hit counts per doc are identical; a word appearing
+    # k times contributes k to n_hits and 1 to n_distinct_hits, exactly
+    # as the explode+join counted — oracle-gated).  At crawl scale a
+    # curated list stays a broadcast-sized InSet probe either way; this
+    # shape just never moves the corpus for it.
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id", T.words(F.col("text")).alias("ws"))
+            # hit array aliased in its own projection so the filter
+            # lambda runs once per row (two non-cheap references keep
+            # CollapseProject from re-inlining it)
+            .select("doc_id",
+                    F.size("ws").cast("long").alias("n_words"),
+                    F.filter(F.col("ws"),
+                             lambda w: w.isin(*_BLOCKLIST)).alias("__h"))
             .select("doc_id", "n_words",
-                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-                    F.coalesce("n_distinct_hits", F.lit(0))
+                    F.size("__h").cast("long").alias("n_hits"),
+                    F.size(F.array_distinct("__h")).cast("long")
                     .alias("n_distinct_hits"))
             .withColumn("blocked", F.col("n_hits") > 0))
 
@@ -1809,23 +1815,29 @@ def _dup_stats(arr):
     """struct(el, ch) over an array column: repeat occurrences beyond
     the first — an element appearing k > 1 times contributes (k−1) to
     ``el`` and (k−1)·len to ``ch`` (datatrove ``find_duplicates``) —
-    via ONE fold over the sorted array (equal elements adjacent)."""
+    via ONE fold over the sorted array (equal elements adjacent).
+
+    The previous element rides in the fold ACCUMULATOR (r13): the old
+    shape materialized three extra array copies per signal per row
+    (``slice`` shift + ``concat`` + ``zip_with`` struct array) before
+    folding; at 32 concurrent tasks those transient copies were the
+    allocation bulk of ``gopher_repetition_docs``'s scan stage.  The
+    comparison sequence is IDENTICAL (adjacent equality over the same
+    sorted array, same order), so counts are bit-equal."""
     s = F.sort_array(arr)
-    z = F.zip_with(
+    dup = lambda acc, x: acc["prev"].isNotNull() & (x == acc["prev"])  # noqa: E731
+    st = F.aggregate(
         s,
-        F.concat(F.array(F.lit(None).cast("string")),
-                 F.slice(s, 1, F.greatest(F.size(s) - 1, F.lit(0)))),
-        lambda cur, prev: F.struct(cur.alias("cur"), prev.alias("prev")))
-    dup = lambda x: x["prev"].isNotNull() & (x["cur"] == x["prev"])  # noqa: E731
-    return F.aggregate(
-        z,
-        F.struct(F.lit(0).cast("long").alias("el"),
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).cast("long").alias("el"),
                  F.lit(0).cast("long").alias("ch")),
         lambda acc, x: F.struct(
-            F.when(dup(x), acc["el"] + 1)
+            x.alias("prev"),
+            F.when(dup(acc, x), acc["el"] + 1)
             .otherwise(acc["el"]).alias("el"),
-            F.when(dup(x), acc["ch"] + F.length(x["cur"]))
+            F.when(dup(acc, x), acc["ch"] + F.length(x))
             .otherwise(acc["ch"]).alias("ch")))
+    return F.struct(st["el"].alias("el"), st["ch"].alias("ch"))
 
 
 def _dup_gram_chars(grams):
@@ -1838,27 +1850,28 @@ def _top_gram_value(grams):
     """len(gram)·count of the MOST FREQUENT n-gram, ties broken toward
     the lexicographically smallest gram — one fold over the sorted
     array tracking the current run and the best completed run (strict
-    ``>`` keeps the first = smallest gram on count ties)."""
+    ``>`` keeps the first = smallest gram on count ties).
+
+    Like ``_dup_stats`` (r13), the previous element is the fold state's
+    ``g`` field (after every step ``g`` = the element just consumed, so
+    at step i it reads as s[i-1]; initialized null exactly like the old
+    shifted array's first ``prev``) — same comparisons, same order,
+    zero shifted/zipped array copies."""
     s = F.sort_array(grams)
-    z = F.zip_with(
-        s,
-        F.concat(F.array(F.lit(None).cast("string")),
-                 F.slice(s, 1, F.greatest(F.size(s) - 1, F.lit(0)))),
-        lambda cur, prev: F.struct(cur.alias("cur"), prev.alias("prev")))
     st = F.aggregate(
-        z,
+        s,
         F.struct(F.lit(None).cast("string").alias("g"),
                  F.lit(0).cast("long").alias("run"),
                  F.lit(0).cast("long").alias("bc"),
                  F.lit(0).cast("long").alias("bv")),
         lambda acc, x: F.struct(
-            x["cur"].alias("g"),
-            F.when(x["prev"].isNotNull() & (x["cur"] == x["prev"]),
+            x.alias("g"),
+            F.when(acc["g"].isNotNull() & (x == acc["g"]),
                    acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.when(x["prev"].isNotNull() & (x["cur"] != x["prev"])
+            F.when(acc["g"].isNotNull() & (x != acc["g"])
                    & (acc["run"] > acc["bc"]), acc["run"])
             .otherwise(acc["bc"]).alias("bc"),
-            F.when(x["prev"].isNotNull() & (x["cur"] != x["prev"])
+            F.when(acc["g"].isNotNull() & (x != acc["g"])
                    & (acc["run"] > acc["bc"]),
                    acc["run"] * F.length(acc["g"]))
             .otherwise(acc["bv"]).alias("bv")))
@@ -1904,13 +1917,25 @@ def gopher_repetition_docs(spark, sf_dir):
     never leave their row).  ``spread_input`` parallelizes the per-row
     fold work when the input arrives as one file (bench); the no-join/
     no-explode shape is unchanged."""
-    docs = spread_input(_t(spark, sf_dir, "documents")
-                        .select("source", "text"))
-    text = F.col("text")
-    ws = T.words(text)
-    lc = F.length(text).cast("long")
-    lines = F.split(text, "\n", -1)
-    paras = F.split(text, "\n\n", -1)
+    # The tokenized arrays are hoisted into ONE projection (r13): the
+    # word array feeds all nine shingle widths (and each zip_ngrams
+    # references its input n+2 times), so leaving ``words(text)`` inline
+    # re-evaluated the split+filter — a CodegenFallback higher-order
+    # expression outside codegen subexpression elimination — dozens of
+    # times per row.  CollapseProject keeps the projection (the aliases
+    # are non-cheap and multiply referenced), so each array is computed
+    # once per row; the fold inputs and all counts are unchanged.
+    docs = (spread_input(_t(spark, sf_dir, "documents")
+                         .select("source", "text"))
+            .select("source",
+                    F.length("text").cast("long").alias("__lc"),
+                    T.words(F.col("text")).alias("__ws"),
+                    F.split("text", "\n", -1).alias("__lines"),
+                    F.split("text", "\n\n", -1).alias("__paras")))
+    ws = F.col("__ws")
+    lc = F.col("__lc")
+    lines = F.col("__lines")
+    paras = F.col("__paras")
     dl = _dup_stats(lines)
     dp = _dup_stats(paras)
     n_lines = F.size(lines).cast("long")

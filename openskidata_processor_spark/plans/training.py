@@ -1576,25 +1576,48 @@ def source_overlap_matrix(spark, sf_dir):
     output is bounded by sources², never the corpus.  At crawl scale a
     stop-shingle doc-frequency cap bounds the per-shingle fan-out — the
     same ``max_doc_freq`` lever the MinHash dedup path uses."""
-    from ..operators.barrier import materialize_now
+    # r13 restructure (VERDICT r12 item 2): the posting self-join needed a
+    # cache barrier (both sides re-ran the corpus-scale explode+distinct
+    # otherwise), and the r12 eager fill serialized that corpus pass on
+    # the critical path — the driver read 2.57 → 7.60 s.  Equivalent
+    # single-consumer shape: group the distinct posting BY SHINGLE, fold
+    # each shingle's (bounded-by-#sources) source set into ordered pairs
+    # in-row, and count per pair.  For a shingle present in source set S,
+    # every ordered pair (a < b) ⊆ S gains exactly 1 — the same
+    # n_shared_shingles the self-join counted (oracle-gated).  One chain:
+    # no self-join, no racing leaf stages, no barrier, one fewer
+    # corpus-scale Exchange; the per-shingle fan-out that made hot
+    # shingles a skew hazard at crawl scale is now a per-row transform
+    # over a set bounded by the source count.
+    # (no ``.distinct()`` before the groupBy: ``collect_set`` already
+    # dedups sources per shingle — and the per-doc ``array_distinct``
+    # already dedups within a document — so the posting's own
+    # corpus-scale Exchange is redundant; ONE shuffle total on shingle)
+    # spread_input: the regex tokenize + shingle explode + map-side
+    # partial collect_set otherwise run as ONE scan task on single-file
+    # bench input (no-op at scale); the frame is consumed ONCE, the
+    # r12 rule's keep condition
+    from ..operators.barrier import spread_input
 
-    # The distinct (source, shingle) posting feeds BOTH self-join sides;
-    # without a barrier the corpus-scale explode+distinct chain is planned
-    # (and executed) once per side — no ReusedExchange fires across the
-    # probe/broadcast-build stages, and the two are independent AQE leaf
-    # stages that race a lazy cache.  One eager pass, both sides cached.
-    d = materialize_now(
-        _t(spark, sf_dir, "documents")
-        .select("source",
-                F.explode(F.array_distinct(T.word_shingles(
-                    T.words(F.col("text")), _OVERLAP_N)))
-                .alias("shingle"))
-        .distinct())
-    a = d.toDF("source_a", "shingle")
-    b = d.toDF("source_b", "shingle")
-    return (a.join(b, "shingle")
-            .filter(F.col("source_a") < F.col("source_b"))
-            .groupBy("source_a", "source_b")
+    d = (spread_input(_t(spark, sf_dir, "documents")
+                      .select("source", "text"))
+         .select("source",
+                 F.explode(F.array_distinct(T.word_shingles(
+                     T.words(F.col("text")), _OVERLAP_N)))
+                 .alias("shingle")))
+    ss = (d.groupBy("shingle")
+          .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+          .filter(F.size("ss") >= 2))
+    pairs = ss.select(F.explode(F.flatten(F.transform(
+        F.col("ss"),
+        lambda a, i: F.transform(
+            F.slice(F.col("ss"), i + 2,
+                    F.greatest(F.size(F.col("ss")) - i - 1, F.lit(0))),
+            lambda b: F.struct(a.alias("source_a"),
+                               b.alias("source_b"))))))
+        .alias("p"))
+    return (pairs.groupBy(F.col("p.source_a").alias("source_a"),
+                          F.col("p.source_b").alias("source_b"))
             .agg(F.count("*").alias("n_shared_shingles")))
 
 
