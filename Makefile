@@ -3,7 +3,7 @@
 # run it first (round 5 shipped a 122-test ANSI regression in a snapshot
 # commit that this exact target would have caught in under two minutes).
 
-.PHONY: check test bench driver-sim window-check
+.PHONY: check test test-driver-tier bench driver-sim window-check
 
 # Fast regression gate (~2.5 min): formatter semantics + ANSI edge probes +
 # golden sha256-pinned end-to-end artifacts + the driver-window contract
@@ -14,9 +14,18 @@ check:
 	    tests/test_golden_outputs.py \
 	    tests/test_oracle_parity.py::test_driver_window_is_all_oracle_backed -q
 
-# Full suite (~12 min).
+# FULL suite (~39 min on the r13 host): driver tier + the full-tier
+# modules gated in tests/conftest.py (learner differentials, e2e, plan
+# audits, streaming semantics, recall, ...).  MANDATORY before snapshot
+# commits.  A bare `pytest tests/` runs the DRIVER TIER only (~11 min):
+# the oracle-parity sweep, golden pins and light behavior modules — the
+# set the external verify harness must finish inside its window.
 test:
-	python -m pytest tests/ -q
+	SPARK_GRAFT_FULL_TESTS=1 python -m pytest tests/ -q
+
+# Driver tier exactly as the external harness runs it.
+test-driver-tier:
+	python -m pytest tests/ -x -q
 
 # Driver-contract simulation from a neutral cwd (catches executor-side
 # import failures that repo-cwd runs mask).

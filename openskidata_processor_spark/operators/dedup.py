@@ -297,6 +297,13 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     # independent AQE leaf stages that would otherwise race and each
     # recompute the shingle chain (see barrier.materialize_now).
     arr = materialize_now(shingle_arrays(_spread(df), id_col, text_col, n))
+    # NO barrier on the signature table (tried r13, reverted): the sig
+    # UDF does feed both banding self-join sides (2 ArrowEvalPython in
+    # the plan), but persisting it read WORSE in the isolated A/B —
+    # dedup_minhash_lsh warm 2.2 → 2.9 s, stream_minhash_pairs 3.7 →
+    # 5-10 s (5 repeats each): storing the 64-long signature arrays
+    # costs more than recomputing the vectorized UDF from the cached
+    # shingle table, and the racing duplicate back-fills idle cores.
     sigs = minhash_signatures_from_arrays(arr, num_perm)
     cands = lsh_candidate_pairs(sigs, bands)
     sizes = arr.select("id", F.size("sh_arr").alias("set_size"))

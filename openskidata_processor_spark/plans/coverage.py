@@ -584,10 +584,10 @@ def multimodal_frame_sample(spark, sf_dir):
     from ..operators.multimodal import encode_y4m, sample_frames_y4m
 
     W, H = 8, 4
-    # NO spread_input (tried in the r12 campaign, reverted): the synth
-    # frames are 8x4 at bench scale — same measured verdict as the
-    # video/resize twins (see OPTIMIZATION_r12.md "spread_input
-    # re-measure")
+    # NO spread_input (tried in the r12 campaign): reverted by
+    # SHAPE-ANALOGY to the directly-measured video/resize twins (8x4
+    # synth frames, identical codec chain) — not its own isolated A/B
+    # (see OPTIMIZATION_r12.md "spread_input re-measure")
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
 
     def synth(parts):
@@ -1292,10 +1292,11 @@ def multimodal_video_fingerprint(spark, sf_dir):
     from ..operators.multimodal import encode_y4m, video_fingerprint
 
     W, H = 8, 4
-    # NO spread_input (tried in the r12 campaign, reverted): same
-    # measured verdict as the video/resize twins — tiny synth payloads,
-    # fan-out overhead dominates at bench scale (see OPTIMIZATION_r12.md
-    # "spread_input re-measure")
+    # NO spread_input (tried in the r12 campaign): reverted by
+    # SHAPE-ANALOGY to the directly-measured video/resize twins (tiny
+    # synth payloads, fan-out overhead dominates at bench scale) — not
+    # its own isolated A/B (see OPTIMIZATION_r12.md "spread_input
+    # re-measure")
     docs = _t(spark, sf_dir, "documents").select("doc_id")
 
     def synth(parts):
@@ -1422,14 +1423,18 @@ def multimodal_near_dup_groups(spark, sf_dir):
             yield pd.DataFrame({"id": pdf["doc_id"].astype("int64"),
                                 "img": img, "aud": aud, "vid": vid})
 
-    from ..operators.barrier import materialize_now
+    from ..operators.barrier import materialize
 
-    # Eager cache fill: the three modality fingerprint legs and both
-    # sides of each pigeonhole self-join are INDEPENDENT AQE leaf stages;
-    # with a lazy persist they race and each re-runs the synth codec
-    # chain (measured: 12 concurrent ~3 s recomputes per run — the
-    # dominant cost of this query).  One count() builds the cache once.
-    assets = materialize_now(docs.mapInPandas(
+    # LAZY persist — the r12 eager fill (materialize_now) reverted here
+    # (r13, VERDICT r12 item 2).  The racing-leaf-stage duplicate synth
+    # computes are real but BACK-FILL idle cores, while the eager count()
+    # serializes the whole synth codec chain on the critical path:
+    # isolated 32-core A/B (5 repeats, same session shape) reads eager
+    # cold/warm 12.0 / 6.3 s vs lazy 11.9 / 5.5 s, agreeing with the
+    # driver's r12 cold reading (5.41 → 7.52 s after the eager change).
+    # This is the same verdict the r12 eager-fill A/B reached at the
+    # dsir/simhash/winnow/curate sites.
+    assets = materialize(docs.mapInPandas(
         synth, "id long, img binary, aud binary, vid binary"))
 
     ih = perceptual_hash(decode_images(assets.select(

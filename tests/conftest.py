@@ -12,6 +12,62 @@ from openskidata_processor_spark.session import get_spark  # noqa: E402
 SF_SMOKE = os.environ.get("SPARK_GRAFT_SF_SMOKE", "/root/testdata/sf0.001")
 SF_T2 = os.environ.get("SPARK_GRAFT_SF_T2", "/root/testdata/sf0.01")
 
+# --- Two-tier suite (round 13, VERDICT r12 item 5) -----------------------
+#
+# The external verify harness runs ``pytest tests/ -x -q`` inside a bounded
+# window; the full suite outgrew it (39:21 on the round-13 host — the r12
+# driver run was cut at ~70% with zero failures, leaving the out-of-window
+# oracle-parity gate unverified two rounds running).  The DEFAULT
+# collection is therefore the DRIVER TIER: the correctness gates that make
+# window rotation safe (the full DuckDB oracle-parity sweep + the
+# type-sensitivity guard), the golden sha256-pinned end-to-end artifacts,
+# the ANSI edge probes, and every light behavior module — measured ~11-12
+# minutes on the round-13 host.
+#
+# The modules below are the FULL TIER: builder-side assurance suites
+# (e2e pipeline, learner bit-equality differentials, plan-shape audits,
+# streaming semantics, recall harnesses, property sweeps).  They run when
+# ``SPARK_GRAFT_FULL_TESTS=1`` — which ``make test`` sets — and remain
+# MANDATORY before any snapshot commit (Makefile).  Per-module wall
+# measured 2026-08-18 (full-suite run, this host) in the comment.
+FULL_ONLY_MODULES = {
+    "test_prepare_e2e.py",            # 309 s  e2e pipeline + elevation
+    "test_tokenizer_ops.py",          # 159 s  BPE learner bit-equality
+    "test_plan_audits.py",            # 151 s  plan-shape pins
+    "test_run_normalization.py",      # 126 s  geometry normalization
+    "test_clustering.py",             # 120 s  clustering passes
+    "test_differential_training.py",  # 108 s  trainer differentials
+    "test_streaming_semantics.py",    # 101 s  micro-batch replay
+    "test_cli.py",                    #  80 s  CLI end-to-end
+    "test_training_ops.py",           #  54 s
+    "test_synthetic.py",              #  52 s
+    "test_properties.py",             #  46 s  property sweeps
+    "test_spot_behaviors.py",         #  43 s
+    "test_wordpiece_ops.py",          #  41 s  learner bit-equality
+    "test_unigram_ops.py",            #  38 s  learner differentials
+    "test_sinks.py",                  #  33 s
+    "test_recall.py",                 #  30 s  ANN/LSH recall pins
+    "test_enrichment.py",             #  26 s
+    "test_geopackage_behaviors.py",   #  22 s
+    "test_graph.py",                  #  22 s
+    "test_bm25.py",                   #  21 s
+    "test_bloom.py",                  #  21 s
+    "test_mapbox_behaviors.py",       #  19 s
+    "test_curation.py",               #  18 s
+    "test_snow_fetch.py",             #  15 s
+    "test_scale_operators.py",        #  15 s
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("SPARK_GRAFT_FULL_TESTS") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="full-tier module: run `make test` (SPARK_GRAFT_FULL_TESTS=1)")
+    for item in items:
+        if os.path.basename(str(item.fspath)) in FULL_ONLY_MODULES:
+            item.add_marker(skip)
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -144,12 +144,15 @@ def test_profile_sketch_has_no_expand(spark):
     assert sketch.count("Exchange hashpartitioning") == 0
 
 
-def test_blocklist_broadcasts_list_and_script_stays_per_row(spark):
-    """blocklist_filter_docs must BROADCAST the term list (hash-probe
-    per token, never a shuffled join against 10^5 terms); script_stats
-    is a pure per-row chain — zero exchanges."""
+def test_blocklist_in_row_and_script_stays_per_row(spark):
+    """blocklist_filter_docs computes the whole verdict IN-ROW since r13
+    (filter the word array against the InSet, take sizes): zero
+    exchanges, zero joins — the corpus is never moved for a
+    broadcast-sized term list.  script_stats is likewise a pure per-row
+    chain — zero exchanges."""
     plan = _plan(QUERIES["blocklist_filter_docs"](spark, SF_SMOKE))
-    assert "BroadcastHashJoin" in plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
     plan2 = _plan(QUERIES["script_stats"](spark, SF_SMOKE))
     assert plan2.count("Exchange hashpartitioning") == 0
 

@@ -30,6 +30,10 @@ def main() -> None:
     ap.add_argument("--tag", required=True)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    # the tag lands in a filename — reject anything path-like
+    if os.sep in args.tag or (os.altsep and os.altsep in args.tag) \
+            or args.tag in ("", ".", ".."):
+        ap.error(f"--tag must be a bare filename suffix, got {args.tag!r}")
 
     from openskidata_processor_spark.plans import QUERIES
     from openskidata_processor_spark.session import get_spark
@@ -41,12 +45,27 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans", "r12")
     os.makedirs(outdir, exist_ok=True)
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted")
+    def explain_text(df) -> str:
+        # internal JVM path first (string without stdout capture); fall
+        # back to capturing the public explain() if the private API moves
+        # across Spark upgrades (ADVICE r12)
+        try:
+            mode = (spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                    .fromString("formatted"))
+            return df._jdf.queryExecution().explainString(mode)
+        except Exception:
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            return buf.getvalue()
+
     for name in args.queries:
         try:
             df = QUERIES[name](spark, sf_dir)
-            txt = df._jdf.queryExecution().explainString(mode)
+            txt = explain_text(df)
         except Exception as exc:  # keep going: one bad dump must not stop the batch
             print(f"{name}: ERR {type(exc).__name__}: {exc}", file=sys.stderr)
             continue
